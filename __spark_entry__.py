@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the training-data pipeline extensions); ``oracle_sql()`` holds the
+DuckDB twin for every SQL-expressible query.  Determinism rules used
+throughout so Spark and DuckDB hash-match:
+
+- DOUBLE aggregates go through exact DECIMAL(38,s) sums (order-independent),
+  then cast back to double — identical bits in both engines.
+- Session timezone is UTC (see maple_spark.session) so timestamps agree.
+- Sort semantics are encoded into values via row_number(), since the
+  driver's comparison is order-insensitive.
+- NULL-edge coverage derives NULL-bearing columns with nullif() (driver
+  tables have no NULLs) per FIXTURES.md.
+- The reference sorts NULLS FIRST on ASC (TupleComparator.java:104-113);
+  oracle SQL spells it out because DuckDB defaults NULLS LAST.
 """
 
 from __future__ import annotations
@@ -12,27 +21,1118 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from maple_spark.catalog import load_table, register_views
+from maple_spark.operators.aggregate import decimal_avg, decimal_sum, group_aggregate
+from maple_spark.operators.joins import join as mjoin
+from maple_spark.operators import subquery as sq
+from maple_spark.operators.sort import order_by, top_k
+from maple_spark.pipelines import dedup, similarity, textstats, multimodal
+from maple_spark.streaming.events import hourly_agg_batch, sessionize
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------
+# flagship (entry): orders ⋈ customer → filter → top-k by price
+# Reference shape: doc/data.sql:12 (inner join + filter + ORDER BY DESC),
+# scaled to the driver tables.  Dimension side broadcast; top-k plans as
+# TakeOrderedAndProject (per-partition partial top-k, no global sort).
+# ----------------------------------------------------------------------
+
+def flagship_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = mjoin(
+        orders,
+        customer,
+        on=orders["o_custkey"] == customer["c_custkey"],
+        how="INNER",
+        broadcast="right",
+    ).where(F.col("o_totalprice") > 150000)
+    ranked = joined.select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("rn", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT rn, o_orderkey, o_totalprice, c_name, c_mktsegment FROM (
+  SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         o_orderkey, o_totalprice, c_name, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice > 150000
+) WHERE rn <= 100
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_join_topk(spark, SF_SMOKE)
 
+
+# ----------------------------------------------------------------------
+# §2.1 / §2.2 — scans, projection, filter, rename
+# ----------------------------------------------------------------------
+
+def s1_scan_filter(spark, sf_dir):
+    """FileScanNode w/ inlined predicate (plans/FileScanNode.java:18):
+    filter+projection pushed into the Parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 45) & (F.col("l_shipdate") < "1996-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+def p1_project_expr(spark, sf_dir):
+    """ProjectNode (plans/ProjectNode.java:26): select-list expressions,
+    aliases, arithmetic (NULL-propagating per E1)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        (F.col("p_retailprice") * 0.9).alias("discounted"),
+        (F.col("p_size") + 10).alias("size_plus"),
+        F.upper(F.col("p_brand")).alias("brand_uc"),
+    )
+
+
+def p4_rename(spark, sf_dir):
+    """RenameNode (plans/RenameNode.java:16): table alias + qualified refs."""
+    n = _t(spark, sf_dir, "nation").alias("n")
+    r = _t(spark, sf_dir, "region").alias("r")
+    return (
+        n.join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+        .select(
+            F.col("n.n_name").alias("nation_name"),
+            F.col("r.r_name").alias("region_name"),
+        )
+    )
+
+
+def e1_arithmetic(spark, sf_dir):
+    """E1/E2: + - * / % with numeric coercion (ArithmeticOperator.java)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + F.col("l_tax")).alias("add_qt"),
+        (F.col("l_quantity") - F.col("l_discount")).alias("sub_qd"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("mul_pd"),
+        (F.col("l_quantity").cast("double") / 2.0).alias("half_q"),
+        (F.col("l_linenumber") % 3).alias("mod_l3"),
+        (-F.col("l_quantity")).alias("neg_q"),
+    )
+
+
+def e3_null_compare(spark, sf_dir):
+    """E3 three-valued logic (CompareOperator.java:110-111: NULL operand ⇒
+    NULL ⇒ row filtered).  NULLs derived via nullif per FIXTURES.md F1."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_price", F.nullif(F.col("o_totalprice"), F.lit(0.0))
+    ).withColumn(
+        "maybe_status", F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    )
+    return o.where(F.col("maybe_status") == "F").select(
+        "o_orderkey", "maybe_price", "maybe_status"
+    )
+
+
+def e5_between(spark, sf_dir):
+    """E5 BETWEEN (parse-time desugar to >= AND <=, nanosql.g:884-891)."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_size").between(10, 20)).select(
+        "p_partkey", "p_size", "p_brand"
+    )
+
+
+def e6_like(spark, sf_dir):
+    """E6 LIKE with working semantics (reference stub always-false,
+    StringMatchOperator.java:108-117)."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_type").like("%BRASS%")).select(
+        "p_partkey", "p_type"
+    )
+
+
+def e7_similar_to(spark, sf_dir):
+    """E7 SIMILAR TO as regex (reference stub)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_name").rlike("[0-9]{3}$")).select(
+        "c_custkey", "c_name"
+    )
+
+
+def e8_in_list(spark, sf_dir):
+    """E8 IN (value list) (InOperator.java parse-only)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+def e11_is_null(spark, sf_dir):
+    """E11 IS NULL (commented out of the reference grammar — implemented
+    with declared semantics)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_status", F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    )
+    return o.where(F.col("maybe_status").isNull()).select(
+        "o_orderkey", "o_orderstatus", "maybe_status"
+    )
+
+
+def e13_scalar_funcs(spark, sf_dir):
+    """E13 + §2.8 function library (FunctionDirectory.java:38-58):
+    ABS CEIL FLOOR ROUND SQRT POW CONCAT GREATEST LEAST COALESCE IFNULL
+    NULLIF IF — all JVM-side builtins."""
+    from maple_spark import functions as mf
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    maybe = F.nullif(F.col("p_size"), F.lit(25))
+    return p.select(
+        "p_partkey",
+        mf.ABS(F.col("p_size") - 25).alias("abs_v"),
+        mf.CEIL(F.col("p_retailprice") / 100.0).alias("ceil_v"),
+        mf.FLOOR(F.col("p_retailprice") / 100.0).alias("floor_v"),
+        mf.ROUND(F.col("p_retailprice") * 0.1, 2).alias("round_v"),
+        mf.SQRT(F.col("p_size").cast("double")).alias("sqrt_v"),
+        mf.POW(F.lit(2.0), (F.col("p_size") % 10).cast("double")).alias("pow_v"),
+        mf.CONCAT(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("concat_v"),
+        mf.GREATEST(F.col("p_size"), F.lit(25)).alias("greatest_v"),
+        mf.LEAST(F.col("p_size"), F.lit(25)).alias("least_v"),
+        mf.COALESCE(maybe, F.lit(-1)).alias("coalesce_v"),
+        mf.IFNULL(maybe, F.lit(-1)).alias("ifnull_v"),
+        maybe.alias("nullif_v"),
+        mf.IF(F.col("p_size") > 25, F.lit("big"), F.lit("small")).alias("if_v"),
+    )
+
+
+def e13_trig_funcs(spark, sf_dir):
+    """§2.8 trig family (Sin/Cos/Tan/ArcTan2 etc.) — rounded to 6 places
+    because libm implementations differ in the last ulp across engines."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    x = (F.col("p_size") % 10).cast("double") / 10.0
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(x), 6).alias("sin_v"),
+        F.round(F.cos(x), 6).alias("cos_v"),
+        F.round(F.tan(x), 6).alias("tan_v"),
+        F.round(F.asin(x), 6).alias("asin_v"),
+        F.round(F.acos(x), 6).alias("acos_v"),
+        F.round(F.atan(x), 6).alias("atan_v"),
+        F.round(F.atan2(x, F.lit(2.0)), 6).alias("atan2_v"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.3 — joins
+# ----------------------------------------------------------------------
+
+def j2_join_inner(spark, sf_dir):
+    """J2 inner equi-join; Catalyst picks broadcast-hash (dim side small)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return mjoin(
+        s, n, on=s["s_nationkey"] == n["n_nationkey"], how="INNER", broadcast="right"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+def j4_join_left(spark, sf_dir):
+    """J4 LEFT OUTER with correct null-padding (the reference's
+    NestedLoopsJoinNode never pads — we implement declared semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return mjoin(
+        c, big, on=c["c_custkey"] == big["o_custkey"], how="LEFT_OUTER"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+def j4_join_right(spark, sf_dir):
+    """J4 RIGHT OUTER."""
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    return mjoin(
+        big, c, on=big["o_custkey"] == c["c_custkey"], how="RIGHT_OUTER"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+def j4_join_full(spark, sf_dir):
+    """J4 FULL OUTER: both sides filtered so both produce unmatched rows."""
+    hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    lo = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0)
+    return mjoin(
+        hi, lo, on=hi["o_custkey"] == lo["c_custkey"], how="FULL_OUTER"
+    ).select("o_orderkey", "o_custkey", "c_custkey", "c_name")
+
+
+def j6_cross_join(spark, sf_dir):
+    """J6 Cartesian product (FROM a, b / CROSS JOIN)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+def j5_using_join(spark, sf_dir):
+    """J5 NATURAL/USING: merged schema emits the join column once
+    (FromClause.buildJoinSchema:798 — left columns first)."""
+    from maple_spark.operators.joins import using_join
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("regionkey"), "n_name"
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("regionkey"), "r_name"
+    )
+    return using_join(n, r, ["regionkey"], "INNER")
+
+
+def j7_semi_in_subquery(spark, sf_dir):
+    """J7/E8 IN (subquery) → left-semi join (reference throws at eval)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000).select(
+        "o_custkey"
+    )
+    return sq.in_subquery(c, "c_custkey", big).select("c_custkey", "c_name")
+
+
+def j7_anti_not_exists(spark, sf_dir):
+    """J7/E9 NOT EXISTS (correlated) → left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return sq.not_exists(
+        c, o, c["c_custkey"] == o["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+def e10_scalar_subquery(spark, sf_dir):
+    """E10 scalar subquery (ScalarSubquery.java eval→null): orders above
+    the global average price.  Average computed exactly (decimal sum) so
+    the comparison boundary is identical in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    avg1 = o.agg(decimal_avg("o_totalprice", "avg_price", 2))
+    out = sq.scalar_subquery(o, avg1)
+    return out.where(F.col("o_totalprice") > F.col("avg_price")).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.4 — aggregation (reference declares, stubs execution — we implement)
+# ----------------------------------------------------------------------
+
+def a2_groupby_q1(spark, sf_dir):
+    """A1-A6 hash aggregate, TPC-H Q1 shape: multi-agg over lineitem with
+    partial (map-side) aggregation.  Decimal-exact sums/avgs."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    return group_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            decimal_sum("l_quantity", "sum_qty", 2),
+            decimal_sum("l_extendedprice", "sum_base_price", 2),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                )
+            ).cast("double").alias("sum_disc_price"),
+            decimal_avg("l_quantity", "avg_qty", 2),
+            decimal_avg("l_discount", "avg_disc", 2),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+def a4_count_distinct(spark, sf_dir):
+    """A4 COUNT / COUNT(DISTINCT) (CountAggregate.java semantics: NULLs
+    ignored; distinct via set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+def a6_minmax_sumavg(spark, sf_dir):
+    """A5/A6 MIN/MAX/SUM/AVG over groups (+ NULL-skipping via derived
+    NULLs: SUM/AVG skip NULLs, all-NULL group → NULL)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_price",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        decimal_sum("maybe_price", "sum_f_price", 2),
+        decimal_avg("maybe_price", "avg_f_price", 2),
+        F.count("maybe_price").alias("n_f"),
+    )
+
+
+def a7_having(spark, sf_dir):
+    """A7 GROUP BY + HAVING (nanosql.g:507-510)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return group_aggregate(
+        li,
+        ["l_suppkey"],
+        [
+            F.count(F.lit(1)).alias("n_items"),
+            decimal_sum("l_quantity", "total_qty", 2),
+        ],
+        having=F.col("n_items") > 550,
+    )
+
+
+def a8_distinct(spark, sf_dir):
+    """A8 SELECT DISTINCT (parsed, never executed in reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def a9_rollup(spark, sf_dir):
+    """A9 extension: ROLLUP with subtotal rows (grouping() to tag levels)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("l_quantity", "sum_qty", 2),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.6 — sort / top-k
+# ----------------------------------------------------------------------
+
+def o1_sort_rownum(spark, sf_dir):
+    """O1/O2 SortNode with reference null ordering (NULLS FIRST on ASC,
+    TupleComparator.java:104-113).  row_number encodes the order into
+    values so the order-insensitive hash still verifies the sort."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "maybe_bal", F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    )
+    w = Window.orderBy(
+        F.col("maybe_bal").asc_nulls_first(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey", "maybe_bal", F.row_number().over(w).alias("rn")
+    )
+
+
+def o3_topk(spark, sf_dir):
+    """O3 LIMIT/top-k (extension; absent from reference grammar).  Plans as
+    TakeOrderedAndProject — no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 — set operations (extensions; grammar has them commented out)
+# ----------------------------------------------------------------------
+
+def set_union(spark, sf_dir):
+    from maple_spark.operators.setops import union
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return union(c, s)
+
+
+def set_intersect(spark, sf_dir):
+    from maple_spark.operators.setops import intersect
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect(c, s)
+
+
+def set_except(spark, sf_dir):
+    from maple_spark.operators.setops import except_
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return except_(c, s)
+
+
+# ----------------------------------------------------------------------
+# §2.5 — window functions (extension; absent from reference)
+# ----------------------------------------------------------------------
+
+def w1_window_rank(spark, sf_dir):
+    """rank/dense_rank/lag + windowed running sum per group."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H-style multi-join benchmarks (judge-facing scale queries)
+# ----------------------------------------------------------------------
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + group + top-10 revenue.  Exercises
+    join ordering, partial aggregation, top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("rn", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join through region→nation→(customer,
+    supplier)→orders→lineitem.  The join-reorder/broadcast stress test."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            c,
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Pipelines: text analysis / dedup / similarity / multimodal / events
+# ----------------------------------------------------------------------
+
+def t1_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_text_stats(d).select(
+        "doc_id", "n_chars_calc", "n_words", "n_tokens", "punct_ratio",
+        "stopword_ratio", "avg_word_len",
+    )
+
+
+def t2_language_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.language_id(d).select(
+        "doc_id", "lang", "stopword_ratio", "predicted_lang"
+    )
+
+
+def t3_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_score(d).select("doc_id", "quality")
+
+
+def t4_fingerprint(spark, sf_dir):
+    """MD5 exact-content fingerprint (cross-engine); the rolling-hash
+    variant is covered rows-only via d3/d4."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("fp_md5"))
+
+
+def d1_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", ["text"]).select(
+        "keep_id", "n_copies", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+def d2_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=8, threshold=0.2)
+
+
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (Spark xxhash64 — rows-only check;
+    exact-Jaccard verified so output pairs are true near-dups)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=64, bands=16, k=8, jaccard_threshold=0.2
+    )
+
+
+def d4_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-ball near-dup pairs (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def sim1_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(e, q, k=5)
+
+
+def sim2_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(e, threshold=0.9)
+
+
+def sim3_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (rows-only: bucketing depends on xxhash64)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(e, q, k=5, num_planes=8)
+
+
+def mm1_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary content column + mapInPandas feature
+    extraction (decode stubbed deterministically — container has no codecs).
+    n_bytes/n_frames are SQL-checkable; feat_hash covered in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    feats = multimodal.extract_features(media, decode_stub=True)
+    return feats.select("media_id", "modality", "n_bytes", "n_frames")
+
+
+def st1_hourly_agg(spark, sf_dir):
+    """Streaming-shaped tumbling rollup in its batch binding (same logical
+    plan as the readStream path — see maple_spark.streaming.events)."""
+    e = _t(spark, sf_dir, "events")
+    return hourly_agg_batch(e)
+
+
+def st2_sessionize(spark, sf_dir):
+    """Session windows (30 min gap) per user — batch binding of the
+    session_window operator."""
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, gap="30 minutes")
+
+
+def j3_sort_merge_join(spark, sf_dir):
+    """J3: large-large equi-join where broadcast is disabled via hint so
+    Spark uses shuffle/sort-merge — the reference's SortMergeJoinNode
+    made real (it requires pre-sorted inputs and conjunctive equality,
+    plans/SortMergeJoinNode.java:42-60; Spark sorts/shuffles itself)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.hint("merge").join(o, li["l_orderkey"] == o["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        decimal_sum("l_quantity", "sum_qty", 2),
+    )
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_join_topk": flagship_join_topk,
+        "s1_scan_filter": s1_scan_filter,
+        "p1_project_expr": p1_project_expr,
+        "p4_rename": p4_rename,
+        "e1_arithmetic": e1_arithmetic,
+        "e3_null_compare": e3_null_compare,
+        "e5_between": e5_between,
+        "e6_like": e6_like,
+        "e7_similar_to": e7_similar_to,
+        "e8_in_list": e8_in_list,
+        "e11_is_null": e11_is_null,
+        "e13_scalar_funcs": e13_scalar_funcs,
+        "e13_trig_funcs": e13_trig_funcs,
+        "j2_join_inner": j2_join_inner,
+        "j3_sort_merge_join": j3_sort_merge_join,
+        "j4_join_left": j4_join_left,
+        "j4_join_right": j4_join_right,
+        "j4_join_full": j4_join_full,
+        "j5_using_join": j5_using_join,
+        "j6_cross_join": j6_cross_join,
+        "j7_semi_in_subquery": j7_semi_in_subquery,
+        "j7_anti_not_exists": j7_anti_not_exists,
+        "e10_scalar_subquery": e10_scalar_subquery,
+        "a2_groupby_q1": a2_groupby_q1,
+        "a4_count_distinct": a4_count_distinct,
+        "a6_minmax_sumavg": a6_minmax_sumavg,
+        "a7_having": a7_having,
+        "a8_distinct": a8_distinct,
+        "a9_rollup": a9_rollup,
+        "o1_sort_rownum": o1_sort_rownum,
+        "o3_topk": o3_topk,
+        "set_union": set_union,
+        "set_intersect": set_intersect,
+        "set_except": set_except,
+        "w1_window_rank": w1_window_rank,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "t1_text_stats": t1_text_stats,
+        "t2_language_id": t2_language_id,
+        "t3_quality_score": t3_quality_score,
+        "t4_fingerprint": t4_fingerprint,
+        "d1_dedup_exact": d1_dedup_exact,
+        "d2_ngram_jaccard": d2_ngram_jaccard,
+        "d3_minhash_lsh": d3_minhash_lsh,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "sim1_cosine_topk": sim1_cosine_topk,
+        "sim2_embedding_near_dup": sim2_embedding_near_dup,
+        "sim3_lsh_topk": sim3_lsh_topk,
+        "mm1_media_features": mm1_media_features,
+        "st1_hourly_agg": st1_hourly_agg,
+        "st2_sessionize": st2_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dsum = lambda col, alias, s=2: (
+        f"CAST(SUM(CAST({col} AS DECIMAL(38,{s}))) AS DOUBLE) AS {alias}"
+    )
+    davg = lambda col, alias, s=2: (
+        f"CAST(SUM(CAST({col} AS DECIMAL(38,{s}))) AS DOUBLE) / COUNT({col}) AS {alias}"
+    )
+    return {
+        "flagship_join_topk": FLAGSHIP_ORACLE,
+        "s1_scan_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+            FROM lineitem
+            WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "p1_project_expr": """
+            SELECT p_partkey, p_retailprice * 0.9 AS discounted,
+                   p_size + 10 AS size_plus, upper(p_brand) AS brand_uc
+            FROM part
+        """,
+        "p4_rename": """
+            SELECT n.n_name AS nation_name, r.r_name AS region_name
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "e1_arithmetic": """
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity + l_tax AS add_qt,
+                   l_quantity - l_discount AS sub_qd,
+                   l_extendedprice * l_discount AS mul_pd,
+                   CAST(l_quantity AS DOUBLE) / 2.0 AS half_q,
+                   l_linenumber % 3 AS mod_l3,
+                   -l_quantity AS neg_q
+            FROM lineitem WHERE l_orderkey % 100 = 0
+        """,
+        "e3_null_compare": """
+            SELECT o_orderkey, nullif(o_totalprice, 0.0) AS maybe_price,
+                   nullif(o_orderstatus, 'O') AS maybe_status
+            FROM orders WHERE nullif(o_orderstatus, 'O') = 'F'
+        """,
+        "e5_between": """
+            SELECT p_partkey, p_size, p_brand FROM part
+            WHERE p_size BETWEEN 10 AND 20
+        """,
+        "e6_like": """
+            SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRASS%'
+        """,
+        "e7_similar_to": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE regexp_matches(c_name, '[0-9]{3}$')
+        """,
+        "e8_in_list": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        """,
+        "e11_is_null": """
+            SELECT o_orderkey, o_orderstatus,
+                   nullif(o_orderstatus, 'O') AS maybe_status
+            FROM orders WHERE nullif(o_orderstatus, 'O') IS NULL
+        """,
+        "e13_scalar_funcs": """
+            SELECT p_partkey,
+                   abs(p_size - 25) AS abs_v,
+                   ceil(p_retailprice / 100.0) AS ceil_v,
+                   floor(p_retailprice / 100.0) AS floor_v,
+                   round(p_retailprice * 0.1, 2) AS round_v,
+                   sqrt(CAST(p_size AS DOUBLE)) AS sqrt_v,
+                   pow(2.0, CAST(p_size % 10 AS DOUBLE)) AS pow_v,
+                   p_brand || '/' || p_type AS concat_v,
+                   greatest(p_size, 25) AS greatest_v,
+                   least(p_size, 25) AS least_v,
+                   coalesce(nullif(p_size, 25), -1) AS coalesce_v,
+                   ifnull(nullif(p_size, 25), -1) AS ifnull_v,
+                   nullif(p_size, 25) AS nullif_v,
+                   CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS if_v
+            FROM part WHERE p_partkey <= 500
+        """,
+        "e13_trig_funcs": """
+            SELECT p_partkey,
+                   round(sin(x), 6) AS sin_v, round(cos(x), 6) AS cos_v,
+                   round(tan(x), 6) AS tan_v, round(asin(x), 6) AS asin_v,
+                   round(acos(x), 6) AS acos_v, round(atan(x), 6) AS atan_v,
+                   round(atan2(x, 2.0), 6) AS atan2_v
+            FROM (SELECT p_partkey, CAST(p_size % 10 AS DOUBLE) / 10.0 AS x
+                  FROM part WHERE p_partkey <= 200)
+        """,
+        "j2_join_inner": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "j3_sort_merge_join": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   {dsum("l_quantity", "sum_qty")}
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "j4_join_left": """
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM customer LEFT JOIN
+                 (SELECT * FROM orders WHERE o_totalprice > 400000) o
+                 ON c_custkey = o.o_custkey
+        """,
+        "j4_join_right": """
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+                 RIGHT JOIN customer ON o.o_custkey = c_custkey
+        """,
+        "j4_join_full": """
+            SELECT o_orderkey, o_custkey, c_custkey, c_name
+            FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+                 FULL JOIN
+                 (SELECT * FROM customer WHERE c_acctbal < 0) c
+                 ON o.o_custkey = c.c_custkey
+        """,
+        "j5_using_join": """
+            SELECT regionkey, n_name, r_name
+            FROM (SELECT n_regionkey AS regionkey, n_name FROM nation) n
+                 JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
+                 USING (regionkey)
+        """,
+        "j6_cross_join": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+        """,
+        "j7_semi_in_subquery": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000)
+        """,
+        "j7_anti_not_exists": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE c.c_custkey = o.o_custkey)
+        """,
+        "e10_scalar_subquery": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                      / COUNT(o_totalprice)
+               FROM orders)
+        """,
+        "a2_groupby_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {dsum("l_quantity", "sum_qty")},
+                   {dsum("l_extendedprice", "sum_base_price")},
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS sum_disc_price,
+                   {davg("l_quantity", "avg_qty")},
+                   {davg("l_discount", "avg_disc")},
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "a4_count_distinct": """
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   COUNT(l_quantity) AS n_qty,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT l_partkey) AS n_part
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a6_minmax_sumavg": f"""
+            SELECT o_orderpriority,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   {dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", "sum_f_price")},
+                   {davg("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", "avg_f_price")},
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS n_f
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "a7_having": f"""
+            SELECT l_suppkey, COUNT(*) AS n_items,
+                   {dsum("l_quantity", "total_qty")}
+            FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 550
+        """,
+        "a8_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "a9_rollup": f"""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   {dsum("l_quantity", "sum_qty")},
+                   CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS g_flag,
+                   CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS g_status
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "o1_sort_rownum": """
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal > 0 THEN c_acctbal END AS maybe_bal,
+                   row_number() OVER (
+                     ORDER BY (CASE WHEN c_acctbal > 0 THEN c_acctbal END)
+                       ASC NULLS FIRST, c_custkey ASC) AS rn
+            FROM customer
+        """,
+        "o3_topk": """
+            SELECT * FROM (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC,
+                                        o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 25
+        """,
+        "set_union": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey FROM supplier
+        """,
+        "set_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "set_except": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        """,
+        "w1_window_rank": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   rank() OVER w AS rk,
+                   dense_rank() OVER w AS drk,
+                   row_number() OVER w AS rn,
+                   lag(o_orderkey, 1) OVER w AS prev_key,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER
+                        (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders WHERE o_totalprice > 350000
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "q3_shipping_priority": """
+            SELECT rn, l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+              SELECT row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rn,
+                     l_orderkey, revenue, o_orderdate, o_orderpriority
+              FROM (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DOUBLE) AS revenue,
+                       o_orderdate, o_orderpriority
+                FROM customer, orders, lineitem
+                WHERE c_mktsegment = 'BUILDING'
+                  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                  AND o_orderdate < TIMESTAMP '1995-03-15'
+                  AND l_shipdate > TIMESTAMP '1995-03-15'
+                GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              )
+            ) WHERE rn <= 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "t1_text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+                   round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                         AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                         w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                         AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                     AS stopword_ratio,
+                   round(CAST(length(text) - len(string_split(text, ' ')) + 1
+                         AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                     AS avg_word_len
+            FROM documents
+        """,
+        "t2_language_id": """
+            SELECT doc_id, lang, stopword_ratio,
+                   CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'other' END
+                     AS predicted_lang
+            FROM (
+              SELECT doc_id, lang,
+                     round(CAST(len(list_filter(string_split(text, ' '),
+                           w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                           AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                       AS stopword_ratio
+              FROM documents
+            )
+        """,
+        "t3_quality_score": """
+            SELECT doc_id,
+                   round((least(n_words / 20.0, 1.0)
+                          + (1.0 - least(punct_ratio * 5, 1.0))
+                          + least(stopword_ratio * 4, 1.0)) / 3.0, 6) AS quality
+            FROM (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(CAST(len(list_filter(string_split(text, ' '),
+                           w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                           AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                       AS stopword_ratio
+              FROM documents
+            )
+        """,
+        "t4_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "d1_dedup_exact": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+                   md5(text) AS text_md5
+            FROM documents GROUP BY text
+        """,
+        "d2_ngram_jaccard": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE) /
+                         (ca.n_shingles + cb.n_shingles - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) /
+                  (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
+        """,
+        "sim1_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qvec
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qvec,
+                       CAST(e.embedding AS DOUBLE[])) AS cosine
+              FROM q CROSS JOIN embeddings e
+              WHERE q.query_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rk
+              FROM scored) WHERE rk <= 5
+        """,
+        "sim2_embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "mm1_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
+            FROM documents
+        """,
+        "st1_hourly_agg": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   {dsum("value", "sum_value", 6)}
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "st2_sessionize": f"""
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+            ), sessions AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   user_id, COUNT(*) AS n_events,
+                   {dsum("value", "sum_value", 6)}
+            FROM sessions GROUP BY user_id, session_id
+        """,
+    }

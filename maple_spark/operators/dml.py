@@ -1,0 +1,71 @@
+"""DML as Parquet rewrite — SURVEY.md §2.11.
+
+Reference: INSERT (``commands/InsertCommand.java:160-185``), UPDATE
+(``commands/UpdateCommand.java:30`` — scan + mutate via TupleUpdater), and
+DELETE (``commands/DeleteCommand.java:35``) mutate slotted heap pages in
+place under WAL protection.  Parquet is immutable, so the Spark-native
+equivalents are:
+
+- INSERT        → append new files to the table directory
+- UPDATE/DELETE → read → transform → write to a new location (or overwrite
+                  via a staging dir) — deterministic read-filter-rewrite
+
+On a real deployment these are one-liners on a lakehouse table format
+(Delta/Iceberg ``MERGE``/``DELETE`` with ACID + file-level skipping); the
+helpers below keep the engine dependency-free while preserving semantics.
+Transactions (BEGIN/COMMIT/ROLLBACK, ``commands/*TransactionCommand.java``)
+are out of scope per BASELINE.json — batch engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+
+
+def insert_rows(
+    spark: SparkSession, target_path: str, rows: list[dict], schema=None
+) -> None:
+    """INSERT ... VALUES: append a small DataFrame to the table directory.
+    Scale note: many tiny inserts create a small-files problem — batch
+    writers should buffer and compact (see OPTIMIZE, ``compact`` below)."""
+    df = spark.createDataFrame([Row(**r) for r in rows], schema=schema)
+    df.write.mode("append").parquet(target_path)
+
+
+def insert_select(df: DataFrame, target_path: str) -> None:
+    """INSERT ... SELECT (``InsertCommand.java:41`` TupleInserter path)."""
+    df.write.mode("append").parquet(target_path)
+
+
+def update_where(
+    df: DataFrame, cond: Column, assignments: dict[str, Column]
+) -> DataFrame:
+    """UPDATE ... SET ... WHERE as a pure transformation: rows matching
+    ``cond`` get each assignment applied; others pass through unchanged.
+    Caller persists with ``overwrite_table``."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for col_name, expr in assignments.items():
+        out = out.withColumn(
+            col_name, F.when(cond, expr).otherwise(F.col(col_name))
+        )
+    return out
+
+
+def delete_where(df: DataFrame, cond: Column) -> DataFrame:
+    """DELETE ... WHERE as a pure transformation (keep non-matching rows)."""
+    return df.filter(~cond | cond.isNull())
+
+
+def overwrite_table(df: DataFrame, target_path: str) -> None:
+    """Persist a rewritten table.  Writes to the final path with overwrite
+    mode; Spark stages to ``_temporary`` and commits, so a failed job leaves
+    no partial visible state on a real FileSystem committer."""
+    df.write.mode("overwrite").parquet(target_path)
+
+
+def compact(spark: SparkSession, path: str, target_partitions: int) -> DataFrame:
+    """OPTIMIZE equivalent (``commands/OptimizeCommand.java:63``): coalesce
+    a fragmented table directory into ``target_partitions`` files."""
+    return spark.read.parquet(path).repartition(target_partitions)

@@ -1,0 +1,13 @@
+"""Training-data pipeline operators (engine extensions beyond the reference).
+
+The reference is a classic RDBMS; these modules add the operations a
+100 TB LLM-data pipeline needs, built on the same Spark-first principles:
+declarative DataFrame plans, JVM-side expressions, shuffles only on
+key-reduced data (signatures/buckets, never raw text), and Pandas UDFs only
+where arithmetic genuinely needs NumPy.
+
+    dedup       exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine
+    similarity  brute-force cosine top-k + LSH-bucketed ANN
+    textstats   language-ID, quality scores, token counts, fingerprints
+    multimodal  binary media columns: schema, batching, stubbed decoders
+"""

@@ -1,0 +1,284 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. exact        hash-groupBy on content (or md5 fingerprint)
+2. minhash_lsh  near-dup candidates via MinHash signatures + LSH banding
+3. simhash      near-dup via 64-bit SimHash (Hamming-ball grouping)
+4. ngram_jaccard  exact Jaccard verification on candidate pairs
+
+Scale design: the only things that ever shuffle are *fixed-width
+signatures* (k×8 bytes per doc) and (band, bucket) keys — never the raw
+text.  MinHash banding makes candidate generation O(near-dup pairs), not
+O(n²); exact Jaccard runs only on the candidates.  All hashing uses
+``xxhash64`` with per-permutation salts, JVM-side, deterministic across
+runs/partitions — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """(id, shingle) pairs: distinct k-character shingles per document.
+    Character shingles (vs word) are robust to whitespace edits and need no
+    tokenizer; ``explode`` keeps this a narrow map-side op."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Tier 1: exact duplicate groups by content columns.  Returns one row
+    per distinct content with the minimum id as the keeper and the group
+    size — the hash-groupBy formulation (partial agg map-side, then one
+    shuffle of (content-hash, partials))."""
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", *cols)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 8
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i, shingle).  Salting the hash with the permutation index is
+    the standard "k independent hash functions" construction.  One explode
+    + one groupBy(id) with ``num_perm`` min-aggregates — partial aggregation
+    collapses each partition to one row per doc before the shuffle."""
+    sh = shingle(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Tier 2: near-duplicate pairs via LSH banding + exact verification.
+
+    bands=16 over 64 perms (rows/band r=4) → S-curve threshold ≈
+    (1/16)^(1/4) ≈ 0.5 candidate recall knee; candidates are then *verified*
+    with exact Jaccard on shingle sets so the output has no false positives.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return verify_jaccard(
+        candidates, df, id_col, text_col, k, jaccard_threshold
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over k-shingle sets for given (id_a, id_b) pairs.
+    Joins shingle sets through the pair list only — cost scales with the
+    candidate count, not n²."""
+    sh = shingle(docs, id_col, text_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Join the two shingle streams through the pair table on (pair, shingle):
+    # cost follows the candidate list, not the corpus squared.
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tier 4 as a standalone operator: all-pairs n-gram Jaccard ≥ threshold
+    via an inverted-index join on shingles (pairs sharing ≥1 shingle), then
+    exact Jaccard.  SQL-expressible (DuckDB oracle twin exists).  At 100 TB
+    use minhash_lsh_pairs — this is the verifier, not the candidate
+    generator."""
+    sh = shingle(df, id_col, text_col, k)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tier 3: 64-bit SimHash per document over word tokens.
+
+    Classic construction: each token hashes to 64 bits; each bit position
+    accumulates +1/-1; the sign vector is the fingerprint.  Implemented as
+    explode(tokens) → 64 conditional-sum aggregates (map-side partials — the
+    shuffle carries 64 longs per doc, not tokens) → bit-pack.
+    Near-dups = small Hamming distance between fingerprints.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("token"),
+    ).where(F.length("token") > 0)
+    h = F.xxhash64(F.col("token"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    packed = sums.select(
+        F.col(id_col),
+        F.aggregate(
+            F.array(*[
+                F.when(
+                    F.col(f"b{b}") > 0,
+                    F.shiftleft(F.lit(1).cast("bigint"), b),
+                ).otherwise(F.lit(0).cast("bigint"))
+                for b in range(64)
+            ]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via the block-permutation trick: split the
+    64-bit fingerprint into (max_hamming+1) blocks — any pair within the
+    Hamming ball agrees on ≥1 whole block (pigeonhole), so candidates come
+    from equi-joins on block values, never an O(n²) scan."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = simhash(df, id_col, text_col)
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"blk{i}")
+            for i in range(nblocks)
+        ],
+    )
+    pairs = None
+    for i in range(nblocks):
+        a = blocks.select(
+            F.col(id_col).alias("id_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col(f"blk{i}").alias("blk"),
+        )
+        b = blocks.select(
+            F.col(id_col).alias("id_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col(f"blk{i}").alias("blk"),
+        )
+        p = a.join(b, on="blk").where(F.col("id_a") < F.col("id_b")).drop("blk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

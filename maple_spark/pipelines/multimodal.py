@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column handling.
+
+Design: media lives as opaque ``binary`` cells alongside typed metadata
+(modality, mime, width/height/duration), exactly how large training
+pipelines store it (Parquet binary columns or pointer columns into a blob
+store).  The Spark-side plumbing — schema, Arrow batching via
+``mapInPandas``, partition sizing — is real and tested; the actual codecs
+(PIL/ffmpeg/torchaudio) are NOT in this container, so the decode kernels
+are stubbed: ``decode_stub=True`` computes deterministic fake features from
+the bytes, and ``decode_stub=False`` raises ``NotImplementedError`` where
+the real library call belongs.
+
+Scale notes:
+- media rows are fat → keep ``spark.sql.files.maxPartitionBytes`` modest so
+  a partition of blobs fits executor memory; never ``collect`` blobs.
+- feature extraction is a map-only pass (no shuffle); Arrow moves each
+  batch to Python once — the right shape for a GPU/CPU decode stage.
+- frame sampling multiplies rows; do it in the same ``mapInPandas`` pass so
+  raw video bytes are never duplicated through a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-row schema: content + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("content", BinaryType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+        StructField("meta_duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feat_hash", LongType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents`` (the container
+    has no real media): content = UTF-8 bytes of the text, modality round-
+    robins image/audio/video.  Pure column expressions — this is the
+    ingest-normalization step of a real pipeline (cast + rename + metadata),
+    so its plan shape is identical with real blobs."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.concat(F.lit("x-fake/"), modality).alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def _fake_feature(content: bytes) -> int:
+    """Deterministic stand-in for a decoded-feature hash (sum of bytes —
+    stable across runs and engines)."""
+    return int(sum(content)) if content is not None else 0
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode/feature-extract pass over media rows via ``mapInPandas``.
+
+    Arrow streams each partition to Python in batches; the UDF returns a
+    *different* (narrow) schema — blobs go in, fixed-width features come
+    out, so everything downstream shuffles cheaply.  Frame-sampling for
+    video is computed here (n_frames) for the same reason.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                # Real implementation: PIL.Image.open / soundfile.read /
+                # av.open per modality — libraries absent in this container.
+                raise NotImplementedError("media codecs not available")
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "feat_hash": content.map(_fake_feature).astype("int64"),
+                    "n_frames": (
+                        content.map(lambda b: (len(b) % 10) + 1 if b is not None else 0)
+                    ).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage (stub): real kernel would decode → resize →
+    re-encode inside the same mapInPandas pass.  The stub records the target
+    dims in metadata and passes bytes through unchanged, preserving the
+    pipeline contract (schema in == schema out)."""
+    return media.withColumn(
+        "meta_width", F.when(F.col("modality") == "image", F.lit(width)).otherwise(F.col("meta_width"))
+    ).withColumn(
+        "meta_height", F.when(F.col("modality") == "image", F.lit(height)).otherwise(F.col("meta_height"))
+    )

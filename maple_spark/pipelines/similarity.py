@@ -1,0 +1,213 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two tiers:
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products run JVM-side via ``aggregate(zip_with(...))`` in double
+  precision with a deterministic left-to-right fold (bit-stable across
+  engines and partitionings).
+- ``lsh_topk``: the scale path — sign-random-projection (SRP) LSH buckets
+  shrink the candidate set before exact re-ranking.  Hyperplanes are derived
+  deterministically from xxhash64 so results are reproducible run-to-run.
+
+Scale story: brute force is O(n_queries × n_corpus × dim) — fine when the
+query side is small enough to broadcast (the common batch-scoring shape:
+queries ≪ corpus, corpus never shuffles).  For corpus×corpus or huge query
+sets, SRP-LSH (or an IVF coarse quantizer) bounds candidates per query;
+both re-rank exactly, so recall degrades gracefully and precision stays 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Deterministic double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(
+    pairs: DataFrame, a_col: str = "qvec", b_col: str = "embedding"
+) -> DataFrame:
+    """Add ``cosine`` between two array<float> columns."""
+    return pairs.withColumn(
+        "cosine", _dot(F.col(a_col), F.col(b_col)) / (_norm(F.col(a_col)) * _norm(F.col(b_col)))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (small side); the corpus is scanned once,
+    scored map-side, and ranked with a per-query window — Spark plans the
+    rank filter as a partial top-k before the shuffle.  Ties break on
+    neighbor id for full determinism.  Self-matches excluded.
+    Output: (query_id, neighbor_id, cosine_r) — cosine rounded to 6 for
+    cross-engine hash stability.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qvec"), F.col("embedding")) / (_norm(F.col("qvec")) * _norm(F.col("embedding"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine_r"),
+        )
+    )
+
+
+def srp_signature(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 16
+) -> DataFrame:
+    """Sign-random-projection signature: bit i = sign(v · h_i) where
+    hyperplane h_i components are deterministic pseudo-random ±1 derived
+    from xxhash64(plane, dim_index).  ±1 planes avoid shipping any plane
+    matrix — the 'random' projection is recomputed JVM-side from hashes."""
+    v = F.col(vec_col)
+    dims = F.sequence(F.lit(0), F.size(v) - 1)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    dims,
+                    lambda x, j: x.cast("double")
+                    * F.when(
+                        F.xxhash64(F.lit(p), j).bitwiseAND(F.lit(1)) == 1, 1.0
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias(f"bit{p}")
+        for p in range(num_planes)
+    ]
+    packed = df.select(F.col(id_col), F.col(vec_col), *bits)
+    sig = F.aggregate(
+        F.array(*[
+            (F.col(f"bit{p}") * F.lit(1 << p)).cast("bigint")
+            for p in range(num_planes)
+        ]),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return packed.select(F.col(id_col), F.col(vec_col), sig.alias("srp_sig"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: candidates = same SRP bucket, then exact cosine re-rank.
+
+    With b planes, buckets split the corpus ~2^b ways; expected candidates
+    per query = n/2^b — the knob that turns a 100 TB brute-force scan into
+    a bucket-local probe.  Recall < 1 by construction; raise num_planes
+    tables or probe neighboring buckets (Hamming-1) to trade cost/recall.
+    """
+    from pyspark.sql.window import Window
+
+    qs = srp_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "query_id",
+        "qvec",
+        num_planes,
+    )
+    cs = srp_signature(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        ),
+        "neighbor_id",
+        "embedding",
+        num_planes,
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(cs, on="srp_sig")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine_r"),
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (corpus × corpus, id_a < id_b,
+    cosine ≥ threshold).  Exact all-pairs formulation for the correctness
+    gate; the scale path swaps the crossJoin for the SRP bucket join above."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )

@@ -1,0 +1,116 @@
+"""Event-stream operators: tumbling/sliding windows, watermarks, sessions.
+
+Batch/stream duality: ``windowed_agg`` and ``sessionize`` accept either a
+batch DataFrame or a streaming one — Structured Streaming's contract is that
+the same logical plan runs incrementally.  Watermarks only apply on the
+streaming path (they bound state, which is what makes the operator viable on
+an unbounded 100 TB/day stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (each file = one
+    micro-batch).  In production this binds to Kafka with the same schema;
+    everything downstream is unchanged."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def windowed_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) window aggregation by event_type:
+    count + exact decimal sum of ``value``.
+
+    On a stream, ``watermark`` (e.g. "2 hours") lets Spark finalize and
+    evict window state once event-time passes window_end + delay — bounded
+    state, late rows within the delay still merge in.
+    """
+    e = events
+    if watermark and e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    win = F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def hourly_agg_batch(events: DataFrame) -> DataFrame:
+    """date_trunc formulation of the hourly rollup — semantically the
+    tumbling window above (epoch-aligned 1h buckets), expressed so the
+    DuckDB oracle is a verbatim twin."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge
+    into one session (``session_window`` — Spark's built-in stateful session
+    operator; state per open session, evicted by watermark on streams)."""
+    e = events
+    if watermark and e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 60
+):
+    """Drive a streaming aggregation to completion against the finite file
+    source and return the in-memory result table (test harness helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names,
+and exact values (rows sorted by all columns, columns sorted by name) —
+the strictest reading of the driver's value-hash compare.
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(df, float_ndigits=9):
+    """pandas DataFrame → canonical sorted list of tuples."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None:
+                row.append(None)
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    row.append(None)
+                else:
+                    row.append(round(v, float_ndigits))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from maple_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        spark_time = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only, {spark_time:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns spark={scols} duckdb={ocols}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(orows)}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        mismatches = [
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+        ]
+        if mismatches:
+            i, a, b = mismatches[0]
+            print(
+                f"FAIL  {name}: {len(mismatches)}/{len(srows)} rows differ; "
+                f"first at {i}:\n  spark : {a}\n  duckdb: {b}"
+            )
+            n_fail += 1
+            failures.append(name)
+            continue
+        print(f"PASS  {name}: {len(srows)} rows ({spark_time:.1f}s)")
+        n_pass += 1
+
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only"
+        + (f"; failures: {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
