@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+result materialization on the driver, no sink I/O) — the honest measure of
+plan cost.  First a warmup query amortizes JVM/codegen startup so numbers
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: every major engine area — scan/filter, hash agg, distinct
+#: agg, sort-merge join, multi-join TPC-H shapes, window, top-k, dedup
+#: (exact + minhash), similarity, text stats, event rollup.
+HEADLINE = [
+    "flagship_join_topk",
+    "s1_scan_filter",
+    "a2_groupby_q1",
+    "a4_count_distinct",
+    "j3_sort_merge_join",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "w1_window_rank",
+    "o3_topk",
+    "d1_dedup_exact",
+    "d3_minhash_lsh",
+    "sim1_cosine_topk",
+    "t1_text_stats",
+    "st1_hourly_agg",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from maple_spark.session import get_spark
+
+    spark = get_spark(app_name="maple_spark_bench")
+    qs = entrymod.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    qs["s1_scan_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

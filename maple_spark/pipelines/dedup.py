@@ -21,6 +21,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+from maple_spark.pipelines.util import spread as _spread
+
+
 def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """(id, shingle) pairs: distinct k-character shingles per document.
     Character shingles (vs word) are robust to whitespace edits and need no
@@ -29,8 +32,8 @@ def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
         f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k}))"
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -68,6 +71,29 @@ def minhash_signatures(
     )
 
 
+def _minhash_signatures_fast(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 8
+) -> DataFrame:
+    """Signature path without per-row array_distinct: min over duplicate
+    shingles equals min over distinct shingles, so skip the O(len·k)
+    dedup work that only the Jaccard verifier needs."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    sh = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -85,7 +111,7 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    sig = _minhash_signatures_fast(df, id_col, text_col, num_perm, k)
     band_cols = [
         F.xxhash64(
             F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
@@ -212,7 +238,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffle carries 64 longs per doc, not tokens) → bit-pack.
     Near-dups = small Hamming distance between fingerprints.
     """
-    tok = df.select(
+    tok = _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\\s+")).alias("token"),
     ).where(F.length("token") > 0)
@@ -249,7 +275,8 @@ def simhash_near_pairs(
     Hamming ball agrees on ≥1 whole block (pigeonhole), so candidates come
     from equi-joins on block values, never an O(n²) scan."""
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    width = -(-64 // nblocks)  # ceil: blocks must cover all 64 bits or the
+    # pigeonhole guarantee fails for diffs in the uncovered high bits
     sh = simhash(df, id_col, text_col)
     blocks = sh.select(
         F.col(id_col),

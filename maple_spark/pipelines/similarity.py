@@ -68,11 +68,15 @@ def cosine_topk(
     """
     from pyspark.sql.window import Window
 
+    from maple_spark.pipelines.util import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        )
     )
     scored = (
         F.broadcast(q)
@@ -200,7 +204,9 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs (corpus × corpus, id_a < id_b,
     cosine ≥ threshold).  Exact all-pairs formulation for the correctness
     gate; the scale path swaps the crossJoin for the SRP bucket join above."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    from maple_spark.pipelines.util import spread
+
+    a = spread(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from maple_spark.pipelines.util import spread
+
 #: BPE-ish tokenizer: words, numbers, or single non-space symbols.  Kept to
 #: a regex dialect (char classes, alternation, +) that Java and RE2/PCRE
 #: interpret identically so the DuckDB oracle matches.
@@ -24,6 +26,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring feature columns (length / punctuation / stopword
     ratios + token counts) — the usual heuristic filters applied before
     LLM training."""
+    df = spread(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(t, " ")

@@ -19,12 +19,32 @@ def read_events_stream(
     """File-source stream over the events parquet (each file = one
     micro-batch).  In production this binds to Kafka with the same schema;
     everything downstream is unchanged."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
+    import os
+    import tempfile
+
+    from maple_spark.catalog import _nanos_timestamp_cols
+
+    path = f"{sf_dir}/events.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(path)
+    if os.path.isfile(path):
+        # Spark's file stream source requires a *directory* (it tails new
+        # files); expose the single driver-provided file through a temp dir
+        # of symlinks.  A production deployment streams a landing directory
+        # or Kafka — this shim only serves the test fixture layout.
+        d = tempfile.mkdtemp(prefix="maple_events_stream_")
+        os.symlink(path, os.path.join(d, "part-000.parquet"))
+        path = d
+    stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(path)
     )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return stream
 
 
 def windowed_agg(

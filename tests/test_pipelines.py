@@ -1,0 +1,177 @@
+"""Pipeline operator tests: dedup / similarity / text / multimodal.
+
+Synthetic near-duplicate corpora give known ground truth; the driver tables
+(sf0.001) exercise the real schemas.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, rows
+
+
+@pytest.fixture()
+def dup_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field until the evening light fades away"
+    )
+    near = base.replace("quiet", "silent")  # one-word edit → near-dup
+    far = (
+        "completely different content about spark sql engines and columnar "
+        "storage formats with adaptive query execution at scale"
+    )
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark, dup_corpus):
+    from maple_spark.pipelines.dedup import exact_dedup
+
+    got = exact_dedup(dup_corpus, "doc_id", ["text"])
+    assert got.count() == 3  # 1&2 collapse
+    grp = {r["keep_id"]: r["n_copies"] for r in got.collect()}
+    assert grp[1] == 2 and grp[3] == 1 and grp[4] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, dup_corpus):
+    from maple_spark.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            dup_corpus, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # exact dup
+    assert (1, 3) in pairs               # near dup found
+    assert all((4 not in p) for p in pairs)  # far doc never pairs
+
+
+def test_ngram_jaccard_matches_minhash_verified(spark, dup_corpus):
+    from maple_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            dup_corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_simhash_near_pairs(spark, dup_corpus):
+    from maple_spark.pipelines.dedup import simhash, simhash_near_pairs
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(dup_corpus, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]  # identical docs → identical fingerprint
+    # one-word edit shifts 7 bits on this corpus → ball of radius 8 finds it
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_pairs(dup_corpus, "doc_id", "text", max_hamming=8).collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_cosine_topk_exact(spark):
+    from maple_spark.pipelines.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.where(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rk"]) if "rk" in r else r["neighbor_id"]
+        for r in cosine_topk(vecs, q, k=2).orderBy("cosine_r", ascending=False).collect()
+    ]
+    # nearest = 1 (cos≈0.994), then 2 (cos=0)
+    ids = [r["neighbor_id"] for r in cosine_topk(vecs, q, k=2).collect()]
+    assert set(ids) == {1, 2}
+
+
+def test_srp_lsh_buckets_identical_vectors_together(spark):
+    from maple_spark.pipelines.similarity import srp_signature
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sigs = {r["vec_id"]: r["srp_sig"] for r in
+            srp_signature(vecs, "vec_id", "embedding", 8).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]  # antipodal vector flips every plane
+
+
+def test_text_stats_and_langid(spark):
+    from maple_spark.pipelines.textstats import language_id, with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog, in a house!"), (2, "xyzzy plugh abracadabra")],
+        "doc_id long, text string",
+    )
+    st = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert st[1]["n_words"] == 8
+    assert st[1]["punct_ratio"] > 0
+    li = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert li[1] == "en" and li[2] == "other"
+
+
+def test_fingerprint_stability_and_edit_robustness(spark):
+    from maple_spark.pipelines.textstats import fingerprint
+
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, a + "tail-edit")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: (r["fp_md5"], r["fp_rolling"]) for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1][0] != fp[3][0]          # md5 differs on any edit
+    assert fp[1][1] == fp[3][1]          # rolling min-hash survives small tail edit
+
+
+def test_multimodal_stub_features(spark):
+    from maple_spark.pipelines.multimodal import documents_as_media, extract_features
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    feats = {r["media_id"]: r for r in
+             extract_features(documents_as_media(docs)).collect()}
+    assert feats[1]["n_bytes"] == 3 and feats[2]["n_bytes"] == 4
+    assert feats[1]["feat_hash"] == sum(b"abc")
+    assert feats[1]["n_frames"] == (3 % 10) + 1
+
+
+def test_multimodal_real_decode_raises(spark):
+    from maple_spark.pipelines.multimodal import documents_as_media, extract_features
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(documents_as_media(docs), decode_stub=False).collect()
+
+
+def test_encoding_analyzer_mirrors_file_analyzer(spark):
+    """FileAnalyzer parity (storage/FileAnalyzer.java:213-234): sorted
+    low-run column → RLE; low-cardinality unsorted → DICTIONARY; unique
+    unsorted → NONE."""
+    from maple_spark.sources import analyze_encoding
+
+    import random
+
+    rnd = random.Random(42)
+    data = [
+        (i // 100, rnd.choice(["a", "b", "c"]), rnd.randint(0, 10**9))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(data, "sorted_col int, lowcard string, unique_col long")
+    enc = {r["column"]: r["encoding"] for r in analyze_encoding(df).collect()}
+    assert enc["sorted_col"] == "RLE"
+    assert enc["lowcard"] == "DICTIONARY"
+    assert enc["unique_col"] == "NONE"

@@ -1,0 +1,79 @@
+"""Plan-shape tests — the 100 TB questions asked at sf0.001.
+
+Correctness says the answer is right; these say the *plan* is the one that
+survives 1000 executors: filters pushed to Parquet, columns pruned,
+dimensions broadcast, top-k without a global sort, codegen in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from maple_spark.catalog import load_table
+from maple_spark.plans import (
+    explain_str,
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF_DIR, "lineitem").where(F.col("l_quantity") > 45)
+    assert has_pushed_filters(li)
+
+
+def test_column_pruning(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    read = scan_read_schema(li)
+    assert set(read) == {"l_orderkey", "l_quantity"}
+
+
+def test_dim_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    df = e.j2_join_inner(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_flagship_no_global_sort(spark):
+    """row_number-limit over a window plans as WindowGroupLimit partial
+    ranking, not a full global sort of the join output."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.flagship_join_topk(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_q1_whole_stage_codegen(spark):
+    import __spark_entry__ as e
+
+    plan = explain_str(e.a2_groupby_q1(spark, SF_DIR), mode="codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_semi_join_plans_as_semi(spark):
+    import __spark_entry__ as e
+
+    plan = explain_str(e.j7_semi_in_subquery(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_aggregate_is_partial_final(spark):
+    """Hash aggregation must run map-side partials before the exchange
+    (the two-phase plan the reference never implemented, A2/A3)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = explain_str(
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_scalar_subquery_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = explain_str(e.e10_scalar_subquery(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
