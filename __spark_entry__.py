@@ -677,6 +677,90 @@ def j3_sort_merge_join(spark, sf_dir):
     )
 
 
+def s2_column_pruned_scan(spark, sf_dir):
+    """S2 columnar scan with late materialization: a 2-column projection
+    over the 11-column lineitem must read only those Parquet column chunks
+    (ReadSchema assertion in tests/test_plan_shape.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_extendedprice").where(
+        F.col("l_extendedprice") > 90000
+    )
+
+
+def e4_boolean_ops(spark, sf_dir):
+    """E4 n-ary AND/OR/NOT (BooleanOperator.java) with 3VL over derived
+    NULLs: NOT(NULL > x) must not become TRUE."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_price", F.nullif(F.col("o_totalprice"), F.lit(0.0))
+    )
+    cond = (
+        (F.col("o_orderpriority") == "1-URGENT")
+        | (F.col("o_orderpriority") == "2-HIGH")
+    ) & ~(F.col("maybe_price") < 200000) & (F.col("o_orderstatus") != "P")
+    return o.where(cond).select("o_orderkey", "o_orderpriority", "maybe_price")
+
+
+def sql_dialect(spark, sf_dir):
+    """§3 SQL entry point: the same engine surface through spark.sql via
+    the MapleEngine catalog (NanoDBServer.doCommands analog)."""
+    from maple_spark.engine import MapleEngine
+
+    eng = MapleEngine(spark, sf_dir, tables=("orders", "customer"))
+    return eng.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+def udf_normalize(spark, sf_dir):
+    """§2.9 UDF surface: Arrow-vectorized pandas_udf text normalization
+    (FunctionDirectory.addFunction analog, registered for SQL too)."""
+    from maple_spark.functions.udf import normalize_text, register_all
+
+    register_all(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+def json_props(spark, sf_dir):
+    """Extension: JSON extraction from the events.props column (the
+    semi-structured path a real event pipeline needs)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_val"),
+    ).where(F.col("event_id") < 2000)
+
+
+def ck1_constraints(spark, sf_dir):
+    """TableSchema constraint validation (relations/TableSchema.java): PK
+    uniqueness + FK referential integrity as distributed checks, reported
+    as one summary row (0s ⇒ schema holds on the driver data)."""
+    from maple_spark.constraints import fk_violations, pk_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pk_dup = pk_violations(li, ["l_orderkey", "l_linenumber"]).count()
+    fk_orphan = fk_violations(li, ["l_orderkey"], o, ["o_orderkey"]).count()
+    fk_orphan2 = fk_violations(o, ["o_custkey"], c, ["c_custkey"]).count()
+    return spark.createDataFrame(
+        [(pk_dup, fk_orphan, fk_orphan2)],
+        "pk_dup_lineitem bigint, fk_orphan_lineitem bigint, fk_orphan_orders bigint",
+    )
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -734,6 +818,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_media_features": mm1_media_features,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
+        "s2_column_pruned_scan": s2_column_pruned_scan,
+        "e4_boolean_ops": e4_boolean_ops,
+        "sql_dialect": sql_dialect,
+        "udf_normalize": udf_normalize,
+        "json_props": json_props,
+        "ck1_constraints": ck1_constraints,
     }
 
 
@@ -1113,6 +1203,51 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    {dsum("value", "sum_value", 6)}
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "s2_column_pruned_scan": """
+            SELECT l_orderkey, l_extendedprice FROM lineitem
+            WHERE l_extendedprice > 90000
+        """,
+        "e4_boolean_ops": """
+            SELECT o_orderkey, o_orderpriority,
+                   nullif(o_totalprice, 0.0) AS maybe_price
+            FROM orders
+            WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+              AND NOT (nullif(o_totalprice, 0.0) < 200000)
+              AND o_orderstatus <> 'P'
+        """,
+        "sql_dialect": """
+            SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'AUTOMOBILE'
+            GROUP BY o_orderpriority
+        """,
+        "udf_normalize": """
+            SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                     AS norm_text,
+                   length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                     AS norm_len
+            FROM documents
+        """,
+        "json_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events WHERE event_id < 2000
+        """,
+        "ck1_constraints": """
+            SELECT (SELECT COUNT(*) FROM (
+                      SELECT l_orderkey, l_linenumber FROM lineitem
+                      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+                     AS pk_dup_lineitem,
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                     AS fk_orphan_lineitem,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                     AS fk_orphan_orders
         """,
         "st2_sessionize": f"""
             WITH marked AS (

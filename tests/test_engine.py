@@ -1,0 +1,134 @@
+"""Engine facade, DDL/ANALYZE, constraints, and UDF surface tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, rows
+
+
+def test_engine_sql_and_table(spark):
+    from maple_spark.engine import MapleEngine
+
+    eng = MapleEngine(spark, SF_DIR, tables=("region", "nation"))
+    got = eng.sql(
+        "SELECT r_name, COUNT(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert got.count() == 5
+    assert eng.table("region").count() == 5
+
+
+def test_engine_explain_and_analyze(spark):
+    from maple_spark.engine import MapleEngine
+
+    eng = MapleEngine(spark, SF_DIR, tables=("region",))
+    plan = eng.explain("SELECT r_name FROM region WHERE r_regionkey = 1")
+    assert "Scan" in plan
+    eng.analyze("region")  # ANALYZE TABLE path (CBO stats)
+    stats = eng.table_stats("region")
+    assert "statistics" in stats and "rows" in stats["statistics"]
+
+
+def test_ddl_create_drop_view_roundtrip(spark):
+    """CREATE VIEW / DROP (CreateViewCommand is a stub in the reference —
+    we implement the declared surface)."""
+    from maple_spark.catalog import load_table
+
+    load_table(spark, SF_DIR, "region").createOrReplaceTempView("v_region")
+    assert spark.sql("SELECT COUNT(*) FROM v_region").collect()[0][0] == 5
+    spark.catalog.dropTempView("v_region")
+    assert not spark.catalog.tableExists("v_region")
+
+
+def test_pk_fk_constraints_hold_on_driver_data(spark):
+    from maple_spark.catalog import load_table
+    from maple_spark.constraints import (
+        STAR_SCHEMA_CONSTRAINTS,
+        fk_violations,
+        not_null_violations,
+        pk_violations,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    # orders/customer PKs hold on the driver data; lineitem's declared
+    # TPC-H PK does NOT (synthetic duplicates) — the validator must
+    # report violations rather than assume zero.
+    assert pk_violations(o, STAR_SCHEMA_CONSTRAINTS["orders"].primary_key).count() == 0
+    assert pk_violations(c, STAR_SCHEMA_CONSTRAINTS["customer"].primary_key).count() == 0
+    assert pk_violations(li, STAR_SCHEMA_CONSTRAINTS["lineitem"].primary_key).count() > 0
+    assert fk_violations(li, ["l_orderkey"], o, ["o_orderkey"]).count() == 0
+    assert fk_violations(o, ["o_custkey"], c, ["c_custkey"]).count() == 0
+
+
+def test_pk_violation_detected(spark):
+    from maple_spark.constraints import fk_violations, pk_violations
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id int, v string")
+    viol = pk_violations(dup, ["id"]).collect()
+    assert len(viol) == 1 and viol[0]["n_rows"] == 2
+    parent = spark.createDataFrame([(1,)], "id int")
+    orphans = fk_violations(dup, ["id"], parent, ["id"])
+    assert orphans.count() == 1  # id=2 has no parent
+
+
+def test_udf_normalize_and_vec_norm(spark):
+    from maple_spark.functions.udf import normalize_text, register_all, vec_norm
+
+    df = spark.createDataFrame([("  Hello   WORLD  ",)], "t string")
+    assert df.select(normalize_text("t").alias("n")).collect()[0]["n"] == "hello world"
+    register_all(spark)
+    df.createOrReplaceTempView("udf_t")
+    assert (
+        spark.sql("SELECT normalize_text(t) AS n FROM udf_t").collect()[0]["n"]
+        == "hello world"
+    )
+    vecs = spark.createDataFrame([([3.0, 4.0],)], "v array<float>")
+    assert abs(vecs.select(vec_norm("v").alias("n")).collect()[0]["n"] - 5.0) < 1e-9
+
+
+def test_grouped_agg_udaf(spark):
+    from maple_spark.functions.udf import grouped_sum_udaf
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double")
+    got = rows(df.groupBy("g").agg(grouped_sum_udaf("v").alias("s")))
+    assert got == [("a", 3.0), ("b", 5.0)]
+
+
+def test_stateful_user_profile_stream(spark):
+    """applyInPandasWithState custom stateful operator: final state equals
+    the batch groupBy answer."""
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import read_events_stream
+    from maple_spark.streaming.stateful import user_profile_stream
+
+    stream = user_profile_stream(read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    # latest emitted row per user == batch aggregate
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) AS rn FROM user_profiles)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
