@@ -61,7 +61,7 @@ def flagship_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        ranked.withColumn("rn", F.row_number().over(w))
+        ranked.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 100)
         .select("rn", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
@@ -209,8 +209,8 @@ def e13_scalar_funcs(spark, sf_dir):
         mf.SQRT(F.col("p_size").cast("double")).alias("sqrt_v"),
         mf.POW(F.lit(2.0), (F.col("p_size") % 10).cast("double")).alias("pow_v"),
         mf.CONCAT(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("concat_v"),
-        mf.GREATEST(F.col("p_size"), F.lit(25)).alias("greatest_v"),
-        mf.LEAST(F.col("p_size"), F.lit(25)).alias("least_v"),
+        mf.GREATEST(F.col("p_size"), F.lit(25)).cast("bigint").alias("greatest_v"),
+        mf.LEAST(F.col("p_size"), F.lit(25)).cast("bigint").alias("least_v"),
         mf.COALESCE(maybe, F.lit(-1)).alias("coalesce_v"),
         mf.IFNULL(maybe, F.lit(-1)).alias("ifnull_v"),
         maybe.alias("nullif_v"),
@@ -410,8 +410,8 @@ def a9_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             decimal_sum("l_quantity", "sum_qty", 2),
-            F.grouping("l_returnflag").alias("g_flag"),
-            F.grouping("l_linestatus").alias("g_status"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
     )
 
@@ -431,7 +431,7 @@ def o1_sort_rownum(spark, sf_dir):
         F.col("maybe_bal").asc_nulls_first(), F.col("c_custkey").asc()
     )
     return c.select(
-        "c_custkey", "maybe_bal", F.row_number().over(w).alias("rn")
+        "c_custkey", "maybe_bal", F.row_number().over(w).cast("bigint").alias("rn")
     )
 
 
@@ -442,7 +442,7 @@ def o3_topk(spark, sf_dir):
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
         o.select("o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 25)
     )
 
@@ -493,9 +493,9 @@ def w1_window_rank(spark, sf_dir):
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
-        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
         F.lag("o_orderkey", 1).over(w).alias("prev_key"),
         F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -526,7 +526,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
     return (
-        agg.withColumn("rn", F.row_number().over(w))
+        agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 10)
         .select("rn", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
@@ -729,7 +729,7 @@ def udf_normalize(spark, sf_dir):
     return d.select(
         "doc_id",
         normalize_text(F.col("text")).alias("norm_text"),
-        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+        F.length(normalize_text(F.col("text"))).cast("bigint").alias("norm_len"),
     )
 
 
@@ -758,6 +758,43 @@ def ck1_constraints(spark, sf_dir):
     return spark.createDataFrame(
         [(pk_dup, fk_orphan, fk_orphan2)],
         "pk_dup_lineitem bigint, fk_orphan_lineitem bigint, fk_orphan_orders bigint",
+    )
+
+
+def dt1_date_interval(spark, sf_dir):
+    """§1.2 temporal types (DATE/DATETIME/TIMESTAMP + Interval,
+    types/Interval.java): casts, interval arithmetic, field extraction,
+    date difference — all JVM-side Catalyst datetime expressions."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        # DATE kept as ISO string: Spark collects DateType as datetime.date,
+        # DuckDB as Timestamp — same value, different harness repr
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_98"),
+    )
+
+
+def e12_cast_types(spark, sf_dir):
+    """TypeConverter parity (expressions/TypeConverter.java:87-406): value
+    casts across the numeric/string ladder.  double→int is intentionally
+    absent: Spark truncates, ANSI/DuckDB rounds — a genuine semantic
+    difference documented here rather than papered over."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size_d"),
+        F.col("p_size").cast("string").alias("size_s"),
+        F.col("p_size").cast("smallint").alias("size_i16"),
+        F.lit("123").cast("int").alias("str_to_int"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string").alias("price_str"),
+        F.col("p_retailprice").cast("string").cast("double").alias("roundtrip_d"),
     )
 
 
@@ -824,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_normalize": udf_normalize,
         "json_props": json_props,
         "ck1_constraints": ck1_constraints,
+        "dt1_date_interval": dt1_date_interval,
+        "e12_cast_types": e12_cast_types,
     }
 
 
@@ -888,8 +927,8 @@ def oracle_sql() -> dict[str, str]:
         "e13_scalar_funcs": """
             SELECT p_partkey,
                    abs(p_size - 25) AS abs_v,
-                   ceil(p_retailprice / 100.0) AS ceil_v,
-                   floor(p_retailprice / 100.0) AS floor_v,
+                   CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS ceil_v,
+                   CAST(floor(p_retailprice / 100.0) AS BIGINT) AS floor_v,
                    round(p_retailprice * 0.1, 2) AS round_v,
                    sqrt(CAST(p_size AS DOUBLE)) AS sqrt_v,
                    pow(2.0, CAST(p_size % 10 AS DOUBLE)) AS pow_v,
@@ -1248,6 +1287,29 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM orders
                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
                      AS fk_orphan_orders
+        """,
+        "dt1_date_interval": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   o_orderdate + INTERVAL '30 days' AS due_ts,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+                   CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  DATE '1998-01-01') AS BIGINT) AS days_to_98
+            FROM orders WHERE o_orderkey < 3000
+        """,
+        "e12_cast_types": """
+            SELECT p_partkey,
+                   CAST(p_size AS DOUBLE) AS size_d,
+                   CAST(p_size AS VARCHAR) AS size_s,
+                   CAST(p_size AS SMALLINT) AS size_i16,
+                   CAST('123' AS INTEGER) AS str_to_int,
+                   CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR)
+                     AS price_str,
+                   CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE)
+                     AS roundtrip_d
+            FROM part WHERE p_partkey <= 300
         """,
         "st2_sessionize": f"""
             WITH marked AS (

@@ -93,6 +93,13 @@ def main():
             n_fail += 1
             failures.append(name)
             continue
+        dt_mismatch = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in scols
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        ]
+        if dt_mismatch:
+            print(f"DTYPE {name}: {dt_mismatch}")
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(orows)}")
             n_fail += 1

@@ -1,0 +1,64 @@
+"""CSV ingest (S5-S7) round-trip tests on the F5 fixture shape
+(BigDataGen.java: header-less sorted int-pair CSV)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import rows
+
+
+def test_csv_to_parquet_roundtrip(spark, tmp_warehouse):
+    from maple_spark.sources import csv_to_parquet
+
+    csv_path = f"{tmp_warehouse}/vv.csv"
+    with open(csv_path, "w") as f:
+        for i in range(1000):
+            f.write(f"{i},{i}\n")
+    out = csv_to_parquet(
+        spark,
+        csv_path,
+        f"{tmp_warehouse}/vv_parquet",
+        schema="a int, b int",
+    )
+    assert out.count() == 1000
+    assert out.schema.simpleString() == "struct<a:int,b:int>"
+    assert out.agg(F.sum("a")).collect()[0][0] == 499500
+
+
+def test_csv_to_parquet_sorted_layout(spark, tmp_warehouse):
+    """sort_by gives range-partitioned files → tight parquet min/max stats
+    (the analyze-then-encode write path of the reference column store)."""
+    from maple_spark.sources import csv_to_parquet
+
+    csv_path = f"{tmp_warehouse}/shuffled.csv"
+    import random
+
+    rnd = random.Random(42)
+    vals = list(range(2000))
+    rnd.shuffle(vals)
+    with open(csv_path, "w") as f:
+        for v in vals:
+            f.write(f"{v},{v % 7}\n")
+    out = csv_to_parquet(
+        spark,
+        csv_path,
+        f"{tmp_warehouse}/sorted_parquet",
+        schema="k int, g int",
+        sort_by=["k"],
+        partitions=4,
+    )
+    assert out.count() == 2000
+    # key-range pruning works: a narrow filter reads a subset of files
+    import pyarrow.dataset as ds
+
+    frags = list(ds.dataset(f"{tmp_warehouse}/sorted_parquet", format="parquet").get_fragments())
+    assert len(frags) == 4
+    mins = []
+    for fr in frags:
+        md = fr.metadata.row_group(0).column(0).statistics
+        mins.append((md.min, md.max))
+    spans = sorted(mins)
+    # ranges are disjoint (sorted layout), so min/max stats can prune
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
