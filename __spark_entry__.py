@@ -761,6 +761,30 @@ def ck1_constraints(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-filter-aggregate — the pure pushdown +
+    vectorized-scan benchmark (every predicate reaches the Parquet
+    reader; no shuffle beyond the final 1-row agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def dt1_date_interval(spark, sf_dir):
     """§1.2 temporal types (DATE/DATETIME/TIMESTAMP + Interval,
     types/Interval.java): casts, interval arithmetic, field extraction,
@@ -863,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ck1_constraints": ck1_constraints,
         "dt1_date_interval": dt1_date_interval,
         "e12_cast_types": e12_cast_types,
+        "q6_forecast_revenue": q6_forecast_revenue,
     }
 
 
@@ -1287,6 +1312,17 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM orders
                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
                      AS fk_orphan_orders
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "dt1_date_interval": """
             SELECT o_orderkey,

@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_join_topk",
     "s1_scan_filter",
+    "q6_forecast_revenue",
     "a2_groupby_q1",
     "a4_count_distinct",
     "j3_sort_merge_join",

@@ -128,19 +128,26 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a, b = stacked.alias("a"), stacked.alias("b")
+    # Candidates via groupBy-bucket + in-bucket pair expansion rather than a
+    # self-join: the signature pipeline runs ONCE (a self-join would execute
+    # its whole lineage twice), and the only shuffle carries (band, bucket,
+    # id).  Near-dup buckets are small by construction, so the local pair
+    # expansion is cheap; a pathological mega-bucket (all-identical corpus)
+    # would be handled upstream by exact dedup first.
     candidates = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
+        stacked.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return verify_jaccard(
