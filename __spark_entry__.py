@@ -639,6 +639,14 @@ def sim3_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(e, q, k=5, num_planes=8)
 
 
+def sim4_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + probe-and-rerank (rows-only:
+    cell assignment depends on MLlib k-means internals)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3)
+
+
 def mm1_media_features(spark, sf_dir):
     """Multimodal plumbing: binary content column + mapInPandas feature
     extraction (decode stubbed deterministically — container has no codecs).
@@ -761,6 +769,116 @@ def ck1_constraints(spark, sf_dir):
     )
 
 
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + CASE-WHEN conditional aggregation (the
+    pivot-style pattern; both branches computed in one pass)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi).cast("bigint").alias("high_line_count"),
+            F.sum(1 - hi).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue ratio (CASE inside SUM over a
+    join; single aggregate, no second pass)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1996-09-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: semi-join against a GROUP BY ... HAVING subquery
+    (the decorrelated IN-aggregate pattern the reference stubs, E8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big_orders, o["o_orderkey"] == big_orders["l_orderkey"], "left_semi")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q19_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate over a join — exercises
+    disjunction pushdown/CNF handling in the optimizer."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_size") > 40) & (F.col("l_quantity") > 40))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def a9_cube(spark, sf_dir):
+    """A9 extension: CUBE over two dims with grouping_id level tags."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("o_totalprice", "sum_price", 2),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+def a10_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (median/p90) per group — the reference
+    has no percentile support; this is the ANSI percentile_cont surface.
+    Exact (not approx) so the DuckDB quantile_cont oracle matches."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+        F.min("o_totalprice").alias("p0"),
+        F.max("o_totalprice").alias("p100"),
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: tight scan-filter-aggregate — the pure pushdown +
     vectorized-scan benchmark (every predicate reaches the Parquet
@@ -876,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim1_cosine_topk": sim1_cosine_topk,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
+        "sim4_ivf_topk": sim4_ivf_topk,
         "mm1_media_features": mm1_media_features,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
@@ -888,6 +1007,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt1_date_interval": dt1_date_interval,
         "e12_cast_types": e12_cast_types,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+        "a9_cube": a9_cube,
+        "a10_percentiles": a10_percentiles,
     }
 
 
@@ -1312,6 +1437,62 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM orders
                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
                      AS fk_orphan_orders
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q14_promo_effect": """
+            SELECT 100.0 *
+                   CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                        CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1996-09-01'
+        """,
+        "q18_large_volume_customer": """
+            SELECT c_name, c_custkey, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        """,
+        "q19_disjunctive_pushdown": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+               OR (p_size > 40 AND l_quantity > 40)
+        """,
+        "a9_cube": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {dsum("o_totalprice", "sum_price")},
+                   CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                        AS BIGINT) AS gid
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "a10_percentiles": """
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   MIN(o_totalprice) AS p0,
+                   MAX(o_totalprice) AS p100
+            FROM orders GROUP BY o_orderpriority
         """,
         "q6_forecast_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -65,6 +65,43 @@ def overwrite_table(df: DataFrame, target_path: str) -> None:
     df.write.mode("overwrite").parquet(target_path)
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE/upsert as a pure transformation (the lakehouse MERGE INTO
+    semantics on plain Parquet): matched target rows take the source's
+    values for ``update_cols`` (default: all non-key columns); unmatched
+    source rows are inserted; other target rows pass through.
+
+    Implemented as full-outer join on the key + coalesce — one shuffle on
+    the key for each side, no driver round-trips.  On Delta/Iceberg this
+    maps 1:1 to ``MERGE INTO`` with file-level pruning.
+    """
+    from pyspark.sql import functions as F
+
+    cols = target.columns
+    update_cols = update_cols or [c for c in cols if c not in key]
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in key:
+        term = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = term if cond is None else cond & term
+    joined = t.join(s, on=cond, how="full_outer")
+    out_cols = []
+    for c in cols:
+        if c in key:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        elif c in update_cols and c in source.columns:
+            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
 def compact(spark: SparkSession, path: str, target_partitions: int) -> DataFrame:
     """OPTIMIZE equivalent (``commands/OptimizeCommand.java:63``): coalesce
     a fragmented table directory into ``target_partitions`` files."""

@@ -195,6 +195,93 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer assigns each
+    corpus vector to a cell; queries probe their ``n_probe`` nearest
+    centroids and re-rank exactly within those cells.
+
+    Scale shape: training samples the corpus (KMeans on a bounded sample),
+    assignment is one map-only pass, and the search join touches
+    ~n_probe/n_cells of the corpus per query.  Centroids are tiny and
+    broadcast.  Recall rises with n_probe (n_probe = n_cells ⇒ exact).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    from maple_spark.pipelines.util import spread
+
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        )
+    ).withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c.select("features"))
+    assigned = model.transform(c).select("neighbor_id", "embedding", "cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("__cents", cent_lit)
+    # distance query→each centroid, take n_probe nearest cells
+    dists = F.transform(
+        F.col("__cents"),
+        lambda ctr, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    ctr,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            i.alias("cell"),
+        ),
+    )
+    probed = q.select(
+        "query_id",
+        "qvec",
+        F.explode(F.slice(F.array_sort(dists), 1, n_probe)).alias("pc"),
+    ).select("query_id", "qvec", F.col("pc.cell").alias("cell"))
+
+    cand = (
+        F.broadcast(probed)
+        .join(assigned, on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("embedding"))
+            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine_r"),
+        )
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,
