@@ -72,6 +72,21 @@ def test_aggregate_is_partial_final(spark):
     assert "Exchange" in plan
 
 
+def test_q5_fact_table_never_shuffles_before_agg(spark):
+    """Q5's 6-table join should stream lineitem through broadcast joins —
+    at this scale ratio the only Exchange is the final group-by (at 100 TB
+    AQE would flip orders to SMJ; dims stay broadcast either way)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.q5_local_supplier(spark, SF_DIR), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1  # only the final aggregation exchange
+
+
 def test_scalar_subquery_broadcasts(spark):
     import __spark_entry__ as e
 

@@ -1,0 +1,97 @@
+"""Property-based cross-engine fuzzing: random filter/project/agg plans
+must agree between Spark and DuckDB.
+
+A lightweight sqllogictest-style randomized layer on top of the fixed
+oracle suite: hypothesis generates predicate trees over the `part` table;
+both engines evaluate the same SQL; counts and key-sums must match.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from conftest import SF_DIR
+
+NUM_COLS = ["p_partkey", "p_size", "p_retailprice"]
+STR_COLS = ["p_brand", "p_type", "p_name"]
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from maple_spark.catalog import load_table
+
+    df = load_table(spark, SF_DIR, "part")
+    df.createOrReplaceTempView("fuzz_part")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW fuzz_part AS SELECT * FROM read_parquet('{SF_DIR}/part.parquet')"
+    )
+    return spark, con
+
+
+num_pred = st.builds(
+    lambda c, op, v: f"({c} {op} {v})",
+    st.sampled_from(NUM_COLS),
+    st.sampled_from(OPS),
+    st.integers(min_value=-10, max_value=2500),
+)
+str_pred = st.builds(
+    lambda c, v: f"({c} LIKE '%{v}%')",
+    st.sampled_from(STR_COLS),
+    st.sampled_from(["a", "e", "Brand#1", "STEEL", "zz", "PROMO"]),
+)
+leaf = st.one_of(num_pred, str_pred)
+
+
+def combine(a, b, how):
+    return f"({a} {how} {b})"
+
+
+predicate = st.recursive(
+    leaf,
+    lambda children: st.builds(
+        combine, children, children, st.sampled_from(["AND", "OR"])
+    ),
+    max_leaves=4,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate)
+def test_random_filters_agree(engines, pred):
+    spark, con = engines
+    sql = (
+        "SELECT COUNT(*) AS n, "
+        "CAST(SUM(CAST(p_partkey AS BIGINT)) AS BIGINT) AS s "
+        f"FROM fuzz_part WHERE {pred}"
+    )
+    srow = spark.sql(sql).collect()[0]
+    orow = con.execute(sql).fetchone()
+    assert (srow["n"], srow["s"]) == (orow[0], orow[1]), pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    group=st.sampled_from(["p_brand", "p_size", "p_type"]),
+    pred=predicate,
+)
+def test_random_groupby_agree(engines, group, pred):
+    spark, con = engines
+    sql = (
+        f"SELECT {group} AS g, COUNT(*) AS n, MIN(p_partkey) AS mn, "
+        f"MAX(p_partkey) AS mx FROM fuzz_part WHERE {pred} GROUP BY {group}"
+    )
+    srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+    orows = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert srows == orows, pred
