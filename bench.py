@@ -52,11 +52,17 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["s1_scan_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # min of 2 runs: the first run pays one-time plan compilation + codegen
+    # for that query shape; the second measures steady-state execution —
+    # the number that scales with data volume.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,91 @@
+"""SQL-dialect compatibility: the ANSI oracle queries also run through
+Spark SQL (MapleEngine catalog) and produce the same result as the
+DataFrame builders.
+
+This is the §3 lifecycle claim made executable: the engine's surface is
+reachable both programmatically (DataFrame) and through SQL text.  Queries
+using DuckDB-only functions (list_filter, string_split, strftime,
+quantile_cont, json_extract_string, generate_series) are excluded — their
+Spark SQL spellings differ, and the DataFrame builder is the primary
+surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from conftest import SF_MED
+
+#: oracle_sql entries that are engine-portable ANSI SQL
+PORTABLE = [
+    "s1_scan_filter",
+    "s2_column_pruned_scan",
+    "p1_project_expr",
+    "p4_rename",
+    "e1_arithmetic",
+    "e3_null_compare",
+    "e5_between",
+    "e6_like",
+    "e8_in_list",
+    "e11_is_null",
+    "j2_join_inner",
+    "j4_join_left",
+    "j4_join_right",
+    "j4_join_full",
+    "j5_using_join",
+    "j6_cross_join",
+    "j7_semi_in_subquery",
+    "j7_anti_not_exists",
+    "e10_scalar_subquery",
+    "a2_groupby_q1",
+    "a4_count_distinct",
+    "a7_having",
+    "a8_distinct",
+    "o3_topk",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q18_large_volume_customer",
+    "q19_disjunctive_pushdown",
+    "d1_dedup_exact",
+    "t4_fingerprint",
+    "sql_dialect",
+]
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.select(*cols).collect():
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                row.append(None if math.isnan(v) else round(v, 9))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sql_env(spark):
+    from maple_spark.catalog import register_views
+
+    register_views(spark, SF_MED)
+    return spark
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_oracle_sql_runs_on_spark(sql_env, name):
+    import __spark_entry__ as e
+
+    spark = sql_env
+    df_result = _norm(e.queries()[name](spark, SF_MED))
+    sql_result = _norm(spark.sql(e.oracle_sql()[name]))
+    assert df_result == sql_result
