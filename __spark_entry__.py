@@ -24,11 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from maple_spark.catalog import load_table, register_views
+from maple_spark.catalog import load_table
 from maple_spark.operators.aggregate import decimal_avg, decimal_sum, group_aggregate
 from maple_spark.operators.joins import join as mjoin
 from maple_spark.operators import subquery as sq
-from maple_spark.operators.sort import order_by, top_k
 from maple_spark.pipelines import dedup, similarity, textstats, multimodal
 from maple_spark.streaming.events import hourly_agg_batch, sessionize
 

@@ -74,21 +74,25 @@ def minhash_signatures(
 def _minhash_signatures_fast(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 8
 ) -> DataFrame:
-    """Signature path without per-row array_distinct: min over duplicate
-    shingles equals min over distinct shingles, so skip the O(len·k)
-    dedup work that only the Jaccard verifier needs."""
+    """Shuffle-free signature path: each sig[i] is computed row-locally as
+    ``array_min(transform(shingles, s -> xxhash64(i, s)))`` — no explode,
+    no groupBy, no exchange at all (vs the didactic explode+min-agg
+    formulation in :func:`minhash_signatures`).  Min over duplicate
+    shingles equals min over distinct shingles, so no dedup either.
+    At 100 TB this keeps signature generation a pure map stage whose cost
+    is exactly the hash arithmetic."""
     shingles = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k}))"
     )
-    sh = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(shingles).alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+    base = _spread(df.select(id_col, text_col)).withColumn("__sh", shingles)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = base.select(F.col(id_col), *sig_cols)
     return sig.select(
         F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
     )

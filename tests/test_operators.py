@@ -207,6 +207,25 @@ def test_update_delete_roundtrip(spark, tmp_warehouse):
     ]
 
 
+def test_insert_select_and_compact(spark, tmp_warehouse):
+    """INSERT..SELECT (S10) + OPTIMIZE/compact (§2.11): fragmented table
+    directory coalesced to the target file count."""
+    from maple_spark.operators.dml import compact, insert_select
+
+    path = f"{tmp_warehouse}/frag"
+    base = spark.range(100).withColumnRenamed("id", "v")
+    for _ in range(4):  # 4 appends → many small files
+        insert_select(base.repartition(4), path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) >= 16
+    compacted = compact(spark, path, target_partitions=2)
+    assert compacted.count() == 400
+    out = f"{tmp_warehouse}/compacted"
+    compacted.write.parquet(out)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 2
+
+
 # --- scalar functions (FunctionDirectory parity) --------------------------
 
 def test_scalar_function_directory(spark):
