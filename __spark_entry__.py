@@ -939,6 +939,42 @@ def e12_cast_types(spark, sf_dir):
     )
 
 
+def dml_update_where(spark, sf_dir):
+    """UPDATE ... SET ... WHERE as its pure read-transform (the rewrite
+    half of commands/UpdateCommand.java; persistence tested in pytest).
+    SQL-expressible as CASE WHEN, so oracle-gated."""
+    from maple_spark.operators.dml import update_where
+
+    o = _t(spark, sf_dir, "orders")
+    updated = update_where(
+        o,
+        F.col("o_orderpriority") == "1-URGENT",
+        # exact decimal product then round: double `x*1.1` lands on
+        # half-cent ties that engines round differently
+        {
+            "o_totalprice": F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(2,1)"),
+                2,
+            ).cast("double")
+        },
+    )
+    return updated.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+def dml_delete_where(spark, sf_dir):
+    """DELETE ... WHERE as its pure read-transform (keep complement,
+    NULL-safe: rows where the predicate is NULL are kept, matching
+    SQL DELETE semantics)."""
+    from maple_spark.operators.dml import delete_where
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_price", F.nullif(F.col("o_totalprice"), F.lit(0.0))
+    )
+    kept = delete_where(o, F.col("maybe_price") > 300000)
+    return kept.select("o_orderkey", "o_totalprice")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1006,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt1_date_interval": dt1_date_interval,
         "e12_cast_types": e12_cast_types,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "dml_update_where": dml_update_where,
+        "dml_delete_where": dml_delete_where,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q14_promo_effect": q14_promo_effect,
         "q18_large_volume_customer": q18_large_volume_customer,
@@ -1436,6 +1474,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM orders
                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
                      AS fk_orphan_orders
+        """,
+        "dml_update_where": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) *
+                                  CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        """,
+        "dml_delete_where": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE NOT (nullif(o_totalprice, 0.0) > 300000)
+               OR (nullif(o_totalprice, 0.0) > 300000) IS NULL
         """,
         "q12_shipmode_priority": """
             SELECT l_linestatus,
