@@ -32,10 +32,19 @@ def read_events_stream(
     if os.path.isfile(path):
         # Spark's file stream source requires a *directory* (it tails new
         # files); expose the single driver-provided file through a temp dir
-        # of symlinks.  A production deployment streams a landing directory
-        # or Kafka — this shim only serves the test fixture layout.
-        d = tempfile.mkdtemp(prefix="maple_events_stream_")
-        os.symlink(path, os.path.join(d, "part-000.parquet"))
+        # of symlinks.  The dir name is DETERMINISTIC per source path:
+        # checkpoints record the source location, so a restart must resolve
+        # to the same directory or recovery fails.  A production deployment
+        # streams a landing directory or Kafka — this shim only serves the
+        # test fixture layout.
+        import hashlib
+
+        tag = hashlib.md5(path.encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"maple_events_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "part-000.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
         path = d
     stream = (
         spark.readStream.schema(batch.schema)
@@ -117,6 +126,33 @@ def sessionize(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (periodically refreshed) dimension snapshot — the standard pattern for
+    attaching user/account attributes to an event stream.  The static side
+    is broadcast per micro-batch; no stream state is required, so this
+    scales with the dimension size only."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(user_dim), on="user_id", how="left")
+
+
+def stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str
+):
+    """File sink with exactly-once semantics via the checkpoint +
+    write-ahead commit log (the production landing-zone writer; the
+    reference's TupleSender/console sinks map to format('console'))."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -26,6 +26,28 @@ def test_csv_to_parquet_roundtrip(spark, tmp_warehouse):
     assert out.agg(F.sum("a")).collect()[0][0] == 499500
 
 
+def test_partitioned_write_prunes(spark, tmp_warehouse):
+    """Hive-style partitioned layout (the 100 TB directory convention):
+    a filter on the partition column prunes at planning time — the scan
+    reads only matching directories (PartitionFilters in the plan)."""
+    from maple_spark.catalog import load_table
+    from maple_spark.plans import explain_str
+    from conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = f"{tmp_warehouse}/events_by_day"
+    events.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    one_day = spark.read.parquet(out).where(F.col("day") == "2024-01-02")
+    plan = explain_str(one_day)
+    assert "PartitionFilters" in plan and "day" in plan
+    # pruned read returns exactly that day's rows
+    want = events.where(F.col("day") == "2024-01-02").count()
+    assert one_day.count() == want > 0
+
+
 def test_csv_to_parquet_sorted_layout(spark, tmp_warehouse):
     """sort_by gives range-partitioned files → tight parquet min/max stats
     (the analyze-then-encode write path of the reference column store)."""

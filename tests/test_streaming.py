@@ -39,6 +39,61 @@ def test_sessionize_batch_shape(spark):
     assert out.where(F.col("n_events") < 1).count() == 0
 
 
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join: streamed events enriched with a per-user dim;
+    result equals the batch join."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import enrich_stream, read_events_stream
+
+    batch_events = load_table(spark, SF_DIR, "events")
+    user_dim = (
+        batch_events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    stream = enrich_stream(
+        read_events_stream(spark, SF_DIR), user_dim
+    ).select("event_id", "user_id", "first_seen")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = rows(spark.sql("SELECT * FROM enriched"))
+    want = rows(
+        enrich_stream(batch_events, user_dim).select(
+            "event_id", "user_id", "first_seen"
+        )
+    )
+    assert got == want
+
+
+def test_stream_parquet_sink_exactly_once(spark, tmp_path_factory):
+    """File sink: all source rows land exactly once in the output dir."""
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import read_events_stream, stream_to_parquet
+
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    q = stream_to_parquet(
+        read_events_stream(spark, SF_DIR).select("event_id", "event_type"),
+        out,
+        ckpt,
+        "sink_test",
+    )
+    q.awaitTermination(120)
+    q.stop()
+    written = spark.read.parquet(out)
+    src = load_table(spark, SF_DIR, "events")
+    assert written.count() == src.count()
+    assert written.select("event_id").distinct().count() == src.count()
+
+
 def test_sliding_window(spark):
     from maple_spark.catalog import load_table
     from maple_spark.streaming.events import windowed_agg
