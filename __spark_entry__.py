@@ -656,6 +656,21 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def mm2_frame_stats(spark, sf_dir):
+    """Frame sampling (row-expanding mapInPandas): per-frame stats are
+    deterministic functions of the content bytes, so the fan-out logic
+    itself is oracle-checked (frame bytes stay binary-internal)."""
+    from maple_spark.pipelines import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.documents_as_media(d), every_nth=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+    )
+
+
 def st1_hourly_agg(spark, sf_dir):
     """Streaming-shaped tumbling rollup in its batch binding (same logical
     plan as the readStream path — see maple_spark.streaming.events)."""
@@ -1031,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim3_lsh_topk": sim3_lsh_topk,
         "sim4_ivf_topk": sim4_ivf_topk,
         "mm1_media_features": mm1_media_features,
+        "mm2_frame_stats": mm2_frame_stats,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,
@@ -1423,6 +1439,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
             FROM documents
+        """,
+        "mm2_frame_stats": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text)) AS blen,
+                     octet_length(encode(text)) % 10 + 1 AS nf
+              FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+                   CAST(greatest(0, least(16, blen - (fi * 7) % blen))
+                        AS BIGINT) AS frame_len
+            FROM m, unnest(generate_series(0, nf - 1, 2)) AS t(fi)
         """,
         "st1_hourly_agg": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,

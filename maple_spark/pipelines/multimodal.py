@@ -118,6 +118,54 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_nth: int = 2, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling for video rows: one input row → k output rows, done
+    inside the same ``mapInPandas`` pass so raw video bytes are never
+    duplicated through a shuffle (the row expansion happens post-decode,
+    emitting only the sampled frames).
+
+    The stub derives deterministic per-frame bytes (slices of the content)
+    with the same fan-out arithmetic a real decoder would have; the real
+    kernel replaces the slice with ``av.open(...)`` frame extraction.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for _, row in pdf.iterrows():
+                if row["modality"] != "video":
+                    continue
+                content = row["content"] or b""
+                if not decode_stub:
+                    raise NotImplementedError("video codecs not available")
+                n_frames = (len(content) % 10) + 1
+                for fi in range(0, n_frames, every_nth):
+                    lo = (fi * 7) % max(len(content), 1)
+                    out_ids.append(row["media_id"])
+                    out_idx.append(fi)
+                    out_bytes.append(bytes(content[lo : lo + 16]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_bytes, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize stage (stub): real kernel would decode → resize →
     re-encode inside the same mapInPandas pass.  The stub records the target

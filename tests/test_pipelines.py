@@ -149,6 +149,23 @@ def test_multimodal_stub_features(spark):
     assert feats[1]["n_frames"] == (3 % 10) + 1
 
 
+def test_multimodal_frame_sampling(spark):
+    """Row expansion inside the Arrow batch: video rows fan out to sampled
+    frames; image/audio rows produce none."""
+    from maple_spark.pipelines.multimodal import documents_as_media, sample_frames
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (20 + i)) for i in range(1, 7)], "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+    frames = sample_frames(media, every_nth=2).collect()
+    video_ids = {r["media_id"] for r in media.where("modality = 'video'").collect()}
+    assert {r["media_id"] for r in frames} == video_ids
+    for r in frames:
+        assert r["frame_idx"] % 2 == 0
+        assert isinstance(r["frame_bytes"], (bytes, bytearray))
+
+
 def test_multimodal_real_decode_raises(spark):
     from maple_spark.pipelines.multimodal import documents_as_media, extract_features
 
