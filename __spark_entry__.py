@@ -656,6 +656,25 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def hh1_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter detection: top-5 most frequent (event_type, user_id)
+    pairs per event_type — groupBy + per-group partial top-k (the exact
+    formulation; at extreme cardinality switch to count-min sketch /
+    ``DataFrame.freqItems``, the documented approximate path)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "user_id", "n", "rk")
+    )
+
+
 def mm2_frame_stats(spark, sf_dir):
     """Frame sampling (row-expanding mapInPandas): per-frame stats are
     deterministic functions of the content bytes, so the fan-out logic
@@ -1047,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim4_ivf_topk": sim4_ivf_topk,
         "mm1_media_features": mm1_media_features,
         "mm2_frame_stats": mm2_frame_stats,
+        "hh1_heavy_hitters": hh1_heavy_hitters,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,
@@ -1439,6 +1459,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
             FROM documents
+        """,
+        "hh1_heavy_hitters": """
+            SELECT event_type, user_id, n, rk FROM (
+              SELECT event_type, user_id, n,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY n DESC, user_id ASC) AS rk
+              FROM (SELECT event_type, user_id, COUNT(*) AS n
+                    FROM events GROUP BY event_type, user_id)
+            ) WHERE rk <= 5
         """,
         "mm2_frame_stats": """
             WITH m AS (

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from maple_spark.catalog import TABLES, load_table, register_views
+from maple_spark.catalog import TABLES, register_views
 
 
 class MapleEngine:

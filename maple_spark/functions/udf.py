@@ -18,12 +18,12 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def normalize_text(s: pd.Series) -> pd.Series:
     """Vectorized scalar UDF: lowercase, trim, collapse whitespace — the
     canonical text-normalization step before dedup/fingerprinting.
@@ -31,7 +31,7 @@ def normalize_text(s: pd.Series) -> pd.Series:
     return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def vec_norm(v: pd.Series) -> pd.Series:
     """Vectorized UDF over array<float>: L2 norm via NumPy per batch.
     Demonstrates the numeric-kernel shape (embedding ops) where NumPy
@@ -67,7 +67,7 @@ class RunningSumAggregate:
         return self._sum
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def grouped_sum_udaf(v: pd.Series) -> float:  # GROUPED_AGG pandas UDF
     """UDAF example (SUM reimplementation — use F.sum in real code)."""
     return float(v.sum()) if len(v) else None

@@ -8,7 +8,7 @@ aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from maple_spark.pipelines.util import spread
