@@ -656,6 +656,19 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def enc1_encoding_report(spark, sf_dir):
+    """FileAnalyzer parity (storage/FileAnalyzer.java:48-238): per-column
+    cardinality/run/sortedness report + encoding choice over lineitem's
+    layout-sensitive columns.  Rows-only: uses approx_count_distinct and
+    physical row order."""
+    from maple_spark.sources import analyze_encoding
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    return analyze_encoding(li)
+
+
 def hh1_heavy_hitters(spark, sf_dir):
     """Heavy-hitter detection: top-5 most frequent (event_type, user_id)
     pairs per event_type — groupBy + per-group partial top-k (the exact
@@ -1067,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_media_features": mm1_media_features,
         "mm2_frame_stats": mm2_frame_stats,
         "hh1_heavy_hitters": hh1_heavy_hitters,
+        "enc1_encoding_report": enc1_encoding_report,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,

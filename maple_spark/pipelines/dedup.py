@@ -168,9 +168,16 @@ def verify_jaccard(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact Jaccard over k-shingle sets for given (id_a, id_b) pairs.
-    Joins shingle sets through the pair list only — cost scales with the
-    candidate count, not n²."""
-    sh = shingle(docs, id_col, text_col, k)
+    Only documents that appear in a candidate pair are shingled (left-semi
+    prefilter) — at corpus scale the verifier touches O(candidate docs),
+    not the whole corpus, and cost follows the candidate count, not n²."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, on=id_col, how="left_semi")
+    sh = shingle(cand_docs, id_col, text_col, k)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # Join the two shingle streams through the pair table on (pair, shingle):
     # cost follows the candidate list, not the corpus squared.
