@@ -656,6 +656,45 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def aj1_asof_join(spark, sf_dir):
+    """As-of join (absent from the reference, J8): each click event gets
+    the same user's most recent prior-or-simultaneous purchase.  Custom
+    operator via union+window carry — one shuffle, no range explosion."""
+    from maple_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = as_of_join(
+        clicks, purchases, key="user_id", left_time="ts", right_time="ts",
+        payload_cols=["purchase_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_value")
+
+
+def rj1_range_join(spark, sf_dir):
+    """Range/band join (absent from the reference, J8): customers bucketed
+    into balance tiers via a broadcast non-equi join."""
+    from maple_spark.operators.asof import range_join
+
+    c = _t(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [
+            ("negative", -100000.0, 0.0),
+            ("low", 0.0, 3000.0),
+            ("mid", 3000.0, 7000.0),
+            ("high", 7000.0, 100000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    out = range_join(c, bands, "c_acctbal")
+    return out.select("c_custkey", "c_acctbal", "tier")
+
+
 def enc1_encoding_report(spark, sf_dir):
     """FileAnalyzer parity (storage/FileAnalyzer.java:48-238): per-column
     cardinality/run/sortedness report + encoding choice over lineitem's
@@ -1081,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_stats": mm2_frame_stats,
         "hh1_heavy_hitters": hh1_heavy_hitters,
         "enc1_encoding_report": enc1_encoding_report,
+        "aj1_asof_join": aj1_asof_join,
+        "rj1_range_join": rj1_range_join,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,
@@ -1473,6 +1514,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
             FROM documents
+        """,
+        "aj1_asof_join": """
+            SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value AS purchase_value FROM events
+                  WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "rj1_range_join": """
+            SELECT c_custkey, c_acctbal, tier
+            FROM customer LEFT JOIN (
+              VALUES ('negative', -100000.0, 0.0),
+                     ('low', 0.0, 3000.0),
+                     ('mid', 3000.0, 7000.0),
+                     ('high', 7000.0, 100000.0)) AS bands(tier, lo, hi)
+              ON c_acctbal >= lo AND c_acctbal < hi
         """,
         "hh1_heavy_hitters": """
             SELECT event_type, user_id, n, rk FROM (

@@ -1,0 +1,120 @@
+"""As-of (point-in-time) join — a custom operator the reference lacks
+(SURVEY.md §2.3 J8: as-of/range/interval joins absent).
+
+For each left row, attach the most recent right row with the same key and
+``right.time <= left.time`` — the temporal-join primitive of market-data /
+event-attribution systems (kdb's ``aj``, DuckDB's ``ASOF JOIN``, Flink's
+temporal join).
+
+Spark-first implementation — the union-and-carry formulation:
+
+1. tag both inputs and union them (schema-aligned, right payload nulled on
+   left rows);
+2. one shuffle: window partitioned by key, ordered by (time, side-tag);
+3. ``last(payload, ignorenulls=True)`` carries the latest right payload
+   forward onto each left row;
+4. filter back to left rows.
+
+Cost at 100 TB: exactly one hash-partition shuffle of (left + right) and a
+per-key sort — the same shape as a sort-merge join, with no range
+explosion (a naive ``left.t >= right.t`` join is a triangle join that
+blows up quadratically per key).  Skewed keys: AQE splits; ties broken by
+ordering the right side before the left at equal timestamps (right row at
+exactly left.time matches, per ASOF convention).
+
+There is also ``range_join`` for static banding (value BETWEEN lo AND hi
+against a small bands table — broadcast nested loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with the same
+    ``key`` and ``right_time <= left_time`` (NULLs if none).
+
+    ``payload_cols``: right columns to attach (default: all except key and
+    time).  ``tolerance``: optional max staleness (e.g. "30 minutes") —
+    right rows older than ``left_time - tolerance`` do not match, which
+    also bounds carried state on unbounded/streaming-shaped data.
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (key, right_time)
+    ]
+
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.col(right_time).alias("__rt"),
+    )
+    # right rows sort before left rows at equal (key, time): a right row at
+    # exactly left_time is visible to that left row (ASOF convention)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in payload_cols
+        ],
+        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"),
+    )
+    out = carried.where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        fresh = F.col("__c_rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            "*",
+            *[
+                F.when(fresh, F.col(f"__c_{c}")).alias(f"__f_{c}")
+                for c in payload_cols
+            ],
+        )
+        picked = [F.col(f"__f_{c}").alias(c) for c in payload_cols]
+    else:
+        picked = [F.col(f"__c_{c}").alias(c) for c in payload_cols]
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *picked
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band/range join: fact rows matched to the band whose
+    [lo, hi) interval contains ``value_col``.  ``bands`` must be small
+    (broadcast): the plan is a BroadcastNestedLoopJoin, which is the right
+    physical choice for non-equi conditions against a small build side.
+    For large band tables, bucketize the value instead (equi-join on
+    floor(value/width))."""
+    cond = (fact[value_col] >= bands[lo_col]) & (fact[value_col] < bands[hi_col])
+    return fact.join(F.broadcast(bands), on=cond, how="left")

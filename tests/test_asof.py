@@ -1,0 +1,124 @@
+"""As-of / range join operator tests (hand-computed fixtures)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from conftest import rows
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:00")),
+            (2, 100, _ts("2024-01-01 12:00:00")),
+            (3, 200, _ts("2024-01-01 11:00:00")),
+            (4, 300, _ts("2024-01-01 09:00:00")),  # key with no right rows
+        ],
+        "id long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 09:30:00"), 1.0),
+            (100, _ts("2024-01-01 11:30:00"), 2.0),
+            (200, _ts("2024-01-01 11:00:00"), 9.0),  # exactly equal time
+            (200, _ts("2024-01-01 11:30:00"), 10.0),  # after left → invisible
+        ],
+        "k long, t timestamp, v double",
+    )
+    return left, right
+
+
+def test_as_of_join_basic(spark):
+    from maple_spark.operators.asof import as_of_join
+
+    left, right = _fixture(spark)
+    got = {
+        r["id"]: r["v"]
+        for r in as_of_join(left, right, "k", "t", "t", ["v"]).collect()
+    }
+    assert got == {
+        1: 1.0,   # 10:00 sees 09:30
+        2: 2.0,   # 12:00 sees 11:30
+        3: 9.0,   # equal timestamp matches (ASOF convention)
+        4: None,  # no right rows for key 300
+    }
+
+
+def test_as_of_join_tolerance(spark):
+    from maple_spark.operators.asof import as_of_join
+
+    left, right = _fixture(spark)
+    got = {
+        r["id"]: r["v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", ["v"], tolerance="45 MINUTES"
+        ).collect()
+    }
+    # id=1: 09:30 within 45min of 10:00 → match; id=2: 11:30 within 45min
+    # of 12:00 → match; same as basic here but a stale right row is dropped:
+    assert got[1] == 1.0 and got[2] == 2.0 and got[3] == 9.0 and got[4] is None
+    # shrink tolerance: 10 minutes → id=1's 09:30 purchase is too old
+    got10 = {
+        r["id"]: r["v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", ["v"], tolerance="10 MINUTES"
+        ).collect()
+    }
+    assert got10[1] is None and got10[3] == 9.0
+
+
+def test_as_of_join_matches_duckdb(spark):
+    """Cross-engine: the union+window formulation equals DuckDB ASOF JOIN
+    on the events table."""
+    import duckdb
+
+    from conftest import SF_DIR
+    from maple_spark.catalog import load_table
+    from maple_spark.operators.asof import as_of_join
+
+    e = load_table(spark, SF_DIR, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    got = sorted(
+        (r["event_id"], r["pv"])
+        for r in as_of_join(clicks, purchases, "user_id", "ts", "ts", ["pv"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT c.event_id, p.pv
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS pv FROM events
+                        WHERE event_type='purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_range_join_tiers(spark):
+    from maple_spark.operators.asof import range_join
+
+    fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, -1.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "tier string, lo double, hi double"
+    )
+    got = rows(range_join(fact, bands, "v").select("id", "tier"))
+    assert got == [(1, "a"), (2, "b"), (3, None)]
