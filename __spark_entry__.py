@@ -656,6 +656,21 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def q2_groupwise_max(spark, sf_dir):
+    """Correlated-subquery shape (TPC-H Q2's per-group min): richest
+    customer per nation.  The reference parses but cannot execute
+    correlated subqueries (Environment chaining unfinished, E10); here the
+    standard decorrelation — a window max filter — with the oracle written
+    AS the correlated subquery to prove semantic equivalence."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("max_bal", F.max("c_acctbal").over(w))
+        .where(F.col("c_acctbal") == F.col("max_bal"))
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
 def aj1_asof_join(spark, sf_dir):
     """As-of join (absent from the reference, J8): each click event gets
     the same user's most recent prior-or-simultaneous purchase.  Custom
@@ -1120,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_frame_stats": mm2_frame_stats,
         "hh1_heavy_hitters": hh1_heavy_hitters,
         "enc1_encoding_report": enc1_encoding_report,
+        "q2_groupwise_max": q2_groupwise_max,
         "aj1_asof_join": aj1_asof_join,
         "rj1_range_join": rj1_range_join,
         "st1_hourly_agg": st1_hourly_agg,
@@ -1514,6 +1530,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
             FROM documents
+        """,
+        "q2_groupwise_max": """
+            SELECT c_nationkey, c_custkey, c_name, c_acctbal
+            FROM customer c1
+            WHERE c_acctbal = (SELECT MAX(c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c1.c_nationkey)
         """,
         "aj1_asof_join": """
             SELECT c.event_id, c.user_id, c.ts, p.purchase_value

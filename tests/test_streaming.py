@@ -94,6 +94,71 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path_factory):
     assert written.select("event_id").distinct().count() == src.count()
 
 
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Watermark semantics with real micro-batches: a second file whose
+    rows are older than (max event time − delay) is dropped from an
+    append-mode windowed aggregation; a within-delay late row is merged."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("late_events"))
+    ts = lambda s: datetime.fromisoformat(s)
+    schema = "event_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:05:00"), 1.0),
+            (2, ts("2024-01-01 13:00:00"), 1.0),  # advances watermark to 11:00
+        ],
+        schema,
+    )
+    # watermark propagation lags one micro-batch (it is committed after a
+    # batch and applied from the next), so the late row goes in file 3
+    batch2 = spark.createDataFrame([(3, ts("2024-01-01 12:10:00"), 1.0)], schema)
+    batch3 = spark.createDataFrame(
+        [
+            (4, ts("2024-01-01 07:10:00"), 1.0),   # window end 08:00 < 11:00 → dropped
+            (5, ts("2024-01-01 12:30:00"), 1.0),   # fresh → kept
+        ],
+        schema,
+    )
+    import time as _time
+
+    batch1.coalesce(1).write.parquet(f"{d}/f1")
+    _time.sleep(1.1)
+    batch2.coalesce(1).write.parquet(f"{d}/f2")
+    _time.sleep(1.1)
+    batch3.coalesce(1).write.parquet(f"{d}/f3")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        r["ws"].isoformat(): r["n"]
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # append mode emits only windows finalized by the watermark (end ≤ 11:00):
+    # the 10:00 window with its one on-time event; the very-late event 4
+    # (07:00 window, long finalized) must have been dropped, not emitted.
+    assert got.get("2024-01-01T10:00:00") == 1
+    assert "2024-01-01T07:00:00" not in got
+
+
 def test_sliding_window(spark):
     from maple_spark.catalog import load_table
     from maple_spark.streaming.events import windowed_agg
