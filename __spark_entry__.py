@@ -217,6 +217,26 @@ def e13_scalar_funcs(spark, sf_dir):
     )
 
 
+def str1_string_funcs(spark, sf_dir):
+    """String function library (extension — the reference has only CONCAT,
+    §2.8): case, trim, substring, replace, reverse, pad, search, join."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    n = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(n).alias("uc"),
+        F.lower(n).alias("lc"),
+        F.trim(F.concat(F.lit("  "), n, F.lit(" "))).alias("trimmed"),
+        F.substring(n, 10, 5).alias("sub"),
+        F.regexp_replace(n, "0", "#").alias("replaced"),
+        F.reverse(n).alias("rev"),
+        F.lpad(F.col("c_mktsegment"), 12, ".").alias("padded"),
+        F.instr(n, "1").cast("bigint").alias("pos1"),
+        F.concat_ws("|", n, F.col("c_mktsegment")).alias("joined"),
+        F.length(n).cast("bigint").alias("len"),
+    )
+
+
 def e13_trig_funcs(spark, sf_dir):
     """§2.8 trig family (Sin/Cos/Tan/ArcTan2 etc.) — rounded to 6 places
     because libm implementations differ in the last ulp across engines."""
@@ -1095,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_is_null": e11_is_null,
         "e13_scalar_funcs": e13_scalar_funcs,
         "e13_trig_funcs": e13_trig_funcs,
+        "str1_string_funcs": str1_string_funcs,
         "j2_join_inner": j2_join_inner,
         "j3_sort_merge_join": j3_sort_merge_join,
         "j4_join_left": j4_join_left,
@@ -1243,6 +1264,19 @@ def oracle_sql() -> dict[str, str]:
                    round(atan2(x, 2.0), 6) AS atan2_v
             FROM (SELECT p_partkey, CAST(p_size % 10 AS DOUBLE) / 10.0 AS x
                   FROM part WHERE p_partkey <= 200)
+        """,
+        "str1_string_funcs": """
+            SELECT c_custkey,
+                   upper(c_name) AS uc, lower(c_name) AS lc,
+                   trim('  ' || c_name || ' ') AS trimmed,
+                   substring(c_name, 10, 5) AS sub,
+                   regexp_replace(c_name, '0', '#', 'g') AS replaced,
+                   reverse(c_name) AS rev,
+                   lpad(c_mktsegment, 12, '.') AS padded,
+                   CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+                   concat_ws('|', c_name, c_mktsegment) AS joined,
+                   CAST(length(c_name) AS BIGINT) AS len
+            FROM customer WHERE c_custkey <= 400
         """,
         "j2_join_inner": """
             SELECT s_suppkey, s_name, n_name
