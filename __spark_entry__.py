@@ -676,6 +676,97 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    aliases (supplier-nation × customer-nation pairs) — alias resolution +
+    join-pair filtering."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    pair |= (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-items revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 20)
+    )
+
+
+def fn1_funnel(spark, sf_dir):
+    """Event-funnel analysis: per user, first view → first click after
+    that view → first purchase after that click; count users reaching
+    each stage.  Classic product-analytics operator, expressed as ordered
+    min-aggregates (one shuffle by user)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", F.col("ts").alias("tc"))
+    first_click = (
+        per_user.join(clicks, on="user_id", how="left")
+        .where(F.col("tc") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("tc").alias("t_click"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    first_purchase = (
+        first_click.join(purchases, on="user_id", how="left")
+        .where(F.col("tp") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("tp").alias("t_purchase"))
+    )
+    base = per_user.where(F.col("t_view").isNotNull())
+    return spark.createDataFrame(
+        [(0,)], "dummy int"
+    ).select(
+        F.lit(base.count()).cast("bigint").alias("n_viewed"),
+        F.lit(first_click.count()).cast("bigint").alias("n_clicked_after_view"),
+        F.lit(first_purchase.count()).cast("bigint").alias("n_purchased_after_click"),
+    )
+
+
 def q2_groupwise_max(spark, sf_dir):
     """Correlated-subquery shape (TPC-H Q2's per-group min): richest
     customer per nation.  The reference parses but cannot execute
@@ -1157,6 +1248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh1_heavy_hitters": hh1_heavy_hitters,
         "enc1_encoding_report": enc1_encoding_report,
         "q2_groupwise_max": q2_groupwise_max,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "fn1_funnel": fn1_funnel,
         "aj1_asof_join": aj1_asof_join,
         "rj1_range_join": rj1_range_join,
         "st1_hourly_agg": st1_hourly_agg,
@@ -1564,6 +1658,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
             FROM documents
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice, l_discount
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, revenue, rn FROM (
+              SELECT c_custkey, c_name, c_acctbal, revenue,
+                     row_number() OVER (ORDER BY revenue DESC, c_custkey ASC)
+                       AS rn
+              FROM (
+                SELECT c_custkey, c_name, c_acctbal,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DOUBLE) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY c_custkey, c_name, c_acctbal
+              )
+            ) WHERE rn <= 20
+        """,
+        "fn1_funnel": """
+            WITH pv AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+              FROM events GROUP BY user_id
+            ), fc AS (
+              SELECT e.user_id, pv.t_view, MIN(e.ts) AS t_click
+              FROM events e JOIN pv ON e.user_id = pv.user_id
+              WHERE e.event_type = 'click' AND e.ts > pv.t_view
+              GROUP BY e.user_id, pv.t_view
+            ), fp AS (
+              SELECT e.user_id, MIN(e.ts) AS t_purchase
+              FROM events e JOIN fc ON e.user_id = fc.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+              GROUP BY e.user_id
+            )
+            SELECT (SELECT COUNT(*) FROM pv WHERE t_view IS NOT NULL)
+                     AS n_viewed,
+                   (SELECT COUNT(*) FROM fc) AS n_clicked_after_view,
+                   (SELECT COUNT(*) FROM fp) AS n_purchased_after_click
         """,
         "q2_groupwise_max": """
             SELECT c_nationkey, c_custkey, c_name, c_acctbal
