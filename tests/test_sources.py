@@ -48,6 +48,50 @@ def test_partitioned_write_prunes(spark, tmp_warehouse):
     assert one_day.count() == want > 0
 
 
+def test_zorder_layout_prunes_both_columns(spark, tmp_warehouse):
+    """Z-order vs single-column sort: per-file min/max spans must be
+    narrow on BOTH z-columns (single-column sort leaves the second column
+    spanning nearly the full domain in every file → no pruning)."""
+    import pyarrow.dataset as ds
+
+    from maple_spark.sources.layout import zorder_write
+
+    import random
+
+    rnd = random.Random(7)
+    n = 20000
+    df = spark.createDataFrame(
+        [(rnd.randint(0, 9999), rnd.randint(0, 9999)) for _ in range(n)],
+        "x int, y int",
+    )
+
+    def span_fraction(path, col_index):
+        frags = list(ds.dataset(path, format="parquet").get_fragments())
+        spans = []
+        for fr in frags:
+            st = fr.metadata.row_group(0).column(col_index).statistics
+            spans.append((st.max - st.min) / 9999.0)
+        return sum(spans) / len(spans)
+
+    # baseline: sort by x only
+    xsort = f"{tmp_warehouse}/xsort"
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(xsort)
+    # z-order on (x, y)
+    zpath = f"{tmp_warehouse}/zorder"
+    out = zorder_write(df, zpath, ["x", "y"], n_files=8, bits=10)
+    assert out.count() == n
+
+    x_span_sorted = span_fraction(xsort, 0)
+    y_span_sorted = span_fraction(xsort, 1)
+    x_span_z = span_fraction(zpath, 0)
+    y_span_z = span_fraction(zpath, 1)
+    assert x_span_sorted < 0.2          # x-sort: x prunes well...
+    assert y_span_sorted > 0.9          # ...but y spans everything
+    assert x_span_z < 0.6 and y_span_z < 0.6  # z-order: both prune
+
+
 def test_csv_to_parquet_sorted_layout(spark, tmp_warehouse):
     """sort_by gives range-partitioned files → tight parquet min/max stats
     (the analyze-then-encode write path of the reference column store)."""
