@@ -75,12 +75,13 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_warehouse):
 
     # baseline: sort by x only
     xsort = f"{tmp_warehouse}/xsort"
-    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.mode(
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
         "overwrite"
     ).parquet(xsort)
-    # z-order on (x, y)
+    # z-order on (x, y): 16 files = 4 z-prefix bits = 2 bits per dimension,
+    # so each file covers ~1/4 of each domain
     zpath = f"{tmp_warehouse}/zorder"
-    out = zorder_write(df, zpath, ["x", "y"], n_files=8, bits=10)
+    out = zorder_write(df, zpath, ["x", "y"], n_files=16, bits=10)
     assert out.count() == n
 
     x_span_sorted = span_fraction(xsort, 0)
@@ -89,7 +90,9 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_warehouse):
     y_span_z = span_fraction(zpath, 1)
     assert x_span_sorted < 0.2          # x-sort: x prunes well...
     assert y_span_sorted > 0.9          # ...but y spans everything
-    assert x_span_z < 0.6 and y_span_z < 0.6  # z-order: both prune
+    assert x_span_z < 0.7 and y_span_z < 0.7  # z-order: both prune
+    # and the combined pruning power beats the single-column layout
+    assert x_span_z + y_span_z < x_span_sorted + y_span_sorted
 
 
 def test_csv_to_parquet_sorted_layout(spark, tmp_warehouse):
