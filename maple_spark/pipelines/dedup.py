@@ -176,15 +176,18 @@ def verify_jaccard(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = docs.join(cand_ids, on=id_col, how="left_semi")
+    cand_docs = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     sh = shingle(cand_docs, id_col, text_col, k)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # Join the two shingle streams through the pair table on (pair, shingle):
-    # cost follows the candidate list, not the corpus squared.
+    # cost follows the candidate list, not the corpus squared.  The pair
+    # list and per-doc counts are candidate-bounded (small) — broadcast
+    # them so the only exchange left is the (id_b, shingle) equi-join and
+    # the intersection groupBy.
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     inter = (
-        pairs.join(sh_a, on="id_a")
+        sh_a.join(F.broadcast(pairs), on="id_a")
         .join(sh_b, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -192,8 +195,8 @@ def verify_jaccard(
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
         .withColumn(
             "jaccard",
             F.round(
