@@ -159,7 +159,7 @@ def e6_like(spark, sf_dir):
     """E6 LIKE with working semantics (reference stub always-false,
     StringMatchOperator.java:108-117)."""
     p = _t(spark, sf_dir, "part")
-    return p.where(F.col("p_type").like("%BRASS%")).select(
+    return p.where(F.col("p_type").like("%ECO%")).select(
         "p_partkey", "p_type"
     )
 
@@ -328,7 +328,7 @@ def j7_semi_in_subquery(spark, sf_dir):
 def j7_anti_not_exists(spark, sf_dir):
     """J7/E9 NOT EXISTS (correlated) → left-anti join."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
     return sq.not_exists(
         c, o, c["c_custkey"] == o["o_custkey"]
     ).select("c_custkey", "c_name")
@@ -494,7 +494,9 @@ def set_except(spark, sf_dir):
     from maple_spark.operators.setops import except_
 
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 8000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
     return except_(c, s)
 
 
@@ -648,7 +650,7 @@ def sim1_cosine_topk(spark, sf_dir):
 
 def sim2_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup(e, threshold=0.9)
+    return similarity.embedding_near_dup(e, threshold=0.4)
 
 
 def sim3_lsh_topk(spark, sf_dir):
@@ -706,6 +708,33 @@ def q7_volume_shipping(spark, sf_dir):
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp table in the driver schema):
+    profit per supplier-nation per year, profit = revenue − tax cost,
+    for parts whose type contains 'STEEL'."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type").like("%STAND%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_tax").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
 
 
@@ -1249,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc1_encoding_report": enc1_encoding_report,
         "q2_groupwise_max": q2_groupwise_max,
         "q7_volume_shipping": q7_volume_shipping,
+        "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
         "fn1_funnel": fn1_funnel,
         "aj1_asof_join": aj1_asof_join,
@@ -1318,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_size BETWEEN 10 AND 20
         """,
         "e6_like": """
-            SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRASS%'
+            SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%ECO%'
         """,
         "e7_similar_to": """
             SELECT c_custkey, c_name FROM customer
@@ -1417,7 +1447,8 @@ def oracle_sql() -> dict[str, str]:
         "j7_anti_not_exists": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE c.c_custkey = o.o_custkey)
+                              WHERE c.c_custkey = o.o_custkey
+                                AND o.o_totalprice > 450000)
         """,
         "e10_scalar_subquery": """
             SELECT o_orderkey, o_totalprice FROM orders
@@ -1499,7 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "set_except": """
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT
-            SELECT s_nationkey FROM supplier
+            SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
         """,
         "w1_window_rank": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -1649,7 +1680,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])) >= 0.9
+                  CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "mm1_media_features": """
             SELECT doc_id AS media_id,
@@ -1681,6 +1712,22 @@ def oracle_sql() -> dict[str, str]:
                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             )
             GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type LIKE '%STAND%'
+            GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, revenue, rn FROM (

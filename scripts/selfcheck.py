@@ -117,7 +117,8 @@ def main():
             n_fail += 1
             failures.append(name)
             continue
-        print(f"PASS  {name}: {len(srows)} rows ({spark_time:.1f}s)")
+        empty = "  [EMPTY RESULT]" if len(srows) == 0 else ""
+        print(f"PASS  {name}: {len(srows)} rows ({spark_time:.1f}s){empty}")
         n_pass += 1
 
     print(
