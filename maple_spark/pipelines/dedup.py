@@ -86,10 +86,15 @@ def _minhash_signatures_fast(
         f" i -> substring({text_col}, i, {k}))"
     )
     base = _spread(df.select(id_col, text_col)).withColumn("__sh", shingles)
+
+    def _hash_with_salt(i: int):
+        # single-arg lambda: a two-parameter lambda would make transform
+        # bind the second param to the ARRAY INDEX, silently replacing the
+        # permutation salt (caught by test_minhash_fast_path_equals_didactic)
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-        ).alias(f"h{i}")
+        F.array_min(F.transform(F.col("__sh"), _hash_with_salt(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = base.select(F.col(id_col), *sig_cols)

@@ -76,6 +76,38 @@ def test_simhash_near_pairs(spark, dup_corpus):
     assert not any(4 in p for p in got)
 
 
+def test_minhash_fast_path_equals_didactic(spark, dup_corpus):
+    """The shuffle-free signature formulation must produce bit-identical
+    signatures to the explode+min-agg formulation (same hash family)."""
+    from maple_spark.pipelines.dedup import (
+        _minhash_signatures_fast,
+        minhash_signatures,
+    )
+
+    slow = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(dup_corpus, "doc_id", "text", 32).collect()
+    }
+    fast = {
+        r["doc_id"]: r["signature"]
+        for r in _minhash_signatures_fast(dup_corpus, "doc_id", "text", 32).collect()
+    }
+    assert slow == fast
+
+
+def test_function_directory_complete(spark):
+    """Every function the reference registers (FunctionDirectory.java:38-58)
+    resolves through the name-keyed DIRECTORY."""
+    from maple_spark.functions import DIRECTORY
+
+    for name in [
+        "ABS", "ACOS", "ASIN", "ATAN", "ATAN2", "CEIL", "FLOOR", "COALESCE",
+        "CONCAT", "COS", "SIN", "TAN", "GREATEST", "LEAST", "IF", "IFNULL",
+        "NULLIF", "POW", "SQRT", "ROUND",
+    ]:
+        assert name in DIRECTORY, name
+
+
 def test_cosine_topk_exact(spark):
     from maple_spark.pipelines.similarity import cosine_topk
 
