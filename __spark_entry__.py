@@ -678,6 +678,110 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-filtered priority counts (semi join against
+    a date-windowed fact subset)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    # (TPC-H's l_commitdate < l_receiptdate columns don't exist in the
+    # driver schema; the EXISTS predicate is a quantity filter instead)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45).select(
+        "l_orderkey"
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    LEFT JOIN + two stacked aggregations (count per customer, then
+    customers per count)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: suppliers achieving the global-max revenue —
+    aggregate view + max-of-aggregate filter (broadcast scalar)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    max_rev = revenue.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part correlated average (lineitems below 50%
+    of their part's avg quantity) — decorrelated as a pre-aggregated join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+         / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("ap"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no
+    orders — scalar-avg subquery + anti join + substring grouping."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count("c_acctbal")).alias("ab")
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+    )
+    return (
+        rich.groupBy(F.substring(F.col("c_name"), 10, 1).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: the same dimension joined twice under different
     aliases (supplier-nation × customer-nation pairs) — alias resolution +
@@ -1277,6 +1381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh1_heavy_hitters": hh1_heavy_hitters,
         "enc1_encoding_report": enc1_encoding_report,
         "q2_groupwise_max": q2_groupwise_max,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q7_volume_shipping": q7_volume_shipping,
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
@@ -1689,6 +1798,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
             FROM documents
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            GROUP BY o_orderpriority
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN
+                   (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+                   ON c_custkey = o.o_custkey
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                       AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH aq AS (
+              SELECT l_partkey AS ap,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN aq ON l_partkey = ap
+            WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT substring(c_name, 10, 1) AS cntrycode,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                      AS DOUBLE) / COUNT(c_acctbal)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY substring(c_name, 10, 1)
         """,
         "q7_volume_shipping": """
             SELECT supp_nation, cust_nation, l_year,
