@@ -55,6 +55,19 @@ PORTABLE = [
     "d1_dedup_exact",
     "t4_fingerprint",
     "sql_dialect",
+    "e4_boolean_ops",
+    "dml_update_where",
+    "dml_delete_where",
+    "hh1_heavy_hitters",
+    "q2_groupwise_max",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
 ]
 
 
