@@ -46,6 +46,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 def flagship_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: orders ⋈ customer (broadcast dim) → filter → price top-100
+    (reference shape doc/data.sql:12 scaled to the driver tables)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     joined = mjoin(
@@ -471,6 +473,7 @@ def o3_topk(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def set_union(spark, sf_dir):
+    """§2.7 UNION with dedup (grammar-only in the reference, nanosql.g:516)."""
     from maple_spark.operators.setops import union
 
     c = _t(spark, sf_dir, "customer").select(
@@ -483,6 +486,7 @@ def set_union(spark, sf_dir):
 
 
 def set_intersect(spark, sf_dir):
+    """§2.7 INTERSECT (set semantics)."""
     from maple_spark.operators.setops import intersect
 
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -491,6 +495,7 @@ def set_intersect(spark, sf_dir):
 
 
 def set_except(spark, sf_dir):
+    """§2.7 EXCEPT: customer nations minus rich-supplier nations."""
     from maple_spark.operators.setops import except_
 
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -588,6 +593,8 @@ def q5_local_supplier(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def t1_text_stats(spark, sf_dir):
+    """Text quality features: word/token counts, punctuation and stopword
+    ratios (map-only Catalyst expressions, no Python)."""
     d = _t(spark, sf_dir, "documents")
     return textstats.with_text_stats(d).select(
         "doc_id", "n_chars_calc", "n_words", "n_tokens", "punct_ratio",
@@ -596,6 +603,7 @@ def t1_text_stats(spark, sf_dir):
 
 
 def t2_language_id(spark, sf_dir):
+    """Language-ID heuristic via English stopword density."""
     d = _t(spark, sf_dir, "documents")
     return textstats.language_id(d).select(
         "doc_id", "lang", "stopword_ratio", "predicted_lang"
@@ -603,6 +611,7 @@ def t2_language_id(spark, sf_dir):
 
 
 def t3_quality_score(spark, sf_dir):
+    """Composite [0,1] document quality score (length/punct/stopword)."""
     d = _t(spark, sf_dir, "documents")
     return textstats.quality_score(d).select("doc_id", "quality")
 
@@ -615,6 +624,8 @@ def t4_fingerprint(spark, sf_dir):
 
 
 def d1_dedup_exact(spark, sf_dir):
+    """Tier-1 exact dedup: hash-groupBy on content, min-id keeper +
+    duplicate count."""
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d, "doc_id", ["text"]).select(
         "keep_id", "n_copies", F.md5(F.col("text")).alias("text_md5")
@@ -622,6 +633,8 @@ def d1_dedup_exact(spark, sf_dir):
 
 
 def d2_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 8-gram Jaccard ≥ 0.2 via an inverted-index join
+    (the verifier tier; at scale candidates come from d3's LSH)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=8, threshold=0.2)
 
@@ -649,6 +662,8 @@ def sim1_cosine_topk(spark, sf_dir):
 
 
 def sim2_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    scale path = SRP/IVF bucketing)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup(e, threshold=0.4)
 
