@@ -52,11 +52,12 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["s1_scan_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # min of 2 runs: the first run pays one-time plan compilation + codegen
-    # for that query shape; the second measures steady-state execution —
-    # the number that scales with data volume.
+    # one untimed warmup run per query (plan compilation + whole-stage
+    # codegen JIT — one-time costs that don't scale with data volume),
+    # then min of 2 timed runs = steady-state execution cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

