@@ -1212,6 +1212,198 @@ def q19_disjunctive_pushdown(spark, sf_dir):
     )
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — one nation's revenue share
+    of a region's market per year.  Dimension chain customer→nation→region
+    bounds the market; a second nation alias names the supplier side.
+    All dims broadcast; the only shuffles are lineitem⋈orders and the
+    final per-year aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
+    )
+    per_year = joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", rev)).cast("double"),
+            F.lit(0.0),
+        ).alias("nation_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return per_year.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    )
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose inventory value exceeds a fraction of
+    the global total — GROUP BY + HAVING against a scalar-aggregate
+    subquery (the driver schema has no partsupp; shipped value
+    l_extendedprice·l_quantity from suppliers in two nations stands in
+    for ps_supplycost·ps_availqty)."""
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    filtered = li.join(
+        F.broadcast(
+            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+                "s_suppkey"
+            )
+        ),
+        li["l_suppkey"] == F.col("s_suppkey"),
+    )
+    per_part = filtered.groupBy("l_partkey").agg(
+        F.sum(value).cast("double").alias("part_value")
+    )
+    total = filtered.agg(
+        (F.sum(value).cast("double") * 0.001).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    excluding a NOT-IN supplier set — the part/supplier relationship comes
+    from distinct (l_partkey, l_suppkey) pairs (no partsupp table);
+    negative-balance suppliers stand in for the complaints filter."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(complaints), ps["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shipments(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who dominate shipments of a named part
+    family — nested IN-subqueries decorrelated into two aggregate joins
+    (per-pair quantity vs a fraction of the per-part total)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    bolt_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    per_pair = bolt_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty_ps")
+    )
+    per_part = bolt_li.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty_total")
+    )
+    heavy = (
+        per_pair.join(per_part, F.col("l_partkey") == F.col("tp"))
+        .where(F.col("qty_ps") > 0.3 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone flagged a multi-supplier
+    order — EXISTS (another supplier on the order) + NOT EXISTS (another
+    supplier also flagged) over the same fact table; the driver schema
+    has no receipt/commit dates so l_returnflag='R' marks a line
+    "late".  Exercises semi+anti joins with non-equi residuals."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    ).alias("l2")
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+        .alias("l3")
+    )
+    asian_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    flagged = (
+        l1.join(F.broadcast(asian_supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l1.l_orderkey") == o["o_orderkey"])
+    )
+    with_other = flagged.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("k2"))
+        & (F.col("sk2") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_blamed = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("k3"))
+        & (F.col("sk3") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return sole_blamed.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
 def a9_cube(spark, sf_dir):
     """A9 extension: CUBE over two dims with grouping_id level tags."""
     o = _t(spark, sf_dir, "orders")
@@ -1424,6 +1616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "q18_large_volume_customer": q18_large_volume_customer,
         "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+        "q8_market_share": q8_market_share,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q20_excess_shipments": q20_excess_shipments,
+        "q21_waiting_supplier": q21_waiting_supplier,
         "a9_cube": a9_cube,
         "a10_percentiles": a10_percentiles,
     }
@@ -2106,6 +2303,112 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
                OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
                OR (p_size > 40 AND l_quantity > 40)
+        """,
+        "q8_market_share": """
+            SELECT o_year, nation_rev, total_rev,
+                   nation_rev / total_rev AS mkt_share
+            FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     COALESCE(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       END) AS DOUBLE), 0.0) AS nation_rev,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE) AS total_rev
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+                AND r_name = 'ASIA'
+              GROUP BY 1
+            )
+        """,
+        "q11_important_stock": """
+            WITH filtered AS (
+              SELECT l_partkey,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_quantity AS DECIMAL(18,2)) AS value
+              FROM lineitem
+              WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2')
+              )
+            )
+            SELECT l_partkey, CAST(SUM(value) AS DOUBLE) AS part_value
+            FROM filtered
+            GROUP BY l_partkey
+            HAVING CAST(SUM(value) AS DOUBLE) >
+                   (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM filtered)
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON ps.l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type <> 'PROMO'
+              AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+              AND ps.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_excess_shipments": """
+            WITH bolt_li AS (
+              SELECT l_partkey, l_suppkey, l_quantity
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01'
+                AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            ),
+            per_pair AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_ps
+              FROM bolt_li GROUP BY l_partkey, l_suppkey
+            ),
+            per_part AS (
+              SELECT l_partkey AS tp,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+              FROM bolt_li GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM per_pair JOIN per_part ON l_partkey = tp
+                WHERE qty_ps > 0.3 * qty_total
+              )
+        """,
+        "q21_waiting_supplier": """
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON l1.l_orderkey = o_orderkey
+            WHERE l1.l_returnflag = 'R'
+              AND r_name = 'ASIA'
+              AND o_orderstatus = 'F'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R'
+              )
+            GROUP BY s_suppkey, s_name
         """,
         "a9_cube": f"""
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -68,6 +68,11 @@ PORTABLE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
+    "q8_market_share",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
 ]
 
 
