@@ -654,6 +654,41 @@ def d4_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+def d5_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → dedup GROUPS: connected components over the d2
+    edge list (min-label propagation, deterministic).  The oracle computes
+    the same components with a recursive-CTE transitive closure.  At
+    corpus scale the edges come from d3 (LSH) instead — same operator."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=8, threshold=0.2)
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def t5_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/valid/test split (80/10/10) — split
+    assignment is content-stable and engine-portable, so the oracle
+    verifies the split itself, not just row counts."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_split(d, "doc_id", 80, 10).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def t6_quota_sample(spark, sf_dir):
+    """Per-language quota sampling (cap 30 docs/lang by ascending doc_id)
+    — the class-rebalancing primitive, deterministic rank window."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.quota_sample(d, "lang", "doc_id", cap=30).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1579,6 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
         "d4_simhash_pairs": d4_simhash_pairs,
+        "d5_dedup_clusters": d5_dedup_clusters,
+        "t5_hash_split": t5_hash_split,
+        "t6_quota_sample": t6_quota_sample,
         "sim1_cosine_topk": sim1_cosine_topk,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
@@ -1977,6 +2015,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) /
                   (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
+        """,
+        "d5_dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE) /
+                    (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
+            ), sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            )
+            SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
+        "t5_hash_split": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) % 100 AS bucket
+              FROM documents
+            )
+        """,
+        "t6_quota_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rk
+              FROM documents
+            ) WHERE rk <= 30
         """,
         "sim1_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -259,6 +259,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, cluster_id) with
+    cluster_id = min doc id in the component.  This is the step that turns
+    pairwise similarity into dedup *groups* (keep one doc per cluster).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; fixpoint =
+    components.  Deterministic (min over ids — no tie-breaking).
+
+    Scale design: the edge set is the *candidate pair* list (O(near-dups),
+    not O(corpus)), so each round is one shuffle of the edge list joined
+    to a (node, label) table.  Rounds needed = graph diameter; dup
+    clusters are short chains (diameter ≪ 10 in practice).  Each round
+    ``localCheckpoint``s the label table — without it the plan doubles
+    per iteration and the job dies on lineage, not data.  For adversarial
+    long-chain graphs swap in the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce"), same join
+    primitive.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("bigint").alias("src"),
+        F.col("id_b").cast("bigint").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Tier 3: 64-bit SimHash per document over word tokens.
 

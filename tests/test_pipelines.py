@@ -224,3 +224,52 @@ def test_encoding_analyzer_mirrors_file_analyzer(spark):
     assert enc["sorted_col"] == "RLE"
     assert enc["lowcard"] == "DICTIONARY"
     assert enc["unique_col"] == "NONE"
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolated pair: labels converge to the min id of
+    each component (propagation must cross multi-hop chains, not just
+    direct edges)."""
+    from maple_spark.pipelines.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """Split is stable across runs and across corpus growth: every id keeps
+    its bucket when the table doubles (content-stable hashing, the property
+    rand(seed) lacks), and the three splits partition the corpus."""
+    from maple_spark.pipelines.dedup import connected_components  # noqa: F401
+    from maple_spark.pipelines.sampling import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(big, "doc_id").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    n = len(s_big)
+    frac_train = sum(1 for b, s in s_big.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    assert {s for _, s in s_big.values()} == {"train", "valid", "test"}
+
+
+def test_quota_sample_caps_each_group(spark):
+    from maple_spark.pipelines.sampling import quota_sample
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, grp string",
+    )
+    out = quota_sample(df, "grp", "doc_id", cap=10)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
+    # deterministic choice: lowest ids win
+    assert {r["doc_id"] for r in out.where("grp = 'big'").collect()} == set(range(10))

@@ -73,6 +73,7 @@ PORTABLE = [
     "q16_supplier_cnt",
     "q20_excess_shipments",
     "q21_waiting_supplier",
+    "t6_quota_sample",
 ]
 
 

@@ -159,6 +159,41 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     assert "2024-01-01T07:00:00" not in got
 
 
+def test_rocksdb_state_store_provider(spark):
+    """The 100 TB state backend: the same windowed aggregation runs under
+    the RocksDB state store provider (state off-heap/on-disk, not JVM
+    hashmaps) and produces the batch answer.  On a real cluster this is
+    the difference between OOM and steady state once keyed state exceeds
+    executor memory."""
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_agg,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = windowed_agg(
+            read_events_stream(spark, SF_DIR), "1 hour", watermark="2 hours"
+        )
+        q = run_stream_to_memory(stream, "win_agg_rocksdb", timeout_sec=120)
+        got = rows(spark.sql("SELECT * FROM win_agg_rocksdb"))
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = rows(windowed_agg(load_table(spark, SF_DIR, "events"), "1 hour"))
+    assert got == want
+
+
 def test_sliding_window(spark):
     from maple_spark.catalog import load_table
     from maple_spark.streaming.events import windowed_agg
