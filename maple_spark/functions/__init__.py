@@ -70,7 +70,15 @@ def LIKE(col: Column, pattern: str) -> Column:
 
 
 def SIMILAR_TO(col: Column, pattern: str) -> Column:
-    """Working SIMILAR TO as a regex match (reference E7 stub)."""
+    """Working SIMILAR TO as a regex match (reference E7 stub).
+
+    Dialect contract: Spark compiles with java.util.regex.  The engine
+    promises only the Java∩RE2-portable subset (classes, anchors,
+    alternation, bounded repeats, ``\\d \\s \\w``, inline ``(?i)``);
+    lookaround, backreferences, and possessive quantifiers are Java-only
+    and excluded from oracle-gated queries — the portable/non-portable
+    split is executable in tests/test_sql_dialect.py (PORTABLE_REGEX /
+    JAVA_ONLY_REGEX)."""
     return col.rlike(pattern)
 
 

@@ -108,3 +108,66 @@ def test_oracle_sql_runs_on_spark(sql_env, name):
     df_result = _norm(e.queries()[name](spark, SF_MED))
     sql_result = _norm(spark.sql(e.oracle_sql()[name]))
     assert df_result == sql_result
+
+
+# ----------------------------------------------------------------------
+# Regex dialect notes: Spark compiles rlike/regexp_* with java.util.regex;
+# DuckDB's regexp_matches uses RE2.  The engine's SIMILAR TO surface
+# (functions.similar_to) therefore promises only the portable subset.
+# ----------------------------------------------------------------------
+
+#: constructs identical in java.util.regex and RE2 — safe for oracle-gated
+#: queries and the documented SIMILAR TO contract
+PORTABLE_REGEX = [
+    ("[0-9]{3}$", "abc123", True),          # classes, bounded repeat, anchor
+    ("^(foo|bar)x?", "barx", True),         # alternation, optional
+    ("a.c", "abc", True),                   # dot
+    ("\\d+\\s\\w+", "42 apples", True),     # perl classes
+    ("(?i)HELLO", "hello", True),           # inline case flag
+]
+
+#: Java-only constructs — rlike accepts them, RE2 rejects or mis-parses;
+#: they MUST NOT appear in oracle SQL (documented engine difference, like
+#: the reference's own dialect quirks in nanosql.g)
+JAVA_ONLY_REGEX = ["(?<=x)y", "(?=x)", "(a)\\1", "a*+"]
+
+
+def test_portable_regex_subset_agrees(spark):
+    """The blessed subset evaluates identically in Spark (Java regex) and
+    DuckDB (RE2)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    for pat, s, want in PORTABLE_REGEX:
+        got_spark = (
+            spark.range(1)
+            .select(F.lit(s).rlike(pat).alias("m"))
+            .collect()[0]["m"]
+        )
+        got_duck = con.execute(
+            "SELECT regexp_matches(?, ?)", [s, pat]
+        ).fetchone()[0]
+        assert got_spark == got_duck == want, (pat, s, got_spark, got_duck)
+
+
+def test_java_only_regex_rejected_by_re2(spark):
+    """The non-portable constructs really are non-portable: Spark accepts
+    them, DuckDB/RE2 errors — proving the SIMILAR TO contract must exclude
+    them (they are why e7's oracle uses the portable subset)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    for pat in JAVA_ONLY_REGEX:
+        # Spark: compiles and runs
+        spark.range(1).select(F.lit("xy").rlike(pat).alias("m")).collect()
+        # DuckDB: RE2 refuses the pattern
+        try:
+            con.execute("SELECT regexp_matches('xy', ?)", [pat]).fetchone()
+            re2_accepted = True
+        except duckdb.Error:
+            re2_accepted = False
+        assert not re2_accepted, f"RE2 unexpectedly accepted {pat!r}"
