@@ -10,4 +10,5 @@ where arithmetic genuinely needs NumPy.
     similarity  brute-force cosine top-k + LSH-bucketed ANN
     textstats   language-ID, quality scores, token counts, fingerprints
     multimodal  binary media columns: schema, batching, stubbed decoders
+    sampling    deterministic hash splits + per-group quota sampling
 """

@@ -9,6 +9,6 @@ for layout decisions (sort keys, partition columns), so `analyze_encoding`
 computes the same three signals with distributed aggregates.
 """
 
-from maple_spark.sources.ingest import csv_to_parquet, analyze_encoding
+from maple_spark.sources.ingest import csv_to_parquet, jsonl_to_parquet, analyze_encoding
 
-__all__ = ["csv_to_parquet", "analyze_encoding"]
+__all__ = ["csv_to_parquet", "jsonl_to_parquet", "analyze_encoding"]

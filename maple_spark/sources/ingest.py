@@ -44,6 +44,49 @@ def csv_to_parquet(
     return spark.read.parquet(out_path)
 
 
+def jsonl_to_parquet(
+    spark: SparkSession,
+    jsonl_path: str,
+    out_path: str,
+    schema: StructType | str | None = None,
+    sort_by: list[str] | None = None,
+    partitions: int | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines → Parquet, the standard web-corpus ingest path.
+
+    Always pass ``schema`` at scale: schema inference is a full extra read
+    of the input.  Malformed lines (ubiquitous in crawled corpora) land in
+    ``corrupt_col`` with every data field NULL (PERMISSIVE mode) instead of
+    failing the job — filter or quarantine them downstream; the column is
+    dropped from the Parquet output when clean.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(schema)
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, "string")
+        reader = reader.schema(schema)
+    df = reader.json(jsonl_path)
+    clean = df
+    if corrupt_col in df.columns:
+        clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    out = clean
+    if sort_by:
+        out = out.repartitionByRange(partitions or 8, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif partitions:
+        out = out.repartition(partitions)
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
 def analyze_encoding(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column {count, distinct, runs, sorted_ratio} + chosen encoding —
     the ``FileAnalyzer`` report as a DataFrame.

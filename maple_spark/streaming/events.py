@@ -129,6 +129,27 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` (default: event_id) — the ingest
+    guard that turns an at-least-once source (Kafka replays, retried
+    producers) into exactly-once downstream.
+
+    On a stream this uses ``dropDuplicatesWithinWatermark``: the seen-key
+    state is evicted once event time passes the watermark delay, so state
+    is bounded by (arrival rate × delay) instead of growing forever —
+    the property that makes dedup viable on an unbounded stream.  The
+    batch path is plain ``dropDuplicates`` (same semantics on finite
+    input, duality tested)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (periodically refreshed) dimension snapshot — the standard pattern for

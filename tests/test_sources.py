@@ -131,3 +131,27 @@ def test_csv_to_parquet_sorted_layout(spark, tmp_warehouse):
     # ranges are disjoint (sorted layout), so min/max stats can prune
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_jsonl_ingest_with_corrupt_records(spark, tmp_warehouse, tmp_path):
+    """Web-corpus ingest: valid JSONL lines roundtrip; malformed lines are
+    quarantined (dropped from the Parquet output), never fail the job."""
+    from maple_spark.sources import jsonl_to_parquet
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',
+        'this is not json {{{',
+        '{"doc_id": 3, "text": "hola", "lang": "es"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    out = jsonl_to_parquet(
+        spark,
+        str(p),
+        f"{tmp_warehouse}/jsonl_parquet",
+        schema="doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+    assert got == {1: ("hello world", "en"), 2: ("bonjour", "fr"), 3: ("hola", "es")}
+    assert "_corrupt_record" not in out.columns

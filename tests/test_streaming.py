@@ -206,3 +206,58 @@ def test_sliding_window(spark):
         sliding.agg(F.sum("n_events")).collect()[0][0]
         == 2 * tumbling.agg(F.sum("n_events")).collect()[0][0]
     )
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path_factory):
+    """At-least-once → exactly-once: a replayed micro-batch (same
+    event_ids) is suppressed by dropDuplicatesWithinWatermark; distinct
+    ids all survive."""
+    from datetime import datetime
+
+    from maple_spark.streaming.events import dedup_stream
+
+    d = str(tmp_path_factory.mktemp("replay_events"))
+    ts = lambda s: datetime.fromisoformat(s)
+    schema = "event_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1.0), (2, ts("2024-01-01 10:01:00"), 2.0)],
+        schema,
+    )
+    # replay of event 2 (producer retry) + one new event
+    batch2 = spark.createDataFrame(
+        [(2, ts("2024-01-01 10:01:00"), 2.0), (3, ts("2024-01-01 10:02:00"), 3.0)],
+        schema,
+    )
+    import time as _time
+
+    batch1.coalesce(1).write.parquet(f"{d}/f1")
+    _time.sleep(1.1)
+    batch2.coalesce(1).write.parquet(f"{d}/f2")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in spark.sql("SELECT * FROM dedup_test").collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+    # batch path: same operator, same answer
+    batch_all = batch1.unionByName(batch2)
+    assert sorted(
+        (r["event_id"], r["value"])
+        for r in dedup_stream(batch_all, ["event_id"]).collect()
+    ) == [(1, 1.0), (2, 2.0), (3, 3.0)]
