@@ -1321,8 +1321,15 @@ def q11_important_stock(spark, sf_dir):
     per_part = filtered.groupBy("l_partkey").agg(
         F.sum(value).cast("double").alias("part_value")
     )
+    # TPC-H scales the HAVING fraction by 1/SF; the scale-free equivalent
+    # is "parts worth more than 2x the average part" — result cardinality
+    # stays stable as the corpus grows
     total = filtered.agg(
-        (F.sum(value).cast("double") * 0.001).alias("threshold")
+        (
+            F.sum(value).cast("double")
+            / F.countDistinct("l_partkey")
+            * 2.0
+        ).alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -2433,7 +2440,9 @@ def oracle_sql() -> dict[str, str]:
             FROM filtered
             GROUP BY l_partkey
             HAVING CAST(SUM(value) AS DOUBLE) >
-                   (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM filtered)
+                   (SELECT CAST(SUM(value) AS DOUBLE)
+                           / COUNT(DISTINCT l_partkey) * 2.0
+                    FROM filtered)
         """,
         "q16_supplier_cnt": """
             SELECT p_brand, p_type, p_size,
