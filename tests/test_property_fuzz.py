@@ -95,3 +95,61 @@ def test_random_groupby_agree(engines, group, pred):
     srows = sorted(tuple(r) for r in spark.sql(sql).collect())
     orows = sorted(map(tuple, con.execute(sql).fetchall()))
     assert srows == orows, pred
+
+
+# ----------------------------------------------------------------------
+# Join fuzzing: random join type × random ON-clause residual predicate.
+# ON-clause predicates on outer joins are where null-padding semantics
+# genuinely bite (the reference's own NestedLoopsJoinNode never handled
+# them — SURVEY.md J2); Spark and DuckDB must agree row-for-row.
+# ----------------------------------------------------------------------
+
+O_NUM = ["o_orderkey", "o_totalprice"]
+C_NUM = ["c_custkey", "c_acctbal"]
+
+
+@pytest.fixture(scope="module")
+def join_engines(spark):
+    from maple_spark.catalog import load_table
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("fuzz_orders")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("fuzz_customer")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW fuzz_orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW fuzz_customer AS SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    return spark, con
+
+
+join_pred = st.builds(
+    lambda c, op, v: f"({c} {op} {v})",
+    st.sampled_from(O_NUM + C_NUM),
+    st.sampled_from(OPS),
+    st.integers(min_value=0, max_value=200000),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL"]),
+    pred=join_pred,
+)
+def test_random_outer_joins_agree(join_engines, how, pred):
+    spark, con = join_engines
+    sql = (
+        "SELECT COUNT(*) AS n, "
+        "CAST(SUM(COALESCE(o_orderkey, 0)) AS BIGINT) AS so, "
+        "CAST(SUM(COALESCE(c_custkey, 0)) AS BIGINT) AS sc "
+        f"FROM fuzz_orders {how} JOIN fuzz_customer "
+        f"ON o_custkey = c_custkey AND {pred}"
+    )
+    srow = spark.sql(sql).collect()[0]
+    orow = con.execute(sql).fetchone()
+    assert (srow["n"], srow["so"], srow["sc"]) == orow, (how, pred)
