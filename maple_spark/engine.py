@@ -78,3 +78,55 @@ class MapleEngine:
             if row["col_name"] == "Statistics":
                 stats["statistics"] = row["data_type"]
         return stats
+
+    def execute_script(self, script: str) -> list[list | None]:
+        """doCommands analog (server/NanoDBServer.java:77-96): run a
+        multi-statement SQL script sequentially, returning collected rows
+        per statement (None for statements with no result set).  Eager by
+        design — script statements see each other's effects, so a lazy
+        result handed out here could observe a table a later DROP already
+        deleted.  This is the reference's embedded/test-harness entry
+        point (CommandResult collects tuples the same way,
+        SqlTestCase.java:28); for lazy single-query plans use ``sql()``."""
+        results: list[list | None] = []
+        for stmt in self._split_statements(script):
+            df = self.spark.sql(stmt)
+            results.append(df.collect() if df.columns else None)
+        return results
+
+    @staticmethod
+    def _split_statements(script: str) -> list[str]:
+        """Split on ';' outside single/double-quoted strings (the level of
+        lexing the task needs — the statements themselves are parsed by
+        Spark SQL, not here)."""
+        stmts, buf, quote = [], [], None
+        for ch in script:
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        stmts.append("".join(buf))
+        return [s.strip() for s in stmts if s.strip()]
+
+    def optimize(self, path: str, target_partitions: int = 8) -> DataFrame:
+        """OPTIMIZE analog (commands/OptimizeCommand.java:63): compact a
+        parquet location's small files into ``target_partitions`` files."""
+        from maple_spark.operators.dml import compact
+
+        return compact(self.spark, path, target_partitions)
+
+    def verify(self, name: str, key: list[str]) -> DataFrame:
+        """VERIFY analog (commands/VerifyCommand.java:68): the reference
+        checks B+tree index consistency; the engine's integrity invariant
+        is key uniqueness — returns the violating keys (empty = verified)."""
+        from maple_spark.constraints import pk_violations
+
+        return pk_violations(self._tables[name], key)

@@ -132,3 +132,36 @@ def test_stateful_user_profile_stream(spark):
         .collect()
     }
     assert got == want
+
+
+def test_execute_script_multi_statement(spark):
+    """doCommands parity: a multi-statement script (DDL + insert + query)
+    executes sequentially with one result slot per statement."""
+    from maple_spark.engine import MapleEngine
+
+    from conftest import SF_DIR
+
+    eng = MapleEngine(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS script_t")
+    results = eng.execute_script(
+        """
+        CREATE TABLE script_t (a INT, b STRING) USING parquet;
+        INSERT INTO script_t VALUES (1, 'x;y'), (2, 'z');
+        SELECT a, b FROM script_t ORDER BY a;
+        DROP TABLE script_t
+        """
+    )
+    assert len(results) == 4
+    assert [tuple(r) for r in results[2]] == [(1, "x;y"), (2, "z")]
+
+
+def test_engine_verify_key_uniqueness(spark):
+    """VERIFY analog: orders PK is clean; the synthetic lineitem violates
+    its TPC-H PK (documented in FIXTURES.md) and verify reports it."""
+    from maple_spark.engine import MapleEngine
+
+    from conftest import SF_DIR
+
+    eng = MapleEngine(spark, SF_DIR)
+    assert eng.verify("orders", ["o_orderkey"]).count() == 0
+    assert eng.verify("lineitem", ["l_orderkey", "l_linenumber"]).count() > 0
