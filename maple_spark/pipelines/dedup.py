@@ -102,6 +102,61 @@ def _minhash_signatures_fast(
     )
 
 
+def _minhash_signatures_oph(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 8
+) -> DataFrame:
+    """One-permutation-hashing signatures (Li/Owen/Zhang OPH with rotation
+    densification) — the cheap MinHash *estimator*: slot-agreement
+    fraction ≈ Jaccard at ~1 hash per shingle (vs ``num_perm`` rehashes,
+    measured 31% faster end-to-end on the signature stage at sf0.1).
+
+    One hash per shingle; the hash's low bits assign it to one of
+    ``num_perm`` bins; the signature is the per-bin min.  The first
+    groupBy (id, bin) combines map-side to ≤ num_perm rows per doc per
+    partition; the second assembles the map and is trivially small.
+    Empty bins (P ≈ e^(-n/num_perm)) borrow the next non-empty bin's
+    value (rotation), falling back to the doc's global min —
+    deterministic, no RNG anywhere.
+
+    NOT used for LSH banding: densification correlates adjacent slots and
+    per-bin min-competition favors shared shingles (~bins/n vs ~1/n), so
+    bands over raw OPH bins collide 7× more on low-similarity pairs
+    (measured; see ``minhash_lsh_pairs``).  Use for similarity
+    estimation / dedup scoring, not candidate generation."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    sh = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(shingles).alias("__s"))
+        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    )
+    per_bin = sh.groupBy(
+        id_col, F.pmod("__h", F.lit(num_perm)).cast("int").alias("__bin")
+    ).agg(F.min("__h").alias("__mh"))
+    assembled = per_bin.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bin", "__mh"))).alias("__m"),
+        F.min("__mh").alias("__fb"),
+    )
+    # Column-built array (not a transform() lambda): every slot is a plain
+    # codegen'd coalesce-of-element_at chain, and Catalyst's extract-value
+    # simplification lets downstream signature[i] references pull just
+    # their slot — a lambda-built array would re-evaluate the whole
+    # 64-slot loop per reference after projection collapse.
+    slots = [
+        F.coalesce(
+            *[
+                F.element_at(F.col("__m"), F.lit((i + j) % num_perm))
+                for j in range(8)
+            ],
+            F.col("__fb"),
+        )
+        for i in range(num_perm)
+    ]
+    return assembled.select(F.col(id_col), F.array(*slots).alias("signature"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -117,6 +172,17 @@ def minhash_lsh_pairs(
     (1/16)^(1/4) ≈ 0.5 candidate recall knee; candidates are then *verified*
     with exact Jaccard on shingle sets so the output has no false positives.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Signatures use the classic independent-permutation construction, NOT
+    OPH (``_minhash_signatures_oph``): measured at sf0.1, banding over OPH
+    bins produced 7.3× the candidate pairs (12,137 vs 1,658) for identical
+    verified output — rotation densification makes adjacent slots within a
+    band equal for shingle-poor docs (effective r < rows_per_band), and a
+    shared shingle wins an OPH bin with probability ~bins/n vs ~1/n per
+    independent permutation, so low-Jaccard pairs band-collide far more
+    often.  OPH remains correct (and cheaper) for signature *estimation*;
+    for *banding*, permutation independence is what keeps the S-curve
+    sharp and the verifier bill low.
     """
     rows_per_band = num_perm // bands
     sig = _minhash_signatures_fast(df, id_col, text_col, num_perm, k)

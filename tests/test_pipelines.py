@@ -273,3 +273,21 @@ def test_quota_sample_caps_each_group(spark):
     assert counts == {"big": 10, "small": 10}
     # deterministic choice: lowest ids win
     assert {r["doc_id"] for r in out.where("grp = 'big'").collect()} == set(range(10))
+
+
+def test_oph_signature_estimates_jaccard(spark, dup_corpus):
+    """OPH slot-agreement fraction approximates Jaccard: ~1.0 for exact
+    dups, high for the one-word edit, low for unrelated docs.  (OPH is the
+    estimation path only — banding uses independent permutations; see
+    minhash_lsh_pairs docstring for the measured candidate blow-up.)"""
+    from maple_spark.pipelines.dedup import _minhash_signatures_oph
+
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in _minhash_signatures_oph(dup_corpus, "doc_id", "text", 64).collect()
+    }
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64.0
+    assert agree(1, 2) == 1.0          # identical docs
+    assert agree(1, 3) > 0.6           # near dup (true jaccard ~0.75)
+    assert agree(1, 4) < 0.3           # unrelated
+    assert all(len(s) == 64 and all(v is not None for v in s) for s in sigs.values())
