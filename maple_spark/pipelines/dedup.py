@@ -369,24 +369,28 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a changed flag instead of re-joining old vs new labels:
+        # the checkpoint materializes the round anyway, so the convergence
+        # check is a free count over already-computed rows (one action per
+        # round, not two joins + an action)
         new_labels = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if new_labels.where("changed").limit(1).count() == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
