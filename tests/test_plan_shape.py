@@ -92,3 +92,45 @@ def test_scalar_subquery_broadcasts(spark):
 
     plan = explain_str(e.e10_scalar_subquery(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q8_single_agg_exchange(spark):
+    """Q8's 8-table star join: every dimension broadcast, lineitem streams
+    through — the only hash exchange is the per-year aggregate."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.q8_market_share(spark, SF_DIR), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 6
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """Q21's EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti with the
+    non-equi suppkey residual attached to the join, not a filter above a
+    cross product."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.q21_waiting_supplier(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    """The per-group cap plans as WindowGroupLimit: each partition stops
+    ranking after `cap` rows instead of fully sorting every group."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t6_quota_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_split_is_map_only(spark):
+    """t5 must be a pure map pass: no exchange anywhere in the plan."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t5_hash_split(spark, SF_DIR), mode="simple")
+    assert "Exchange" not in plan
