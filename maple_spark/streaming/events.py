@@ -161,6 +161,42 @@ def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(user_dim), on="user_id", how="left")
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time band: right
+    rows join left rows whose timestamp falls in [l.ts, l.ts + within).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — the two things that let Structured Streaming evict buffered
+    rows instead of holding both streams forever (state per side ≈
+    arrival rate × (watermark + within)).  Batch DataFrames run the same
+    plan (duality: identical condition, no state).  Output columns are
+    key, l_ts/r_ts, and both values."""
+    l = left.select(
+        F.col(key), F.col("ts").alias("l_ts"), F.col("value").alias("l_value")
+    )
+    r = right.select(
+        F.col(key).alias("__rk"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        key, "l_ts", "r_ts", "l_value", "r_value"
+    )
+
+
 def stream_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str
 ):

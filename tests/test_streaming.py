@@ -261,3 +261,30 @@ def test_stream_dedup_drops_replayed_events(spark, tmp_path_factory):
         (r["event_id"], r["value"])
         for r in dedup_stream(batch_all, ["event_id"]).collect()
     ) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream banded join (watermarked both sides) produces the
+    batch answer on the finite fixture — the duality guarantee for the
+    hardest stateful operator."""
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import join_streams, read_events_stream
+
+    batch = load_table(spark, SF_DIR, "events")
+    want = rows(join_streams(batch, batch, within="30 minutes"))
+
+    s1 = read_events_stream(spark, SF_DIR)
+    s2 = read_events_stream(spark, SF_DIR)
+    q = (
+        join_streams(s1, s2, within="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = rows(spark.sql("SELECT * FROM ss_join"))
+    assert got == want
+    assert len(got) > 0
