@@ -134,3 +134,31 @@ def test_hash_split_is_map_only(spark):
 
     plan = explain_str(e.t5_hash_split(spark, SF_DIR), mode="simple")
     assert "Exchange" not in plan
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """The 100 TB safety net made visible: a join whose build side is
+    statically over the broadcast estimate but *runtime*-small gets
+    flipped to a broadcast join by AQE after the shuffle stage reports
+    its true size.  This is why the engine can plan for the worst case
+    and still get dimension-join speed when filters bite."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 450000)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # static planner sees the un-executed file-size estimate (> 1 KB) and
+    # must pick SMJ; AQE's own threshold stays generous so the *measured*
+    # post-filter shuffle size qualifies for conversion
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+    try:
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_totalprice"
+        )
+        static_plan = explain_str(joined, mode="simple")
+        assert "SortMergeJoin" in static_plan  # static planner picks SMJ
+        joined.collect()  # execute so AQE finalizes with runtime stats
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final_plan  # AQE flipped it
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -288,3 +288,46 @@ def test_stream_stream_join_equals_batch(spark):
     got = rows(spark.sql("SELECT * FROM ss_join"))
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path_factory):
+    """Exactly-once across restarts: run to completion, add a new source
+    file, restart from the same checkpoint — the second run processes ONLY
+    the new file (no reprocessing, no loss)."""
+    from datetime import datetime
+
+    d = str(tmp_path_factory.mktemp("restart_src"))
+    out = str(tmp_path_factory.mktemp("restart_out"))
+    ckpt = str(tmp_path_factory.mktemp("restart_ckpt"))
+    ts = lambda s: datetime.fromisoformat(s)
+    schema = "event_id long, ts timestamp, value double"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1.0), (2, ts("2024-01-01 10:01:00"), 2.0)],
+        schema,
+    ).coalesce(1).write.parquet(f"{d}/f1")
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    spark.createDataFrame(
+        [(3, ts("2024-01-01 10:02:00"), 3.0)], schema
+    ).coalesce(1).write.parquet(f"{d}/f2")
+    run_once()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # each source row exactly once across restarts
