@@ -1,0 +1,57 @@
+"""Batch embedding inference plumbing (model stubbed, pipeline real).
+
+The GPU-inference shape for corpus embedding: texts stream through
+``mapInPandas`` in Arrow batches, each batch is encoded as one tensor
+call, and rows come back with a fixed-width ``array<float>`` column.
+The container has no model runtime, so the encoder is a deterministic
+fake (md5-seeded unit vector per text) — swap ``_encode_batch`` for a
+real model and nothing else changes: schema, batching, partitioning,
+and downstream ANN (``pipelines.similarity``) are identical.
+
+Scale notes: one Python worker per partition, one encoder call per Arrow
+batch (``spark.sql.execution.arrow.maxRecordsPerBatch`` is the batch-size
+knob ≈ GPU batch size); embeddings are fixed-width so everything
+downstream shuffles signatures, not text.  Partition count should match
+accelerator count on a real cluster — repartition upstream, not here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _encode_batch(texts: pd.Series, dim: int) -> np.ndarray:
+    """Deterministic stand-in for model.encode(batch): md5-seeded
+    pseudo-random unit vector per text.  Replace with a real encoder —
+    the (n_rows, dim) float32 contract is what matters."""
+    out = np.empty((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        seed = int.from_bytes(
+            hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()[:8], "big"
+        )
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(dim).astype(np.float32)
+        out[i] = v / (np.linalg.norm(v) or 1.0)
+    return out
+
+
+def embed_texts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 16
+) -> DataFrame:
+    """(id, embedding array<float>) via Arrow-batched fake inference."""
+    schema = f"{id_col} long, embedding array<float>"
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = _encode_batch(pdf[text_col], dim)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "embedding": list(map(list, vecs))}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(infer, schema=schema)

@@ -291,3 +291,33 @@ def test_oph_signature_estimates_jaccard(spark, dup_corpus):
     assert agree(1, 3) > 0.6           # near dup (true jaccard ~0.75)
     assert agree(1, 4) < 0.3           # unrelated
     assert all(len(s) == 64 and all(v is not None for v in s) for s in sigs.values())
+
+
+def test_embed_texts_batch_inference_plumbing(spark):
+    """Embedding-inference stub: fixed-width float32 vectors, deterministic
+    across runs and partitionings, unit-norm, identical text → identical
+    embedding — then flows straight into the ANN operators."""
+    from maple_spark.pipelines.inference import embed_texts
+    from maple_spark.pipelines.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = embed_texts(docs, dim=8)
+    rows_ = emb.collect()
+    assert all(len(r["embedding"]) == 8 for r in rows_)
+    by_id = {r["doc_id"]: r["embedding"] for r in rows_}
+    assert by_id[0] == by_id[5]  # same text → same vector
+    assert by_id[0] != by_id[1]
+    import math
+
+    assert abs(math.fsum(x * x for x in by_id[0]) - 1.0) < 1e-5  # unit norm
+    # repartitioned input produces identical vectors (no partition state)
+    again = {r["doc_id"]: r["embedding"] for r in embed_texts(docs.repartition(7), dim=8).collect()}
+    assert again == by_id
+    # plumbing contract: output feeds the existing ANN operators directly
+    corpus = emb.withColumnRenamed("doc_id", "vec_id")
+    top = cosine_topk(corpus, corpus.where("vec_id = 0"), k=3)
+    got = [r["neighbor_id"] for r in top.orderBy("rk").collect()]
+    assert set(got) <= {5, 10, 15}  # its text-duplicates rank first (self excluded)
