@@ -58,3 +58,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_warehouse):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew handling made visible: one hot key dominating a sort-merge
+    join gets its shuffle partition split at runtime (isSkew=true in the
+    final plan) — the first line of defense before manual salting."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(0, 200_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    rest = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.unionByName(rest)
+    right = spark.range(0, 100).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("rv")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, "k")
+        joined.collect()  # execute THIS plan so its AQE final plan exists
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in final_plan or "skew=true" in final_plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
