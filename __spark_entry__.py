@@ -689,6 +689,32 @@ def t6_quota_sample(spark, sf_dir):
     )
 
 
+def cp1_corpus_pipeline(spark, sf_dir):
+    """Capstone composition — the full curation pass a training corpus
+    gets, as ONE oracle-checked dataflow: quality-score filter (t3) →
+    exact dedup keeping the lowest doc_id (d1) → deterministic
+    train/valid/test hash split (t5) → per-(lang, split) quota (t6).
+    Every stage is individually hash-verified; this entry proves they
+    compose deterministically.  At 100 TB each stage is one map pass or
+    one bounded shuffle — see SCALE.md per stage."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(d).select(
+        "doc_id", "text", "lang", "quality"
+    )
+    kept = scored.where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc())
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split = sampling.hash_split(deduped, "doc_id", 80, 10)
+    capped = sampling.quota_sample(split, ["lang", "split"], "doc_id", cap=40)
+    return capped.select("doc_id", "lang", "split", "quality")
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1624,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_dedup_clusters": d5_dedup_clusters,
         "t5_hash_split": t5_hash_split,
         "t6_quota_sample": t6_quota_sample,
+        "cp1_corpus_pipeline": cp1_corpus_pipeline,
         "sim1_cosine_topk": sim1_cosine_topk,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
@@ -2071,6 +2098,50 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rk
               FROM documents
             ) WHERE rk <= 30
+        """,
+        "cp1_corpus_pipeline": """
+            WITH scored AS (
+              SELECT doc_id,
+                     round((least(n_words / 20.0, 1.0)
+                            + (1.0 - least(punct_ratio * 5, 1.0))
+                            + least(stopword_ratio * 4, 1.0)) / 3.0, 6) AS quality
+              FROM (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_words,
+                       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(CAST(len(list_filter(string_split(text, ' '),
+                             w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                             AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                         AS stopword_ratio
+                FROM documents
+              )
+            ), kept AS (
+              SELECT d.doc_id, d.text, d.lang, s.quality
+              FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+              WHERE s.quality >= 0.5
+            ), deduped AS (
+              SELECT doc_id, lang, quality FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+                FROM kept
+              ) WHERE rn = 1
+            ), split AS (
+              SELECT doc_id, lang, quality, bucket,
+                     CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT *,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 100 AS bucket
+                FROM deduped
+              )
+            )
+            SELECT doc_id, lang, split, quality FROM (
+              SELECT *, row_number() OVER (PARTITION BY lang, split
+                                           ORDER BY doc_id ASC) AS rk
+              FROM split
+            ) WHERE rk <= 40
         """,
         "sim1_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id,

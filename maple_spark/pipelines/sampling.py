@@ -47,13 +47,14 @@ def hash_split(
 
 
 def quota_sample(
-    df: DataFrame, group_col: str, order_col: str, cap: int
+    df: DataFrame, group_col: str | list[str], order_col: str, cap: int
 ) -> DataFrame:
-    """Keep at most ``cap`` rows per group, chosen by ascending
-    ``order_col`` (deterministic — no sampling noise).  The balanced-
-    corpus primitive: cap over-represented languages/sources instead of
-    global downsampling."""
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    """Keep at most ``cap`` rows per group (single column or composite),
+    chosen by ascending ``order_col`` (deterministic — no sampling
+    noise).  The balanced-corpus primitive: cap over-represented
+    languages/sources instead of global downsampling."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*groups).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= cap)
