@@ -39,6 +39,7 @@ HEADLINE = [
     "sim1_cosine_topk",
     "t1_text_stats",
     "st1_hourly_agg",
+    "cp1_corpus_pipeline",
 ]
 
 
