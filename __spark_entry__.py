@@ -754,6 +754,30 @@ def mm1_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "n_frames")
 
 
+def mm3_embed_stub(spark, sf_dir):
+    """Arrow-batched embedding inference over documents (encoder stubbed
+    deterministically — no model runtime in the container; the mapInPandas
+    batching, array<float> schema, and ANN handoff are the real pipeline).
+    Rows-only check: vectors are Python-side md5-seeded floats with no SQL
+    twin; determinism + unit-norm + ANN-composability are pytest-verified."""
+    from maple_spark.pipelines.inference import embed_texts
+
+    d = _t(spark, sf_dir, "documents")
+    emb = embed_texts(d, dim=16)
+    return emb.select(
+        "doc_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS-filtered priority counts (semi join against
     a date-windowed fact subset)."""
@@ -1657,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim4_ivf_topk": sim4_ivf_topk,
         "mm1_media_features": mm1_media_features,
         "mm2_frame_stats": mm2_frame_stats,
+        "mm3_embed_stub": mm3_embed_stub,
         "hh1_heavy_hitters": hh1_heavy_hitters,
         "enc1_encoding_report": enc1_encoding_report,
         "q2_groupwise_max": q2_groupwise_max,

@@ -24,6 +24,7 @@ def test_rows_only_set_is_intentional():
         "sim3_lsh_topk",
         "sim4_ivf_topk",
         "enc1_encoding_report",
+        "mm3_embed_stub",
     }
 
 
