@@ -252,7 +252,10 @@ def verify_jaccard(
         .distinct()
     )
     cand_docs = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-    sh = shingle(cand_docs, id_col, text_col, k)
+    # three consumers below (per-doc counts + both sides of the pair join)
+    # would each re-run the shingle explode over the candidate docs;
+    # materialize it once — candidate-bounded, so small at any corpus size
+    sh = shingle(cand_docs, id_col, text_col, k).localCheckpoint(eager=False)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # Join the two shingle streams through the pair table on (pair, shingle):
     # cost follows the candidate list, not the corpus squared.  The pair
