@@ -245,7 +245,6 @@ def test_hash_split_deterministic_and_complete(spark):
     """Split is stable across runs and across corpus growth: every id keeps
     its bucket when the table doubles (content-stable hashing, the property
     rand(seed) lacks), and the three splits partition the corpus."""
-    from maple_spark.pipelines.dedup import connected_components  # noqa: F401
     from maple_spark.pipelines.sampling import hash_split
 
     small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
