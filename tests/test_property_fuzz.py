@@ -153,3 +153,45 @@ def test_random_outer_joins_agree(join_engines, how, pred):
     srow = spark.sql(sql).collect()[0]
     orow = con.execute(sql).fetchone()
     assert (srow["n"], srow["so"], srow["sc"]) == orow, (how, pred)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(group=st.sampled_from(["p_brand", "p_size", "p_type"]), pred=predicate)
+def test_random_decimal_sums_agree(engines, group, pred):
+    """The decimal-exact aggregation rule under random predicates: DECIMAL
+    sums cast to double must be bit-identical across engines regardless of
+    which rows a random filter admits."""
+    spark, con = engines
+    sql = (
+        f"SELECT {group} AS g, "
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(p_size AS DECIMAL(18,2))) AS DOUBLE) AS z "
+        f"FROM fuzz_part WHERE {pred} GROUP BY {group}"
+    )
+    srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+    orows = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert srows == orows, pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(part=st.sampled_from(["p_brand", "p_type"]), pred=predicate)
+def test_random_window_ranks_agree(engines, part, pred):
+    """Window determinism under random filters: rank over a unique total
+    order (p_partkey) must agree row-for-row."""
+    spark, con = engines
+    sql = (
+        "SELECT p_partkey, "
+        f"CAST(row_number() OVER (PARTITION BY {part} ORDER BY p_partkey ASC) AS BIGINT) AS rn "
+        f"FROM fuzz_part WHERE {pred}"
+    )
+    srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+    orows = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert srows == orows, pred
