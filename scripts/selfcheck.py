@@ -5,7 +5,7 @@ DuckDB at the given scale factor, then compares row count, column names,
 and exact values (rows sorted by all columns, columns sorted by name) —
 the strictest reading of the driver's value-hash compare.
 
-Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+Usage: python scripts/selfcheck.py [sf_dir] [query ...] [-excluded_query ...]
 """
 
 from __future__ import annotations
@@ -43,7 +43,10 @@ def normalize(df, float_ndigits=9):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # bare names = run only those; "-name" = exclude (e.g. the
+    # intentionally-quadratic exact verifiers d2/d5 at sf >= 0.1)
+    only = {a for a in sys.argv[2:] if not a.startswith("-")}
+    excluded = {a[1:] for a in sys.argv[2:] if a.startswith("-")}
 
     import __spark_entry__ as entrymod
     from maple_spark.session import get_spark
@@ -64,7 +67,7 @@ def main():
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in excluded:
             continue
         t0 = time.time()
         try:
