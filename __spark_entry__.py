@@ -87,13 +87,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # §2.1 / §2.2 — scans, projection, filter, rename
 # ----------------------------------------------------------------------
 
+#: timestamp outputs leave the engine as ISO strings: Spark's
+#: date_format(..SSSSSS) and DuckDB's strftime(..%f) agree byte-for-byte,
+#: which keeps the driver's value-hash independent of pandas datetime64
+#: unit (ns vs us) differences between the two clients.
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
 def s1_scan_filter(spark, sf_dir):
     """FileScanNode w/ inlined predicate (plans/FileScanNode.java:18):
-    filter+projection pushed into the Parquet scan."""
+    filter+projection pushed into the Parquet scan (predicates stay on the
+    raw timestamp column — only the output projection formats it)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.where(
         (F.col("l_quantity") > 45) & (F.col("l_shipdate") < "1996-01-01")
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.date_format("l_shipdate", TS_FMT).alias("l_shipdate"),
+    )
 
 
 def p1_project_expr(spark, sf_dir):
@@ -554,7 +567,13 @@ def q3_shipping_priority(spark, sf_dir):
     return (
         agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 10)
-        .select("rn", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "rn",
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", TS_FMT).alias("o_orderdate"),
+            "o_orderpriority",
+        )
     )
 
 
@@ -1032,7 +1051,12 @@ def aj1_asof_join(spark, sf_dir):
         clicks, purchases, key="user_id", left_time="ts", right_time="ts",
         payload_cols=["purchase_value"],
     )
-    return out.select("event_id", "user_id", "ts", "purchase_value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "purchase_value",
+    )
 
 
 def rj1_range_join(spark, sf_dir):
@@ -1105,14 +1129,27 @@ def st1_hourly_agg(spark, sf_dir):
     """Streaming-shaped tumbling rollup in its batch binding (same logical
     plan as the readStream path — see maple_spark.streaming.events)."""
     e = _t(spark, sf_dir, "events")
-    return hourly_agg_batch(e)
+    out = hourly_agg_batch(e)
+    return out.select(
+        F.date_format("hour", TS_FMT).alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 def st2_sessionize(spark, sf_dir):
     """Session windows (30 min gap) per user — batch binding of the
     session_window operator."""
     e = _t(spark, sf_dir, "events")
-    return sessionize(e, gap="30 minutes")
+    out = sessionize(e, gap="30 minutes")
+    return out.select(
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        F.date_format("session_end", TS_FMT).alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
 
 
 def j3_sort_merge_join(spark, sf_dir):
@@ -1556,7 +1593,9 @@ def dt1_date_interval(spark, sf_dir):
         # DATE kept as ISO string: Spark collects DateType as datetime.date,
         # DuckDB as Timestamp — same value, different harness repr
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), TS_FMT
+        ).alias("due_ts"),
         F.year("o_orderdate").cast("bigint").alias("y"),
         F.month("o_orderdate").cast("bigint").alias("m"),
         F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
@@ -1733,7 +1772,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flagship_join_topk": FLAGSHIP_ORACLE,
         "s1_scan_filter": """
-            SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') AS l_shipdate
             FROM lineitem
             WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-01-01'
         """,
@@ -1966,7 +2006,9 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_totalprice DESC, o_orderkey ASC)
         """,
         "q3_shipping_priority": """
-            SELECT rn, l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+            SELECT rn, l_orderkey, revenue,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+                   o_orderpriority FROM (
               SELECT row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rn,
                      l_orderkey, revenue, o_orderdate, o_orderpriority
               FROM (
@@ -2350,7 +2392,8 @@ def oracle_sql() -> dict[str, str]:
                                WHERE c2.c_nationkey = c1.c_nationkey)
         """,
         "aj1_asof_join": """
-            SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, p.purchase_value
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') c
             ASOF LEFT JOIN
@@ -2389,7 +2432,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m, unnest(generate_series(0, nf - 1, 2)) AS t(fi)
         """,
         "st1_hourly_agg": f"""
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour, event_type,
                    COUNT(*) AS n_events,
                    {dsum("value", "sum_value", 6)}
             FROM events GROUP BY date_trunc('hour', ts), event_type
@@ -2631,7 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         "dt1_date_interval": """
             SELECT o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-                   o_orderdate + INTERVAL '30 days' AS due_ts,
+                   strftime(o_orderdate + INTERVAL '30 days', '%Y-%m-%d %H:%M:%S.%f') AS due_ts,
                    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
                    CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
                    CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d,
@@ -2666,8 +2709,8 @@ def oracle_sql() -> dict[str, str]:
                                        ROWS UNBOUNDED PRECEDING) AS session_id
               FROM marked
             )
-            SELECT MIN(ts) AS session_start,
-                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+            SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                    user_id, COUNT(*) AS n_events,
                    {dsum("value", "sum_value", 6)}
             FROM sessions GROUP BY user_id, session_id
