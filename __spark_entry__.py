@@ -1559,6 +1559,143 @@ def a10_percentiles(spark, sf_dir):
     )
 
 
+def a9_grouping_sets(spark, sf_dir):
+    """A9 extension: explicit GROUPING SETS (the general form rollup/cube
+    specialize).  Same partial+final hash-agg plan as a plain groupBy —
+    Spark expands the sets map-side, so each input row is aggregated once
+    per set without re-scanning."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum("l_quantity", "sum_qty", 2),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+def w2_window_lead_movavg(spark, sf_dir):
+    """Analytic-window surface beyond w1: lead/lag offsets, first_value,
+    frame-bounded moving average, ntile/percent_rank/cume_dist.  The
+    moving average is SUM(decimal)/COUNT over an explicit ROWS frame so
+    both engines compute the identical exact sum before one FP divide."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w4 = w.rowsBetween(-3, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.lag("o_totalprice", 2).over(w).alias("prev2_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w4).cast("double")
+            / F.count(F.lit(1)).over(w4)
+        ).alias("movavg4"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def pv1_pivot(spark, sf_dir):
+    """PIVOT: order counts + exact price sums per priority, one column set
+    per order status.  Values are enumerated explicitly — at scale the
+    implicit form would first run a distinct over the pivot column; pinning
+    the list keeps this a single pass with a fixed schema."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.col("F_sum_price").alias("sum_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.col("O_sum_price").alias("sum_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.col("P_sum_price").alias("sum_p"),
+    )
+
+
+def ts1_gapfill(spark, sf_dir):
+    """Time-series gap-fill: zero-fill every (hour, event_type) cell over
+    the full observed range — the densification step before charting or
+    windowed model features.  The hour grid comes from sequence() over the
+    1-row min/max agg and the type list is a broadcast dim, so the only
+    real shuffle is the hourly pre-aggregation itself."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", TS_FMT).alias("hour"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def ts2_locf(spark, sf_dir):
+    """LOCF (last-observation-carried-forward) interpolation: every event
+    carries the user's most recent purchase value — last(ignorenulls) over
+    an unbounded-preceding ROWS frame, the standard sparse→dense feature
+    fill.  One shuffle on user_id; state per partition is a single value."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.last(purchase_value, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+def st3_sliding_window(spark, sf_dir):
+    """Sliding (hopping) windows — 1 h window every 15 min — in the batch
+    binding of streaming.windowed_agg; each event lands in exactly 4
+    epoch-aligned windows.  On the stream path the same plan runs
+    incrementally with watermark-evicted window state."""
+    from maple_spark.streaming.events import windowed_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_agg(e, "1 hour", "15 minutes")
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        F.date_format("window_end", TS_FMT).alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: tight scan-filter-aggregate — the pure pushdown +
     vectorized-scan benchmark (every predicate reaches the Parquet
@@ -1759,6 +1896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "a9_cube": a9_cube,
         "a10_percentiles": a10_percentiles,
+        "a9_grouping_sets": a9_grouping_sets,
+        "w2_window_lead_movavg": w2_window_lead_movavg,
+        "pv1_pivot": pv1_pivot,
+        "ts1_gapfill": ts1_gapfill,
+        "ts2_locf": ts2_locf,
+        "st3_sliding_window": st3_sliding_window,
     }
 
 
@@ -2714,5 +2857,91 @@ def oracle_sql() -> dict[str, str]:
                    user_id, COUNT(*) AS n_events,
                    {dsum("value", "sum_value", 6)}
             FROM sessions GROUP BY user_id, session_id
+        """,
+        "a9_grouping_sets": f"""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   {dsum("l_quantity", "sum_qty", 2)},
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_status
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "w2_window_lead_movavg": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   lag(o_totalprice, 2) OVER w AS prev2_price,
+                   first_value(o_orderkey) OVER w AS first_key,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER w4
+                        AS DOUBLE) / COUNT(*) OVER w4 AS movavg4,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders WHERE o_totalprice > 300000
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_orderdate ASC, o_orderkey ASC),
+                   w4 AS (PARTITION BY o_orderpriority
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "pv1_pivot": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                        FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                        FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS sum_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "ts1_gapfill": """
+            WITH bounds AS (
+              SELECT date_trunc('hour', MIN(ts)) AS h0,
+                     date_trunc('hour', MAX(ts)) AS h1
+              FROM events
+            ), grid AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM bounds
+            ), types AS (
+              SELECT DISTINCT event_type FROM events
+            ), hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT strftime(g.hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+                   t.event_type,
+                   COALESCE(h.n_events, 0) AS n_events
+            FROM grid g
+            CROSS JOIN types t
+            LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
+        """,
+        "ts2_locf": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS last_purchase_value
+            FROM events
+        """,
+        "st3_sliding_window": f"""
+            WITH expanded AS (
+              SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+                       - s * INTERVAL 15 MINUTES AS window_start,
+                     event_type, value
+              FROM events, unnest([0, 1, 2, 3]) AS t(s)
+            )
+            SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S.%f')
+                     AS window_start,
+                   strftime(window_start + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+                   event_type, COUNT(*) AS n_events,
+                   {dsum("value", "sum_value", 6)}
+            FROM expanded GROUP BY expanded.window_start, event_type
         """,
     }

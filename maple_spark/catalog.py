@@ -70,14 +70,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from pyspark.sql.types import LongType
+
     path = table_path(sf_dir, name)
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Arrow reports both INT64 TIMESTAMP(NANOS) and legacy INT96 as "ns",
+    # but Spark reads INT96 as a real timestamp natively — only columns
+    # that actually surfaced as longs need the ns→us truncation.
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
 
 

@@ -162,3 +162,32 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter pruning (InjectRuntimeFilter): a selective dim
+    filter turns into a bloom_filter_agg on the build side whose might_contain
+    probe drops fact rows BEFORE the join shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling only the
+    ~matching fraction.  Thresholds are lowered so the toy scan qualifies;
+    at cluster scale the defaults (10 MB creation side) trigger on real dims."""
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    # broadcast off: bloom pruning targets shuffle joins (broadcast joins
+    # already avoid shuffling the fact side)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
