@@ -1696,6 +1696,47 @@ def st3_sliding_window(spark, sf_dir):
     )
 
 
+def arr1_posexplode(spark, sf_dir):
+    """Array flattening (the lateral/UDTF-shaped surface): posexplode the
+    embedding vectors into (vec_id, dim, v) rows and aggregate per
+    dimension — the layout step behind per-feature normalization stats at
+    training-pipeline scale.  The explode is a narrow map-side generator;
+    the only shuffle carries (dim, partial aggregates)."""
+    em = _t(spark, sf_dir, "embeddings")
+    flat = em.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), F.col("col").alias("v")
+    )
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,9)")).cast("double").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+def lat1_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL join (SQL dialect surface): top-2 orders per
+    customer.  Catalyst decorrelates this into the same window-rank plan a
+    hand-written groupwise top-k produces — no per-customer re-execution,
+    which is what makes the construct viable on a 100 TB orders table."""
+    from maple_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c_acctbal > 9000
+        """
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: tight scan-filter-aggregate — the pure pushdown +
     vectorized-scan benchmark (every predicate reaches the Parquet
@@ -1902,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts1_gapfill": ts1_gapfill,
         "ts2_locf": ts2_locf,
         "st3_sliding_window": st3_sliding_window,
+        "arr1_posexplode": arr1_posexplode,
+        "lat1_lateral_topn": lat1_lateral_topn,
     }
 
 
@@ -2943,5 +2986,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    {dsum("value", "sum_value", 6)}
             FROM expanded GROUP BY expanded.window_start, event_type
+        """,
+        "arr1_posexplode": """
+            WITH flat AS (
+              SELECT vec_id,
+                     unnest(range(1, array_length(embedding) + 1)) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+                   CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) AS sum_v,
+                   MIN(v) AS min_v, MAX(v) AS max_v
+            FROM flat GROUP BY dim
+        """,
+        "lat1_lateral_topn": """
+            SELECT c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer JOIN LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+            ) t ON TRUE
+            WHERE c_acctbal > 9000
         """,
     }

@@ -191,3 +191,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """Correlated LATERAL top-2 must NOT execute per-customer: Catalyst
+    decorrelates to a partial/final WindowGroupLimit over orders plus one
+    join — the only plan that survives a 100 TB orders table."""
+    import __spark_entry__ as e
+
+    plan = e.lat1_lateral_topn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
