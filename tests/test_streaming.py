@@ -331,3 +331,71 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path_factory):
     run_once()
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # each source row exactly once across restarts
+
+
+def test_transform_with_state_ewma(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API): the streamed
+    per-user EWMA equals a driver-side recompute over the same events in
+    event-time order.  Runs under RocksDB — the API requires the v2 state
+    store, which is also the only backend that holds cluster-scale state.
+
+    The API's state-server protocol needs google.protobuf, which this
+    container lacks — skipped (not failed) where absent; the operator in
+    maple_spark.streaming.stateful is environment-gated the same way."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import read_events_stream, run_stream_to_memory
+    from maple_spark.streaming.stateful import user_ewma_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_ewma_stream(read_events_stream(spark, SF_DIR), alpha=0.25)
+        # update-mode memory sink (transformWithState is not an aggregation,
+        # so the complete-mode helper doesn't apply); the single availableNow
+        # batch emits exactly one row per user
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ewma_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["user_id"]: (r["n_events"], r["ewma_value"])
+            for r in spark.sql(
+                "SELECT user_id, n_events, ewma_value FROM ewma_tws"
+            ).collect()
+        }
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+    )
+    for user_id, grp in pdf.groupby("user_id"):
+        n, ewma = 0, 0.0
+        for v in grp["value"]:
+            v = float(v)
+            ewma = v if n == 0 else 0.25 * v + 0.75 * ewma
+            n += 1
+        gn, ge = got[user_id]
+        assert gn == n
+        assert abs(ge - ewma) < 1e-9
