@@ -1696,6 +1696,28 @@ def st3_sliding_window(spark, sf_dir):
     )
 
 
+def a11_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches binding): per-priority
+    distinct-customer estimates plus the re-aggregated global estimate via
+    hll_union_agg.  Mergeability is the 100 TB property — partial sketches
+    combine across partitions/days without re-scanning, unlike exact
+    COUNT(DISTINCT).  Rows-only check (DuckDB's approx engine differs);
+    accuracy and union-consistency are pytest-asserted."""
+    o = _t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sk")
+    )
+    return per_group.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    ).unionByName(
+        per_group.agg(F.hll_union_agg("sk").alias("sk")).select(
+            F.lit("ALL").alias("o_orderpriority"),
+            F.hll_sketch_estimate("sk").alias("approx_customers"),
+        )
+    )
+
+
 def arr1_posexplode(spark, sf_dir):
     """Array flattening (the lateral/UDTF-shaped surface): posexplode the
     embedding vectors into (vec_id, dim, v) rows and aggregate per
@@ -1945,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st3_sliding_window": st3_sliding_window,
         "arr1_posexplode": arr1_posexplode,
         "lat1_lateral_topn": lat1_lateral_topn,
+        "a11_hll_sketch": a11_hll_sketch,
     }
 
 

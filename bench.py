@@ -40,6 +40,10 @@ HEADLINE = [
     "t1_text_stats",
     "st1_hourly_agg",
     "cp1_corpus_pipeline",
+    "w2_window_lead_movavg",
+    "ts1_gapfill",
+    "st3_sliding_window",
+    "arr1_posexplode",
 ]
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from conftest import SF_DIR
+from conftest import SF_DIR, SF_MED
 
 
 def test_approx_count_distinct_within_rsd(spark):
@@ -37,3 +37,38 @@ def test_freq_items_contains_true_heavy_hitter(spark):
     )
     freq = df.freqItems(["k"], support=0.4).collect()[0][0]
     assert "hot" in freq
+
+
+def test_hll_sketch_accuracy_and_union_consistency(spark):
+    """a11: per-group HLL estimates land within ~3% of exact (lgK=12 →
+    ~1.6% RSE), and the union of the group sketches equals sketching the
+    whole column directly — the mergeability that lets partial sketches
+    roll up across partitions/days without re-scanning raw data."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from maple_spark.catalog import load_table
+
+    got = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in e.a11_hll_sketch(spark, SF_MED).collect()
+    }
+    o = load_table(spark, SF_MED, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.03, (k, est, exact[k])
+
+    # union-of-sketches vs one direct sketch: a direct sketch keeps the
+    # HIP estimator, which a union must discard — so the two estimates
+    # agree within the sketch's error, not bit-for-bit
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("est")
+    ).collect()[0]["est"]
+    assert abs(got["ALL"] - direct) / direct < 0.02
