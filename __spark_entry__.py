@@ -1696,6 +1696,25 @@ def st3_sliding_window(spark, sf_dir):
     )
 
 
+def t7_rolling_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash content fingerprint (Rabin–Karp family,
+    base 257 mod 1e9+7) folded over the codepoints — unlike md5 (t4) the
+    prefix hashes are reusable for winnowing/chunking.  Engine-portable
+    arithmetic (the fold is exact bigint in both engines), so this one is
+    oracle-checked; the xxhash shingle variant stays Spark-side
+    (textstats.fp_rolling)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_fp"),
+        F.expr(
+            "aggregate(sequence(1, length(text)), 0L,"
+            " (acc, i) -> (acc * 257 + ascii(substring(text, i, 1)))"
+            " % 1000000007)"
+        ).alias("fp_poly"),
+    )
+
+
 def a11_hll_sketch(spark, sf_dir):
     """Mergeable HLL sketches (Apache DataSketches binding): per-priority
     distinct-customer estimates plus the re-aggregated global estimate via
@@ -1968,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arr1_posexplode": arr1_posexplode,
         "lat1_lateral_topn": lat1_lateral_topn,
         "a11_hll_sketch": a11_hll_sketch,
+        "t7_rolling_fingerprint": t7_rolling_fingerprint,
     }
 
 
@@ -3030,5 +3050,15 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
             ) t ON TRUE
             WHERE c_acctbal > 9000
+        """,
+        "t7_rolling_fingerprint": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_fp,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                         i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 257 + c) % 1000000007) AS fp_poly
+            FROM documents
         """,
     }
