@@ -167,16 +167,21 @@ def join_streams(
     key: str = "user_id",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` with an event-time band: right
-    rows join left rows whose timestamp falls in [l.ts, l.ts + within).
+    """Stream-stream join on ``key`` with an event-time band: right rows
+    join left rows whose timestamp falls in [l.ts, l.ts + within).
 
     Both sides carry watermarks and the join condition bounds event-time
     distance — the two things that let Structured Streaming evict buffered
     rows instead of holding both streams forever (state per side ≈
-    arrival rate × (watermark + within)).  Batch DataFrames run the same
-    plan (duality: identical condition, no state).  Output columns are
-    key, l_ts/r_ts, and both values."""
+    arrival rate × (watermark + within)).  ``how`` extends to
+    ``left_outer``/``right_outer``/``full_outer``: null-padded rows for a
+    buffered input emit once the watermark passes its eviction time (i.e.
+    on a LATER micro-batch — an unmatched row can't be declared unmatched
+    until no future input could still join it).  Batch DataFrames run the
+    same plan (duality: identical condition, no state).  Output columns
+    are key, l_ts/r_ts, and both values."""
     l = left.select(
         F.col(key), F.col("ts").alias("l_ts"), F.col("value").alias("l_value")
     )
@@ -192,7 +197,7 @@ def join_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         key, "l_ts", "r_ts", "l_value", "r_value"
     )
 

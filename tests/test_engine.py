@@ -165,3 +165,51 @@ def test_engine_verify_key_uniqueness(spark):
     eng = MapleEngine(spark, SF_DIR)
     assert eng.verify("orders", ["o_orderkey"]).count() == 0
     assert eng.verify("lineitem", ["l_orderkey", "l_linenumber"]).count() > 0
+
+
+def test_tcp_query_server_round_trip(spark):
+    """SharedServer parity (SURVEY §3.2): concurrent clients over TCP share
+    one engine; results stream back row-limited; errors come back on the
+    wire instead of killing the connection."""
+    import threading
+
+    from maple_spark.engine import MapleEngine
+    from maple_spark.server import QueryServer, query_once
+
+    from conftest import SF_DIR
+
+    engine = MapleEngine(spark, SF_DIR, tables=("region", "nation"))
+    server = QueryServer(engine)
+    server.start_background()
+    try:
+        resp = query_once("127.0.0.1", server.port, "SELECT COUNT(*) AS n FROM region")
+        assert resp["ok"] and resp["rows"] == [[5]]
+
+        # row-limit streaming: 25 nation rows, limit 10 → truncated
+        resp = query_once(
+            "127.0.0.1", server.port, "SELECT n_nationkey FROM nation", limit=10
+        )
+        assert resp["ok"] and len(resp["rows"]) == 10 and resp["truncated"]
+
+        # errors are a response, not a dropped connection
+        resp = query_once("127.0.0.1", server.port, "SELECT * FROM no_such_table")
+        assert not resp["ok"] and "no_such_table" in resp["error"]
+
+        # two concurrent clients against the shared session
+        out = {}
+
+        def go(tag, sql):
+            out[tag] = query_once("127.0.0.1", server.port, sql)
+
+        threads = [
+            threading.Thread(target=go, args=("a", "SELECT MAX(n_nationkey) AS m FROM nation")),
+            threading.Thread(target=go, args=("b", "SELECT COUNT(*) AS n FROM nation")),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        assert out["a"]["rows"] == [[24]] and out["b"]["rows"] == [[25]]
+    finally:
+        server.shutdown()
+        server.server_close()

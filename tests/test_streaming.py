@@ -399,3 +399,93 @@ def test_transform_with_state_ewma(spark):
         gn, ge = got[user_id]
         assert gn == n
         assert abs(ge - ewma) < 1e-9
+
+
+def test_stream_stream_left_outer_join_emits_null_padded(spark, tmp_path_factory):
+    """Outer stream-stream join: unmatched left rows emit null-padded —
+    but only once a LATER micro-batch advances the watermark past their
+    eviction time (an unmatched row can't be declared unmatched while
+    future input could still join it).  The source is split into two
+    time-ordered files so the second batch both advances the watermark
+    and closes out batch-1 state.
+
+    Assertions are subset-based on the null-padded rows: which unmatched
+    rows emit depends on how far the final watermark advances (rows from
+    the last batch stay in state when the query stops)."""
+    import datetime as dt
+
+    from maple_spark.streaming.events import join_streams
+
+    d = tmp_path_factory.mktemp("outer_src")
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    # batch 1 (early): user 1 click+purchase (match), user 2 click only
+    early = spark.createDataFrame(
+        [
+            (0, ts(0), 1, "click", 1.0),
+            (1, ts(5), 1, "purchase", 10.0),
+            (2, ts(0), 2, "click", 2.0),
+        ],
+        schema,
+    )
+    # batch 2 (hours later) advances the watermark; batch 3 is the one
+    # that runs WITH that advanced watermark and closes out batch-1 state
+    # (watermark updates are committed after a batch, applied on the next)
+    # the global watermark is the MIN across both inputs, so the late
+    # batches must carry clicks AND purchases (for a non-joining user) or
+    # the purchase side would pin the watermark at batch 1 forever
+    late = spark.createDataFrame(
+        [
+            (3, dt.datetime(2024, 1, 1, 9, 0), 3, "click", 3.0),
+            (13, dt.datetime(2024, 1, 1, 9, 0), 99, "purchase", 0.0),
+        ],
+        schema,
+    )
+    later = spark.createDataFrame(
+        [
+            (4, dt.datetime(2024, 1, 1, 9, 5), 4, "click", 4.0),
+            (14, dt.datetime(2024, 1, 1, 9, 6), 98, "purchase", 0.0),
+        ],
+        schema,
+    )
+    import time as _time
+
+    # the file source orders batches by modification time — space them out
+    early.coalesce(1).write.parquet(str(d / "f1"))
+    _time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(d / "f2"))
+    _time.sleep(1.1)
+    later.coalesce(1).write.parquet(str(d / "f3"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    clicks = src.where("event_type = 'click'")
+    purchases = src.where("event_type = 'purchase'")
+    q = (
+        join_streams(
+            clicks, purchases, within="30 minutes", watermark="1 hour",
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = [tuple(r) for r in spark.sql("SELECT * FROM ss_outer").collect()]
+
+    matched = [r for r in got if r[2] is not None]
+    nulls = [r for r in got if r[2] is None]
+    assert matched == [(1, ts(0), ts(5), 1.0, 10.0)]
+    # user 2's click from batch 1 must have been closed out once the
+    # advanced watermark applied; users 3/4 (late batches) may or may not
+    assert (2, ts(0), None, 2.0, None) in nulls
+    assert all(r[0] in (2, 3, 4) for r in nulls)
