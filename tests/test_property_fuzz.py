@@ -195,3 +195,70 @@ def test_random_window_ranks_agree(engines, part, pred):
     srows = sorted(tuple(r) for r in spark.sql(sql).collect())
     orows = sorted(map(tuple, con.execute(sql).fetchall()))
     assert srows == orows, pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate)
+def test_random_grouping_sets_agree(engines, pred):
+    """GROUPING SETS under random predicates: every grouping level's
+    counts, exact sums, and GROUPING() tags must agree across engines
+    (exercises null-as-subtotal-marker vs null-in-data disambiguation).
+
+    Known divergence, excluded: on EMPTY input the SQL standard (and
+    DuckDB) still emit one () grand-total row (n=0), but Spark's
+    Expand-based grouping-sets rewrite emits nothing — grand totals over
+    possibly-empty filters need COUNT(*)-without-GROUP-BY instead."""
+    from hypothesis import assume
+
+    spark, con = engines
+    assume(con.execute(f"SELECT COUNT(*) FROM fuzz_part WHERE {pred}").fetchone()[0] > 0)
+    sql = (
+        "SELECT p_brand, p_size, COUNT(*) AS n, "
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "CAST(GROUPING(p_brand) AS INT) AS gb, "
+        "CAST(GROUPING(p_size) AS INT) AS gs "
+        f"FROM fuzz_part WHERE {pred} "
+        "GROUP BY GROUPING SETS ((p_brand, p_size), (p_brand), ())"
+    )
+    srows = sorted((tuple(r) for r in spark.sql(sql).collect()),
+                   key=lambda t: tuple((x is None, str(x)) for x in t))
+    orows = sorted((tuple(r) for r in con.execute(sql).fetchall()),
+                   key=lambda t: tuple((x is None, str(x)) for x in t))
+    assert srows == orows, pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=st.sampled_from(["p_brand", "p_type"]),
+    frame=st.sampled_from(
+        ["ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"]
+    ),
+    pred=predicate,
+)
+def test_random_window_frames_agree(engines, part, frame, pred):
+    """Frame-bounded window aggregates under random filters: exact decimal
+    sums over explicit ROWS frames, plus lead/lag offsets, row-for-row."""
+    spark, con = engines
+    sql = (
+        "SELECT p_partkey, "
+        f"CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER "
+        f"(PARTITION BY {part} ORDER BY p_partkey ASC {frame}) AS DOUBLE) AS ms, "
+        f"lead(p_size, 1) OVER (PARTITION BY {part} ORDER BY p_partkey ASC) AS nx, "
+        f"lag(p_size, 2) OVER (PARTITION BY {part} ORDER BY p_partkey ASC) AS pv "
+        f"FROM fuzz_part WHERE {pred}"
+    )
+    srows = sorted((tuple(r) for r in spark.sql(sql).collect()),
+                   key=lambda t: tuple((x is None, str(x)) for x in t))
+    orows = sorted((tuple(r) for r in con.execute(sql).fetchall()),
+                   key=lambda t: tuple((x is None, str(x)) for x in t))
+    assert srows == orows, (part, frame, pred)
