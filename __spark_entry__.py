@@ -1696,6 +1696,24 @@ def st3_sliding_window(spark, sf_dir):
     )
 
 
+def str2_edit_distance(spark, sf_dir):
+    """Levenshtein edit distance as the fuzzy-match primitive (entity
+    resolution / near-key joins): nation×region name pairs scored by edit
+    distance.  At scale the cross join is bounded by blocking (join on a
+    cheap key like first letter or a phonetic code) — demonstrated by the
+    ``blk`` flag; the scorer itself is a JVM builtin, no Python."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = _t(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(r).select(
+        "n_name",
+        "r_name",
+        F.levenshtein("n_name", "r_name").cast("bigint").alias("edit_dist"),
+        (
+            F.substring("n_name", 1, 1) == F.substring("r_name", 1, 1)
+        ).alias("blk"),
+    )
+
+
 def t7_rolling_fingerprint(spark, sf_dir):
     """Polynomial rolling-hash content fingerprint (Rabin–Karp family,
     base 257 mod 1e9+7) folded over the codepoints — unlike md5 (t4) the
@@ -1988,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lat1_lateral_topn": lat1_lateral_topn,
         "a11_hll_sketch": a11_hll_sketch,
         "t7_rolling_fingerprint": t7_rolling_fingerprint,
+        "str2_edit_distance": str2_edit_distance,
     }
 
 
@@ -3060,5 +3079,11 @@ def oracle_sql() -> dict[str, str]:
                          i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
                      (acc, c) -> (acc * 257 + c) % 1000000007) AS fp_poly
             FROM documents
+        """,
+        "str2_edit_distance": """
+            SELECT n_name, r_name,
+                   CAST(levenshtein(n_name, r_name) AS BIGINT) AS edit_dist,
+                   substr(n_name, 1, 1) = substr(r_name, 1, 1) AS blk
+            FROM nation CROSS JOIN region
         """,
     }

@@ -155,3 +155,24 @@ def test_jsonl_ingest_with_corrupt_records(spark, tmp_warehouse, tmp_path):
     got = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
     assert got == {1: ("hello world", "en"), 2: ("bonjour", "fr"), 3: ("hola", "es")}
     assert "_corrupt_record" not in out.columns
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_warehouse):
+    """ORC as a second columnar source/sink (S6 encoding-aware ingest
+    applies to any columnar format): values survive the roundtrip and
+    predicates still push into the ORC scan (min/max stripe skipping at
+    scale, like Parquet row groups)."""
+    from maple_spark.catalog import load_table
+    from maple_spark.plans import explain_str
+
+    from conftest import SF_DIR, rows
+
+    src = load_table(spark, SF_DIR, "nation")
+    path = f"{tmp_warehouse}/nation_orc"
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert rows(back) == rows(src)
+
+    filtered = back.where(F.col("n_nationkey") > 10).select("n_nationkey", "n_name")
+    plan = explain_str(filtered, mode="formatted")
+    assert "PushedFilters" in plan and "n_nationkey" in plan
