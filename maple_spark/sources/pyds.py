@@ -1,0 +1,133 @@
+"""Custom Python data source: deterministic synthetic event generator.
+
+Reference analog: the reference's only sources are CSV loads
+(``commands/LoadFileCommand.java:35-60``, SURVEY.md §2.1 S5-S7).  This
+adds the Spark-4 Python DataSource surface — the extension point a user
+reaches for when the data ISN'T files: service backfills, load tests,
+synthetic corpora, or custom protocols.  One class gives both the batch
+reader and a streaming reader (the Kafka-shaped contract: offsets,
+``partitions(start, end)``, ``commit``).
+
+Scale design: every partition generates its slice independently from
+(seed, row-id) arithmetic — no driver-side data, no RNG state to
+coordinate, so 1000 executors generate 1000 slices concurrently and a
+re-read (or a replayed micro-batch) reproduces byte-identical rows.
+That replayability is what makes the stream source exactly-once under
+checkpoint recovery: offsets name row ranges, and row ranges always
+regenerate the same rows.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double"
+)
+
+_TYPES = ("click", "view", "purchase", "error")
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _mix(seed: int, i: int) -> int:
+    """Deterministic 64-bit mix (splitmix64 finalizer) of (seed, row id)."""
+    z = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _row(seed: int, gid: int, n_users: int):
+    h = _mix(seed, gid)
+    return (
+        gid,
+        _EPOCH + timedelta(seconds=gid * 7 + (h & 0x3F)),
+        h % n_users,
+        _TYPES[(h >> 8) % len(_TYPES)],
+        round(((h >> 16) & 0xFFFF) / 655.36, 4),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_users = int(options.get("n_users", 50))
+        self.seed = int(options.get("seed", 42))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_parts)
+        return [
+            _RangePartition(i, min(i + step, self.n_rows))
+            for i in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for gid in range(partition.start, partition.end):
+            yield _row(self.seed, gid, self.n_users)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offsets are row counts; each micro-batch serves the next
+    ``rows_per_batch`` ids.  Because rows derive from (seed, id), any
+    replayed (start, end) range regenerates identical rows — the property
+    checkpoint recovery needs from a source."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 500))
+        self.n_users = int(options.get("n_users", 50))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        return {"offset": self.max_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], end["offset"]
+        mid = (lo + hi) // 2
+        return [p for p in (_RangePartition(lo, mid), _RangePartition(mid, hi)) if p.end > p.start]
+
+    def read(self, partition: _RangePartition):
+        for gid in range(partition.start, partition.end):
+            yield _row(self.seed, gid, self.n_users)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def deserializeOffset(self, json_str: str) -> dict:
+        return json.loads(json_str)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("maple_synth_events")`` / ``readStream`` —
+    register with ``spark.dataSource.register(SyntheticEventsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "maple_synth_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _StreamReader(self.options)

@@ -176,3 +176,56 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_warehouse):
     filtered = back.where(F.col("n_nationkey") > 10).select("n_nationkey", "n_name")
     plan = explain_str(filtered, mode="formatted")
     assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
+def test_python_datasource_batch_deterministic(spark):
+    """Custom Python DataSource (S5-S7 extension surface): partitioned
+    generation, stable schema, and byte-identical re-reads (each row is a
+    pure function of (seed, id) — no coordinated RNG state)."""
+    from maple_spark.sources.pyds import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("maple_synth_events")
+        .option("n_rows", 300)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+    a = rows(df)
+    b = rows(
+        spark.read.format("maple_synth_events")
+        .option("n_rows", 300)
+        .option("partitions", 7)  # different split, same rows
+        .load()
+    )
+    assert len(a) == 300 and a == b
+    assert df.select("event_id").distinct().count() == 300
+
+
+def test_python_datasource_stream_drains_offsets(spark):
+    """The streaming side of the custom source (Kafka-shaped offsets):
+    availableNow drains initialOffset→latestOffset in micro-batches and
+    the union of batches is exactly the offset range, no dups/gaps —
+    replayable ranges are what make it exactly-once under recovery."""
+    from maple_spark.sources.pyds import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("maple_synth_events")
+        .option("max_rows", 250)
+        .option("rows_per_batch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT event_id FROM pyds_stream").collect()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == list(range(250))
