@@ -1232,6 +1232,26 @@ def json_props(spark, sf_dir):
     ).where(F.col("event_id") < 2000)
 
 
+def vnt1_variant_extract(spark, sf_dir):
+    """VARIANT (Spark 4 semi-structured type): parse the props JSON once
+    into a binary variant, then typed-path extraction — at scale this
+    beats per-access get_json_object (one parse, shredded binary reuse)
+    and keeps schema drift out of the table schema.  Aggregates the
+    extracted key per event_type to force the whole parse+extract path."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k_val"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k_val").cast("bigint")).alias("sum_k"),
+        F.min("k_val").alias("min_k"),
+        F.max("k_val").alias("max_k"),
+    )
+
+
 def ck1_constraints(spark, sf_dir):
     """TableSchema constraint validation (relations/TableSchema.java): PK
     uniqueness + FK referential integrity as distributed checks, reported
@@ -2007,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_hll_sketch": a11_hll_sketch,
         "t7_rolling_fingerprint": t7_rolling_fingerprint,
         "str2_edit_distance": str2_edit_distance,
+        "vnt1_variant_extract": vnt1_variant_extract,
     }
 
 
@@ -3085,5 +3106,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(n_name, r_name) AS BIGINT) AS edit_dist,
                    substr(n_name, 1, 1) = substr(r_name, 1, 1) AS blk
             FROM nation CROSS JOIN region
+        """,
+        "vnt1_variant_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
         """,
     }

@@ -320,3 +320,30 @@ def test_embed_texts_batch_inference_plumbing(spark):
     top = cosine_topk(corpus, corpus.where("vec_id = 0"), k=3)
     got = [r["neighbor_id"] for r in top.orderBy("rk").collect()]
     assert set(got) <= {5, 10, 15}  # its text-duplicates rank first (self excluded)
+
+
+def test_observe_metrics_on_corpus_pipeline(spark):
+    """Production observability: df.observe() collects per-stage metrics
+    (rows in, rows surviving quality, quality mean) DURING the pipeline
+    action — no second pass over the data, which at 100 TB is the only
+    affordable way to get stage counts."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines import textstats
+
+    d = load_table(spark, SF_DIR, "documents")
+    obs_in = Observation("corpus_in")
+    obs_q = Observation("quality_gate")
+    scored = textstats.quality_score(d).observe(
+        obs_in, F.count(F.lit(1)).alias("n_in"), F.avg("quality").alias("q_mean")
+    )
+    kept = scored.where(F.col("quality") >= 0.5).observe(
+        obs_q, F.count(F.lit(1)).alias("n_kept")
+    )
+    n_out = kept.count()  # one action drives both observations
+    assert obs_in.get["n_in"] == d.count()
+    assert 0.0 <= obs_in.get["q_mean"] <= 1.0
+    assert obs_q.get["n_kept"] == n_out
+    assert obs_q.get["n_kept"] <= obs_in.get["n_in"]
