@@ -518,6 +518,37 @@ def set_except(spark, sf_dir):
     return except_(c, s)
 
 
+def set_intersect_all(spark, sf_dir):
+    """§2.7 INTERSECT ALL (bag semantics): multiplicity = min of the two
+    sides' counts — plans as a counted hash join, not row-pairing, so it
+    shuffles only (key, count) aggregates at scale."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+def set_except_all(spark, sf_dir):
+    """§2.7 EXCEPT ALL (bag semantics): multiplicity = left count minus
+    right count, floored at zero."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+def pv2_unpivot(spark, sf_dir):
+    """UNPIVOT (wide→long melt): the inverse of pv1, turning per-status
+    columns back into (priority, status, n) rows.  A pure map-side
+    generator (no shuffle beyond pv1's own aggregation) — the standard
+    reshape before per-cell modeling or charting."""
+    wide = pv1_pivot(spark, sf_dir).select("o_orderpriority", "n_f", "n_o", "n_p")
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
+
+
 # ----------------------------------------------------------------------
 # §2.5 — window functions (extension; absent from reference)
 # ----------------------------------------------------------------------
@@ -2028,6 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_rolling_fingerprint": t7_rolling_fingerprint,
         "str2_edit_distance": str2_edit_distance,
         "vnt1_variant_extract": vnt1_variant_extract,
+        "set_intersect_all": set_intersect_all,
+        "set_except_all": set_except_all,
+        "pv2_unpivot": pv2_unpivot,
     }
 
 
@@ -3114,5 +3148,29 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "set_intersect_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+        """,
+        "set_except_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        """,
+        "pv2_unpivot": """
+            WITH wide AS (
+              SELECT o_orderpriority,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'n_o', n_o FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'n_p', n_p FROM wide
         """,
     }
