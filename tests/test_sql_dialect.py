@@ -76,6 +76,14 @@ PORTABLE = [
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "t6_quota_sample",
+    "a9_grouping_sets",
+    "w2_window_lead_movavg",
+    "pv1_pivot",
+    "pv2_unpivot",
+    "set_intersect_all",
+    "set_except_all",
+    "str2_edit_distance",
+    "lat1_lateral_topn",
 ]
 
 
