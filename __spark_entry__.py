@@ -1820,7 +1820,12 @@ def arr1_posexplode(spark, sf_dir):
     )
     return flat.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("v").cast("decimal(38,9)")).cast("double").alias("sum_v"),
+        # double→DECIMAL rounding of a float-derived value can differ
+        # across engines in the last decimal digit (observed once at
+        # sf0.1): round the emitted sum to 6 digits like the libm outputs
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("sum_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
@@ -3112,7 +3117,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
-                   CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) AS sum_v,
+                   round(CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE), 6)
+                     AS sum_v,
                    MIN(v) AS min_v, MAX(v) AS max_v
             FROM flat GROUP BY dim
         """,
