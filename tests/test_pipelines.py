@@ -347,3 +347,20 @@ def test_observe_metrics_on_corpus_pipeline(spark):
     assert 0.0 <= obs_in.get["q_mean"] <= 1.0
     assert obs_q.get["n_kept"] == n_out
     assert obs_q.get["n_kept"] <= obs_in.get["n_in"]
+
+
+def test_multimodal_arrow_kernel_matches_pandas(spark):
+    """mapInArrow and mapInPandas kernels compute identical features —
+    the zero-copy Arrow path is a drop-in for the pandas one."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.multimodal import (
+        documents_as_media,
+        extract_features,
+        extract_features_arrow,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    media = documents_as_media(docs)
+    want = rows(extract_features(media))
+    got = rows(extract_features_arrow(media))
+    assert got == want and len(got) == 200
