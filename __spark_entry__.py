@@ -683,10 +683,16 @@ def d1_dedup_exact(spark, sf_dir):
 
 
 def d2_ngram_jaccard(spark, sf_dir):
-    """Exact all-pairs 8-gram Jaccard ≥ 0.2 via an inverted-index join
-    (the verifier tier; at scale candidates come from d3's LSH)."""
+    """Exact all-pairs 8-gram Jaccard ≥ 0.2 via prefix filtering
+    (AllPairs/PPJoin): rare-first prefixes + length filter generate the
+    candidates, exact Jaccard verifies — output identical to the naive
+    inverted-index join (equality-tested) at a fraction of the candidate
+    pairs.  At scale d3's LSH replaces even this when approximate recall
+    is acceptable; d2 is the exact-answer tier."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=8, threshold=0.2)
+    return dedup.ngram_jaccard_pairs_prefix(
+        d, "doc_id", "text", k=8, threshold=0.2
+    )
 
 
 def d3_minhash_lsh(spark, sf_dir):

@@ -328,6 +328,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via **prefix filtering** (the
+    AllPairs/PPJoin principle — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): identical output to :func:`ngram_jaccard_pairs`, without
+    joining on every shared shingle.
+
+    Order each doc's shingles rare-first (global document frequency).  If
+    J(x, y) ≥ t, the two docs must share a shingle within each one's
+    first ``|d| − ⌈t·|d|⌉ + 1`` shingles (else every common shingle lies
+    past one prefix, so the overlap < t·|d| ≤ t·|x∪y|).  The candidate
+    join therefore touches only prefix shingles — and rare-first ordering
+    makes those the least-shared shingles in the corpus, so the join
+    fans out near-linearly instead of exploding on common shingles.  A
+    length filter (t·|x| ≤ |y|) prunes further; exact Jaccard then
+    verifies every candidate, so precision AND recall are both 1.0
+    relative to the naive quadratic formulation (equality-tested).
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingle(df, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                by_doc.orderBy(F.col("df").asc(), F.col("shingle").asc())
+            ),
+        )
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ranked.where(F.col("pos") <= prefix_len).select(
+        id_col, "shingle", "sz"
+    ).localCheckpoint(eager=False)
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("shingle"), F.col("sz").alias("sz_b")
+    )
+    candidates = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # |y| ≥ t·|x| (sizes too far apart can't reach t)
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return verify_jaccard(candidates, df, id_col, text_col, k, threshold)
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 15
 ) -> DataFrame:

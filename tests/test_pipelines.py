@@ -364,3 +364,19 @@ def test_multimodal_arrow_kernel_matches_pandas(spark):
     want = rows(extract_features(media))
     got = rows(extract_features_arrow(media))
     assert got == want and len(got) == 200
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """Prefix filtering is an exact optimization: identical (id_a, id_b,
+    jaccard) output to the naive all-shared-shingle join at multiple
+    thresholds (recall loss would show up here as missing pairs)."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for t in (0.2, 0.6):
+        naive = rows(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 8, t))
+        pref = rows(
+            dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 8, t)
+        )
+        assert naive == pref
