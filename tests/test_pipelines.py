@@ -380,3 +380,31 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
             dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 8, t)
         )
         assert naive == pref
+
+
+def test_star_connected_components_matches_min_label(spark):
+    """large-star/small-star CC produces identical clusters to min-label
+    propagation — on a random graph AND on a 60-hop chain, where min-label
+    would need 60 rounds but the star rounds collapse it in O(log n)
+    (the adversarial case SCALE.md calls out)."""
+    import random
+
+    from maple_spark.pipelines import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components_star(chain, max_iter=8).collect()
+    }
+    assert len(star) == 61 and set(star.values()) == {0}
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    rdf = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    a = rows(dedup.connected_components(rdf, max_iter=30))
+    b = rows(dedup.connected_components_star(rdf))
+    assert a == b
