@@ -1269,6 +1269,30 @@ def json_props(spark, sf_dir):
     ).where(F.col("event_id") < 2000)
 
 
+def e14_try_functions(spark, sf_dir):
+    """ANSI error-safe arithmetic/casts: the reference leaves
+    divide-by-zero an open TODO (expressions/ArithmeticOperator.java:206
+    "How to handle divide-by-zero?"); this engine answers it explicitly —
+    ANSI mode (Spark 4 default) makes raw division THROW, and try_divide/
+    try_cast give the NULL-on-error alternative.  DuckDB oracle spells the
+    same semantics with NULLIF and TRY_CAST."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),  # always NULL, never an error
+        # no rounded float-division column here: round() of a double that
+        # ties at the target digit is engine-dependent (HALF_UP vs
+        # round-half-even) — the try_* semantics don't need it
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),  # NULL
+        F.col("l_quantity").cast("string").try_cast("double").alias(
+            "qty_roundtrip"
+        ),
+    )
+
+
 def vnt1_variant_extract(spark, sf_dir):
     """VARIANT (Spark 4 semi-structured type): parse the props JSON once
     into a binary variant, then typed-path extraction — at scale this
@@ -2070,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_rolling_fingerprint": t7_rolling_fingerprint,
         "str2_edit_distance": str2_edit_distance,
         "vnt1_variant_extract": vnt1_variant_extract,
+        "e14_try_functions": e14_try_functions,
         "set_intersect_all": set_intersect_all,
         "set_except_all": set_except_all,
         "pv2_unpivot": pv2_unpivot,
@@ -3160,6 +3185,15 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "e14_try_functions": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice / NULLIF(l_quantity - l_quantity, 0)
+                     AS div_by_zero,
+                   TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+                   TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                     AS qty_roundtrip
+            FROM lineitem WHERE l_orderkey < 2000
         """,
         "set_intersect_all": """
             SELECT c_nationkey AS nationkey FROM customer
