@@ -331,6 +331,29 @@ def j5_using_join(spark, sf_dir):
     return using_join(n, r, ["regionkey"], "INNER")
 
 
+def j5_natural_join(spark, sf_dir):
+    """J5 NATURAL JOIN: equality over ALL shared column names, discovered
+    from the schemas; shared columns emitted once, left-columns-first
+    (FromClause.buildJoinSchema:798).  Two shared keys (orderkey, partkey)
+    exercise the multi-column discovery path that USING spells explicitly."""
+    from maple_spark.operators.joins import natural_join
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    left = li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_quantity").alias("qty"),
+    )
+    right = li.where(F.col("l_quantity") > 25).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return natural_join(left, right, "INNER").select(
+        "orderkey", "partkey", "qty", "price"
+    )
+
+
 def j7_semi_in_subquery(spark, sf_dir):
     """J7/E8 IN (subquery) → left-semi join (reference throws at eval)."""
     c = _t(spark, sf_dir, "customer")
@@ -1945,6 +1968,43 @@ def e12_cast_types(spark, sf_dir):
     )
 
 
+def tc1_coercion_ladder(spark, sf_dir):
+    """§1.2 TypeConverter.coerceArithmetic parity (TypeConverter.java:430-458
+    promotion ladder Double > Float > Long > Integer) + E2 unary minus
+    (parse-time `0 - e` desugar, nanosql.g:953-957).  Outputs are cast to
+    explicit widths (the engines' *native* result widths differ per type
+    pair); the values prove the promotion semantics."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        (F.col("p_size") + F.lit(1).cast("tinyint"))
+        .cast("bigint")
+        .alias("int_plus_tiny"),
+        (F.col("p_size") + F.col("p_partkey").cast("bigint"))
+        .cast("bigint")
+        .alias("int_plus_long"),
+        (F.col("p_size") * F.col("p_retailprice"))
+        .cast("double")
+        .alias("int_times_double"),
+        (-F.col("p_size")).cast("bigint").alias("neg_size"),
+        (F.col("p_size") % F.lit(7)).cast("bigint").alias("mod7"),
+    )
+
+
+def tm1_time_of_day(spark, sf_dir):
+    """§1.2 TIME type mapping (reference TIME, types/Time.java h/m/s/ms):
+    Spark has no TimeType, so TIME is represented as seconds-of-day BIGINT
+    plus the canonical 'HH:mm:ss' string — both extracted JVM-side from
+    the event timestamp (session pinned UTC, so both engines agree)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") <= 5000)
+    sec = F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    return e.select(
+        "event_id",
+        sec.cast("bigint").alias("sec_of_day"),
+        F.date_format("ts", "HH:mm:ss").alias("time_str"),
+    )
+
+
 def dml_update_where(spark, sf_dir):
     """UPDATE ... SET ... WHERE as its pure read-transform (the rewrite
     half of commands/UpdateCommand.java; persistence tested in pytest).
@@ -2007,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_join_right": j4_join_right,
         "j4_join_full": j4_join_full,
         "j5_using_join": j5_using_join,
+        "j5_natural_join": j5_natural_join,
         "j6_cross_join": j6_cross_join,
         "j7_semi_in_subquery": j7_semi_in_subquery,
         "j7_anti_not_exists": j7_anti_not_exists,
@@ -2068,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ck1_constraints": ck1_constraints,
         "dt1_date_interval": dt1_date_interval,
         "e12_cast_types": e12_cast_types,
+        "tc1_coercion_ladder": tc1_coercion_ladder,
+        "tm1_time_of_day": tm1_time_of_day,
         "q6_forecast_revenue": q6_forecast_revenue,
         "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
@@ -2232,6 +2295,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT n_regionkey AS regionkey, n_name FROM nation) n
                  JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
                  USING (regionkey)
+        """,
+        "j5_natural_join": """
+            SELECT orderkey, partkey, qty, price
+            FROM (SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+                         l_quantity AS qty
+                  FROM lineitem WHERE l_orderkey < 2000) a
+                 NATURAL JOIN
+                 (SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+                         l_extendedprice AS price
+                  FROM lineitem WHERE l_orderkey < 2000 AND l_quantity > 25) b
         """,
         "j6_cross_join": """
             SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -3032,6 +3105,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE)
                      AS roundtrip_d
             FROM part WHERE p_partkey <= 300
+        """,
+        "tc1_coercion_ladder": """
+            SELECT p_partkey,
+                   CAST(p_size + CAST(1 AS TINYINT) AS BIGINT) AS int_plus_tiny,
+                   CAST(p_size + CAST(p_partkey AS BIGINT) AS BIGINT)
+                     AS int_plus_long,
+                   CAST(p_size * p_retailprice AS DOUBLE) AS int_times_double,
+                   CAST(-p_size AS BIGINT) AS neg_size,
+                   CAST(p_size % 7 AS BIGINT) AS mod7
+            FROM part WHERE p_partkey <= 400
+        """,
+        "tm1_time_of_day": """
+            SELECT event_id,
+                   CAST(EXTRACT(HOUR FROM ts) * 3600
+                        + EXTRACT(MINUTE FROM ts) * 60
+                        + EXTRACT(SECOND FROM ts) AS BIGINT) AS sec_of_day,
+                   strftime(ts, '%H:%M:%S') AS time_str
+            FROM events WHERE event_id <= 5000
         """,
         "st2_sessionize": f"""
             WITH marked AS (
