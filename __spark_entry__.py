@@ -1708,6 +1708,33 @@ def w2_window_lead_movavg(spark, sf_dir):
     )
 
 
+def w3_range_frame(spark, sf_dir):
+    """Time-based RANGE window frame (vs w2's ROWS frames): per-customer
+    trailing-90-day spend.  Spark range frames need a numeric order key,
+    so the date becomes epoch seconds (UTC session) and the frame is
+    [-90*86400, 0]; DuckDB orders by the DATE with an INTERVAL frame —
+    identical frames because RANGE includes all peers of a tied date,
+    making the decimal-exact sum order-independent.  At scale this is one
+    shuffle on o_custkey; frames never cross partitions."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 3000)
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("orders_90d"),
+    )
+
+
 def pv1_pivot(spark, sf_dir):
     """PIVOT: order counts + exact price sums per priority, one column set
     per order status.  Values are enumerated explicitly — at scale the
@@ -2131,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_cast_types": e12_cast_types,
         "tc1_coercion_ladder": tc1_coercion_ladder,
         "tm1_time_of_day": tm1_time_of_day,
+        "w3_range_frame": w3_range_frame,
         "q6_forecast_revenue": q6_forecast_revenue,
         "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
@@ -3115,6 +3143,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-p_size AS BIGINT) AS neg_size,
                    CAST(p_size % 7 AS BIGINT) AS mod7
             FROM part WHERE p_partkey <= 400
+        """,
+        "w3_range_frame": """
+            SELECT o_orderkey, o_custkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS spend_90d,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS orders_90d
+            FROM orders WHERE o_custkey <= 3000
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL '90 days' PRECEDING
+                               AND CURRENT ROW)
         """,
         "tm1_time_of_day": """
             SELECT event_id,
