@@ -2032,6 +2032,87 @@ def tm1_time_of_day(spark, sf_dir):
     )
 
 
+def t8_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — corpus-relative term weighting on
+    top of t1's per-doc stats.  Smooth idf = ln((1+N)/(1+df)) + 1; score
+    rounded to 6 digits BEFORE ranking so both engines rank the same key
+    (libm ln differs in the last ulp).  At scale: tf is one shuffle on
+    (doc, term) with map-side combine; df and N are tiny aggregates
+    broadcast back — the corpus shuffles once."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "score")
+    )
+
+
+def a12_stats_moments(spark, sf_dir):
+    """Statistical aggregates (stddev, correlation) computed from exact
+    decimal moments — the mergeable-moments formulation: partial sums of
+    (x, x², y, y², xy) combine associatively across partitions, so the
+    result is order-independent where a naive running variance is not.
+    One double rounding at the end; round(6) absorbs the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(p).alias("sy"),
+        F.sum(p * p).alias("syy"),
+        F.sum(q * p).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / nd, 6).alias("mean_qty"),
+        F.round(
+            F.sqrt((sxx - sx * sx / nd) / (nd - F.lit(1.0))), 6
+        ).alias("std_qty"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (
+                F.sqrt(nd * sxx - sx * sx)
+                * F.sqrt(nd * syy - sy * sy)
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
 def dml_update_where(spark, sf_dir):
     """UPDATE ... SET ... WHERE as its pure read-transform (the rewrite
     half of commands/UpdateCommand.java; persistence tested in pytest).
@@ -2159,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc1_coercion_ladder": tc1_coercion_ladder,
         "tm1_time_of_day": tm1_time_of_day,
         "w3_range_frame": w3_range_frame,
+        "t8_tfidf_topterms": t8_tfidf_topterms,
+        "a12_stats_moments": a12_stats_moments,
         "q6_forecast_revenue": q6_forecast_revenue,
         "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
@@ -3162,6 +3245,50 @@ def oracle_sql() -> dict[str, str]:
                         + EXTRACT(SECOND FROM ts) AS BIGINT) AS sec_of_day,
                    strftime(ts, '%H:%M:%S') AS time_str
             FROM events WHERE event_id <= 5000
+        """,
+        "t8_tfidf_topterms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf,
+                     ROUND(tf * (LN((1.0 + n_docs) / (1.0 + df)) + 1.0), 6)
+                       AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, rnk, term, tf, score FROM (
+              SELECT doc_id, term, tf, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "a12_stats_moments": """
+            WITH m AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   ROUND(sx / n, 6) AS mean_qty,
+                   ROUND(SQRT((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_qty,
+                   ROUND((n * sxy - sx * sy)
+                         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                         6) AS corr_qty_price
+            FROM m
         """,
         "st2_sessionize": f"""
             WITH marked AS (
