@@ -213,3 +213,43 @@ def test_tcp_query_server_round_trip(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_repl_loop(spark):
+    """§3.1 REPL parity: multi-line buffering, statement execution with
+    TuplePrinter-style output, error recovery, EXIT."""
+    import io
+
+    from maple_spark.engine import MapleEngine
+    from maple_spark.repl import run_repl
+
+    eng = MapleEngine(spark, SF_DIR, tables=("region", "nation"))
+    session = (
+        "SELECT r_name FROM region\n"          # continuation line (no ';')
+        "ORDER BY r_name LIMIT 2;\n"
+        "SELECT broken FROM nowhere;\n"        # error must not kill the loop
+        "SELECT COUNT(*) AS n FROM nation;\n"
+        "EXIT;\n"
+        "SELECT 1;\n"                          # never reached
+    )
+    out = io.StringIO()
+    run_repl(eng, io.StringIO(session), out)
+    text = out.getvalue()
+    assert text.startswith("CMD> ")
+    assert "   > " in text                     # continuation prompt shown
+    assert "AFRICA" in text and "AMERICA" in text and "(2 rows)" in text
+    assert "ERROR:" in text
+    assert "25" in text                        # nation count
+    assert text.rstrip().endswith("bye")
+
+
+def test_repl_format_rows_nulls_and_truncation():
+    from maple_spark.repl import format_rows
+
+    txt = format_rows(["a", "bb"], [(1, None), (2, "x")])
+    lines = txt.splitlines()
+    assert lines[0].split(" | ")[0].strip() == "a"
+    assert "NULL" in txt and "(2 rows)" in txt
+    txt2 = format_rows(["a"], [(i,) for i in range(6)], max_rows=5)
+    assert "first 5 shown" in txt2
+    assert format_rows(["a"], []).endswith("(0 rows)")
