@@ -2113,6 +2113,85 @@ def a12_stats_moments(spark, sf_dir):
     )
 
 
+def a13_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram (the ANALYZE/stats companion: the
+    reference keeps only min/max/numUnique per column,
+    qeval/ColumnStats.java:16-35 — a binned distribution is the scale-up).
+    Plain floor arithmetic on both engines (width_bucket variants differ
+    at edges); one partial+final count per bin, 12-row output."""
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"),
+        F.lit(11).cast("bigint"),
+    )
+    return (
+        o.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin") * 50000).cast("bigint").alias("lo"),
+            "n_orders",
+        )
+    )
+
+
+#: BM25 query terms — fixed literals so both engines score the same set
+BM25_TERMS = ("scan", "join", "filter")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def t9_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term set — the search-side twin
+    of t8's TF-IDF: Okapi idf = ln(1 + (N-df+0.5)/(df+0.5)), tf saturation
+    k1=1.2, length normalization b=0.75 against the mean doc length.
+    Scores round to 6 digits BEFORE ranking (libm ln).  At scale the only
+    corpus-wide shuffle is the (doc, term) tf aggregate; df/avgdl/N are
+    tiny broadcast aggregates, and top-10 is a TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    glob = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+        )
+    )
+    nd, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (nd - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+    )
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    denom = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dld / F.col("avgdl")
+    )
+    # per-term contribution rounded then summed as exact decimal: FP
+    # addition isn't associative, so a double sum could differ between
+    # engines when term rows arrive in different orders
+    contrib = F.round(idf * tfd * F.lit(BM25_K1 + 1.0) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(glob))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("double").alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "doc_id", "score")
+    )
+
+
 def dml_update_where(spark, sf_dir):
     """UPDATE ... SET ... WHERE as its pure read-transform (the rewrite
     half of commands/UpdateCommand.java; persistence tested in pytest).
@@ -2242,6 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_range_frame": w3_range_frame,
         "t8_tfidf_topterms": t8_tfidf_topterms,
         "a12_stats_moments": a12_stats_moments,
+        "a13_histogram": a13_histogram,
+        "t9_bm25_search": t9_bm25_search,
         "q6_forecast_revenue": q6_forecast_revenue,
         "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
@@ -3245,6 +3326,50 @@ def oracle_sql() -> dict[str, str]:
                         + EXTRACT(SECOND FROM ts) AS BIGINT) AS sec_of_day,
                    strftime(ts, '%H:%M:%S') AS time_str
             FROM events WHERE event_id <= 5000
+        """,
+        "a13_histogram": """
+            SELECT bin, CAST(bin * 50000 AS BIGINT) AS lo,
+                   COUNT(*) AS n_orders
+            FROM (SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT),
+                               11) AS bin
+                  FROM orders)
+            GROUP BY bin
+        """,
+        "t9_bm25_search": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), toknz AS (
+              SELECT doc_id, term FROM tok WHERE term <> ''
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS dl FROM toknz GROUP BY doc_id
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toknz
+              WHERE term IN ('scan', 'join', 'filter')
+              GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), gparams AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl)
+                       AS avgdl
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(SUM(CAST(ROUND(
+                       LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                       6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN gparams
+              GROUP BY doc_id
+            )
+            SELECT rnk, doc_id, score FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rnk
+              FROM scored
+            ) WHERE rnk <= 10
         """,
         "t8_tfidf_topterms": """
             WITH tok AS (
