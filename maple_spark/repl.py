@@ -13,6 +13,11 @@ and the printer is a plain column-aligned text table.  The loop is
 stream-in/stream-out so tests drive it in-process; `main()` binds it to
 stdin/stdout.  Errors print and the loop continues — an interactive
 session never dies on a bad statement.
+
+Sibling: ``scripts/repl.py`` is the human-facing console client (readline
+input, ``\\d`` table listing, EXPLAIN/ANALYZE meta-commands, df.show
+rendering).  This module is the embeddable core loop with the
+TuplePrinter-parity formatter.
 """
 
 from __future__ import annotations
