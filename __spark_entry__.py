@@ -2043,7 +2043,14 @@ def t8_tfidf_topterms(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize tf once (checkpoint): df is derived from it, so the
+    # corpus is scanned+exploded a single time instead of once per
+    # consumer — tf is (doc, term, count), far smaller than raw text
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -2145,17 +2152,26 @@ def t9_bm25_search(spark, sf_dir):
     of t8's TF-IDF: Okapi idf = ln(1 + (N-df+0.5)/(df+0.5)), tf saturation
     k1=1.2, length normalization b=0.75 against the mean doc length.
     Scores round to 6 digits BEFORE ranking (libm ln).  At scale the only
-    corpus-wide shuffle is the (doc, term) tf aggregate; df/avgdl/N are
-    tiny broadcast aggregates, and top-10 is a TakeOrderedAndProject."""
+    corpus-wide work is one scan + one (doc, term) shuffle into a
+    checkpointed count table; df/avgdl/N are tiny broadcast aggregates,
+    and top-10 plans as TakeOrderedAndProject (per-partition partial
+    top-k), never a global sort."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        tok.where(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # one corpus scan: materialize per-(doc, term) counts, then derive
+    # doc length (sum over terms), query-term tf (filter), df, and avgdl
+    # all from the checkpointed counts — naive lineage would re-explode
+    # the corpus once per consumer (4 scans)
+    tf_all = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tfc"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tfc").alias("dl"))
+    tf = tf_all.where(F.col("term").isin(*BM25_TERMS)).select(
+        "doc_id", "term", F.col("tfc").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     glob = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(

@@ -202,3 +202,32 @@ def test_lateral_topn_decorrelates_to_window(spark):
     plan = e.lat1_lateral_topn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_single_corpus_scan_plus_broadcasts(spark):
+    """t8: the corpus is scanned+exploded ONCE into a checkpointed
+    (doc, term, tf) table (ExistingRDD in the plan); document frequency
+    derives from it and joins back by broadcast.  The only remaining
+    FileScan is the trivial count(*) for N."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t8_tfidf_topterms(spark, SF_DIR), mode="simple")
+    assert plan.count("FileScan") == 1          # N only; tf is checkpointed
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan    # 1-row N cross join
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bm25_single_scan_and_partial_topk(spark):
+    """t9: doc length, query-term tf, df, and avgdl all derive from one
+    checkpointed count table (one corpus FileScan), and the global top-10
+    plans as TakeOrderedAndProject — per-partition partial top-k, never a
+    global sort of all scored documents."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t9_bm25_search(spark, SF_DIR), mode="simple")
+    assert plan.count("FileScan") == 1          # N only; counts checkpointed
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
