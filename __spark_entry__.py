@@ -2208,6 +2208,44 @@ def t9_bm25_search(spark, sf_dir):
     )
 
 
+#: sequence packing parameters: tokens per training window, shard count
+PACK_CAPACITY = 2048
+PACK_SHARDS = 16
+
+
+def t10_sequence_pack(spark, sf_dir):
+    """Sequence packing for pretraining batches — the GPT-style pipeline
+    step: concatenate documents in a deterministic order and cut the
+    token stream into fixed-capacity windows.  Each doc gets the pack id
+    and token offset where it starts.  Sharding by doc_id % K makes the
+    running sum a per-shard window (one shuffle, K independent streams) —
+    the 100 TB shape, where a single global cumulative sum would
+    serialize; shards map 1:1 to writer tasks emitting pack files."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    shard = (F.col("doc_id") % PACK_SHARDS).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_tok") / PACK_CAPACITY).cast("bigint").alias("pack_id"),
+        (F.col("start_tok") % PACK_CAPACITY).cast("bigint").alias("pack_offset"),
+    )
+
+
 def dml_update_where(spark, sf_dir):
     """UPDATE ... SET ... WHERE as its pure read-transform (the rewrite
     half of commands/UpdateCommand.java; persistence tested in pytest).
@@ -2339,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_stats_moments": a12_stats_moments,
         "a13_histogram": a13_histogram,
         "t9_bm25_search": t9_bm25_search,
+        "t10_sequence_pack": t10_sequence_pack,
         "q6_forecast_revenue": q6_forecast_revenue,
         "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
@@ -3386,6 +3425,25 @@ def oracle_sql() -> dict[str, str]:
                        AS rnk
               FROM scored
             ) WHERE rnk <= 10
+        """,
+        "t10_sequence_pack": """
+            WITH toks AS (
+              SELECT doc_id, doc_id % 16 AS shard,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS start_tok
+              FROM toks
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS pack_id,
+                   CAST(start_tok % 2048 AS BIGINT) AS pack_offset
+            FROM cum
         """,
         "t8_tfidf_topterms": """
             WITH tok AS (
