@@ -2246,6 +2246,39 @@ def t10_sequence_pack(spark, sf_dir):
     )
 
 
+def arr2_array_ops(spark, sf_dir):
+    """Array-function surface over the embedding column (beyond arr1's
+    posexplode): size, higher-order aggregate/transform/filter folds,
+    slice, min/max.  Float elements are widened to double BEFORE the fold
+    (DuckDB list functions on FLOAT[] accumulate in float32 — the rule
+    from the cosine queries); both engines fold left in array order, and
+    round(6) absorbs the last ulp.  All JVM-side Catalyst expressions —
+    no Python."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.round(
+            F.aggregate(
+                as_double, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(
+            F.aggregate(
+                F.slice(as_double, 1, 4), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("head4_sum"),
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0)))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+
+
 def dml_update_where(spark, sf_dir):
     """UPDATE ... SET ... WHERE as its pure read-transform (the rewrite
     half of commands/UpdateCommand.java; persistence tested in pytest).
@@ -2378,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_histogram": a13_histogram,
         "t9_bm25_search": t9_bm25_search,
         "t10_sequence_pack": t10_sequence_pack,
+        "arr2_array_ops": arr2_array_ops,
         "q6_forecast_revenue": q6_forecast_revenue,
         "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
@@ -3425,6 +3459,20 @@ def oracle_sql() -> dict[str, str]:
                        AS rnk
               FROM scored
             ) WHERE rnk <= 10
+        """,
+        "arr2_array_ops": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   ROUND(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> abs(x))), 6)
+                     AS l1_norm,
+                   ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+                   ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+                   ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), 6)
+                     AS head4_sum,
+                   CAST(len(list_filter(embedding, x -> x > 0))
+                        AS BIGINT) AS n_pos
+            FROM embeddings WHERE vec_id < 2000
         """,
         "t10_sequence_pack": """
             WITH toks AS (
