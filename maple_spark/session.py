@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- determinism vs the DuckDB oracle --------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(isAdjustedToUTC=false, MICROS) columns (the
+        # driver's events.ts layout) must surface as TIMESTAMP, not
+        # TIMESTAMP_NTZ: watermarks/event-time reject NTZ, and under a UTC
+        # session timezone the values are identical to the DuckDB oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- local-mode hygiene ----------------------------------------
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -25,6 +25,9 @@ def read_events_stream(
     from maple_spark.catalog import _nanos_timestamp_cols
 
     path = f"{sf_dir}/events.parquet"
+    # NTZ-flavored parquet timestamps must read as TIMESTAMP — Structured
+    # Streaming rejects TIMESTAMP_NTZ event-time columns in withWatermark.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

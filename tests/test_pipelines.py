@@ -408,3 +408,49 @@ def test_star_connected_components_matches_min_label(spark):
     a = rows(dedup.connected_components(rdf, max_iter=30))
     b = rows(dedup.connected_components_star(rdf))
     assert a == b
+
+
+def test_embedding_near_dup_pivot_grid_equals_allpairs(spark):
+    """The pivot-grid metric-space join is exact: identical output to the
+    brute-force all-pairs oracle on the real embeddings table, at a loose
+    threshold (worst case for pruning) and in the near-dup regime."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_allpairs,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    for threshold in (0.3, 0.4):
+        got = sorted(rows(embedding_near_dup(e, threshold=threshold)))
+        want = sorted(rows(embedding_near_dup_allpairs(e, threshold=threshold)))
+        assert got == want and len(want) > 0
+
+
+def test_embedding_near_dup_high_threshold_recall(spark):
+    """Planted near-dup pairs in the cosine≥0.95 regime: pivot-grid recall
+    is 1.0 (triangle-inequality guarantee), precision 1.0 (exact verify)."""
+    from maple_spark.pipelines.similarity import embedding_near_dup
+
+    base = [0.3, -1.2, 0.8, 2.0, -0.5, 1.1]
+    near = [x + 0.01 for x in base]        # cosine ≈ 0.9999
+    anti = [-x for x in base]
+    ortho = [1.1, 0.3, -0.2, 0.1, 2.0, -0.9]
+    vecs = spark.createDataFrame(
+        [(0, base), (1, near), (2, anti), (3, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(vecs, 0.95).collect()}
+    assert got == {(0, 1)}
+
+
+def test_embedding_near_dup_plan_has_no_cartesian(spark):
+    """The shipped near-dup path must plan as a hash/merge equi-join on the
+    pivot buckets — never a CartesianProduct or BroadcastNestedLoopJoin."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.similarity import embedding_near_dup
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    plan = embedding_near_dup(e, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
