@@ -2048,13 +2048,15 @@ def t8_tfidf_topterms(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
-    # materialize tf once (checkpoint): df is derived from it, so the
-    # corpus is scanned+exploded a single time instead of once per
-    # consumer — tf is (doc, term, count), far smaller than raw text
+    # materialize tf once (eager checkpoint): df is derived from it, so
+    # the corpus is scanned+exploded a single time instead of once per
+    # consumer — tf is (doc, term, count), far smaller than raw text.
+    # Eager, not lazy: a lazy localCheckpoint's RDD captures SQL metrics
+    # from a throwaway QueryExecution that GC can kill before first run
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2172,7 +2174,7 @@ def t9_bm25_search(spark, sf_dir):
     tf_all = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tfc"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)  # eager: see t7 note on lazy-checkpoint GC hazard
     )
     dl = tf_all.groupBy("doc_id").agg(F.sum("tfc").alias("dl"))
     tf = tf_all.where(F.col("term").isin(*BM25_TERMS)).select(

@@ -1,0 +1,298 @@
+"""Reference-dialect statement front-end.
+
+The reference accepts a small SQL dialect beyond ANSI (grammar:
+``src/main/resources/nanosql.g``).  ANSI statements (SELECT, CREATE
+TABLE/VIEW, INSERT ... VALUES on catalog tables, EXPLAIN SELECT) flow to
+``spark.sql`` unchanged; this module routes ONLY the statements Spark's
+parser cannot run:
+
+- ``CREATE STORE t FROM 'file' (cols)``    (nanosql.g:260-270)  → CSV ingest
+- ``CREATE COLSTORE t FROM 'file' (cols)`` (nanosql.g:413-423)  → CSV ingest
+  (Parquet *is* the column store — both land in the engine warehouse dir)
+- ``ANALYZE [VERBOSE] t, ...``             (nanosql.g:697-706)  → CBO stats
+- ``VERIFY t, ...``                        (nanosql.g:722-730)  → full-scan
+  integrity check (parquet footer/checksum validation + row count; the
+  reference verifies B+tree indexes — VerifyCommand.java:68)
+- ``OPTIMIZE t, ...``                      (nanosql.g:735-743)  → small-file
+  compaction of dialect-created stores (OptimizeCommand.java:63)
+- ``UPDATE t SET c=e [WHERE e]``           (nanosql.g:647-658)  → read-
+  transform-rewrite (UpdateCommand.java:30)
+- ``DELETE FROM t [WHERE e]``              (nanosql.g:662-671)  → read-
+  filter-rewrite (DeleteCommand.java:35)
+- ``INSERT INTO t VALUES (...), ...`` on a dialect store → parquet append
+  (InsertCommand.java:160-185); inserts on Spark catalog tables fall
+  through to ``spark.sql``
+- ``BEGIN/START TRANSACTION/COMMIT/ROLLBACK`` (nanosql.g:676-694) →
+  explicit error: transactions are scoped out (BASELINE.json — Parquet has
+  no WAL); a silent no-op would lie about atomicity
+- ``CRASH`` (nanosql.g:747) → scoped out, explicit error
+- ``EXIT`` / ``QUIT``                      → stop script execution
+
+Statement classification is a first-keyword dispatch plus small regexes —
+deliberately NOT a grammar: every routed statement's *body* (expressions,
+values) is handed to Spark SQL for real parsing, so this layer only needs
+to recognize statement shapes, exactly like the reference's top-level
+``command`` rule.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: reference column_type (nanosql.g:320-341) → Spark SQL type
+_TYPE_MAP = [
+    (re.compile(r"(?:var)?char(?:acter)?(?:\s+varying)?\s*\(\s*\d+\s*\)", re.I), "string"),
+    (re.compile(r"int(?:eger)?\b", re.I), "int"),
+    (re.compile(r"float\b", re.I), "float"),
+    (re.compile(r"double\b", re.I), "double"),
+    (re.compile(r"datetime\b", re.I), "timestamp"),
+    (re.compile(r"timestamp\b", re.I), "timestamp"),
+    (re.compile(r"date\b", re.I), "date"),
+    (re.compile(r"time\b", re.I), "string"),  # TIME-of-day: stored as string, see SURVEY §2.8
+    (re.compile(r"numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.I), None),  # → decimal(p,s)
+]
+
+_CREATE_STORE = re.compile(
+    r"^\s*CREATE\s+(?:COL)?STORE\s+(?P<name>\w+)\s+FROM\s+"
+    r"'(?P<file>[^']+)'\s*\((?P<decl>.*)\)\s*$",
+    re.I | re.S,
+)
+_ANALYZE = re.compile(r"^\s*ANALYZE(?:\s+VERBOSE)?\s+(?P<tables>[\w\s,]+)$", re.I)
+_VERIFY = re.compile(r"^\s*VERIFY\s+(?P<tables>[\w\s,]+)$", re.I)
+_OPTIMIZE = re.compile(r"^\s*OPTIMIZE\s+(?P<tables>[\w\s,]+)$", re.I)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.I | re.S,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)(?:\s+WHERE\s+(?P<where>.+))?$", re.I | re.S
+)
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+VALUES\s*(?P<values>\(.+\))\s*$",
+    re.I | re.S,
+)
+_TXN = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(\s+WORK)?\s*$", re.I)
+_CRASH = re.compile(r"^\s*CRASH\s*$", re.I)
+_EXIT = re.compile(r"^\s*(EXIT|QUIT)\s*$", re.I)
+
+
+class UnsupportedStatementError(NotImplementedError):
+    """Statement the engine deliberately does not support (scoped out)."""
+
+
+@dataclass
+class ExitScript:
+    """Sentinel returned by the router when EXIT/QUIT is reached."""
+
+
+def parse_table_decl(decl: str) -> str:
+    """``(id int, name varchar(30), ...)`` body → Spark DDL schema string.
+    Column constraints (PRIMARY KEY / NOT NULL / UNIQUE, nanosql.g:350+)
+    are accepted and dropped — parquet enforces none of them; VERIFY is
+    the a-posteriori checker."""
+    out = []
+    for raw in _split_top_level_commas(decl):
+        raw = raw.strip()
+        if not raw or re.match(r"^(PRIMARY|FOREIGN|UNIQUE|CONSTRAINT)\b", raw, re.I):
+            continue  # table-level constraint
+        m = re.match(r"^(?P<col>\w+)\s+(?P<type>.+)$", raw, re.S)
+        if not m:
+            raise ValueError(f"unparseable column declaration: {raw!r}")
+        col, typ = m.group("col"), m.group("type").strip()
+        typ = re.sub(r"\b(PRIMARY\s+KEY|NOT\s+NULL|UNIQUE)\b.*$", "", typ, flags=re.I).strip()
+        num = re.match(r"numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", typ, re.I)
+        if num:
+            out.append(f"{col} decimal({num.group(1)},{num.group(2)})")
+            continue
+        for pat, spark_t in _TYPE_MAP:
+            if spark_t is not None and pat.match(typ):
+                out.append(f"{col} {spark_t}")
+                break
+        else:
+            out.append(f"{col} {typ}")  # already a Spark type
+    return ", ".join(out)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def route_statement(engine, stmt: str):
+    """Dispatch one statement.  Returns a DataFrame (result set), None
+    (effect-only statement), or ExitScript.  Falls through to
+    ``spark.sql`` for everything ANSI."""
+    spark: SparkSession = engine.spark
+
+    if _EXIT.match(stmt):
+        return ExitScript()
+    if _CRASH.match(stmt):
+        raise UnsupportedStatementError(
+            "CRASH is scoped out (reference CrashCommand tests WAL recovery; "
+            "Parquet+Spark has no WAL to recover)"
+        )
+    if _TXN.match(stmt):
+        raise UnsupportedStatementError(
+            "transactions are scoped out (BASELINE.json): Parquet storage has "
+            "no WAL/lock manager; use a lakehouse table format for ACID"
+        )
+
+    m = _CREATE_STORE.match(stmt)
+    if m:
+        return _create_store(engine, m.group("name"), m.group("file"), m.group("decl"))
+
+    m = _ANALYZE.match(stmt)
+    if m:
+        for t in _table_list(m.group("tables")):
+            engine.analyze(t)
+        return None
+
+    m = _VERIFY.match(stmt)
+    if m:
+        return _verify_tables(engine, _table_list(m.group("tables")))
+
+    m = _OPTIMIZE.match(stmt)
+    if m:
+        for t in _table_list(m.group("tables")):
+            path = engine.store_path(t)
+            if path is None:
+                raise UnsupportedStatementError(
+                    f"OPTIMIZE {t}: not a dialect-created store (read-only "
+                    "source tables are compacted by their owner)"
+                )
+            engine.optimize(path)
+            _reload_store(engine, t, path)
+        return None
+
+    # UPDATE/DELETE: only when Spark SQL can't (plain parquet/temp-view
+    # tables).  The WHERE/SET bodies are parsed by Spark via F.expr.
+    m = _UPDATE.match(stmt)
+    if m and not _spark_handles_dml(engine, m.group("name")):
+        from maple_spark.operators.dml import update_where
+
+        name = m.group("name")
+        assignments = {}
+        for part in _split_top_level_commas(m.group("sets")):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = F.expr(expr.strip())
+        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        return _mutate(engine, name, lambda df: update_where(df, cond, assignments))
+
+    m = _DELETE.match(stmt)
+    if m and not _spark_handles_dml(engine, m.group("name")):
+        from maple_spark.operators.dml import delete_where
+
+        name = m.group("name")
+        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        return _mutate(engine, name, lambda df: delete_where(df, cond))
+
+    m = _INSERT_VALUES.match(stmt)
+    if m and engine.store_path(m.group("name")) is not None:
+        return _insert_values(engine, m.group("name"), m.group("values"))
+
+    return spark.sql(stmt)
+
+
+def _table_list(raw: str) -> list[str]:
+    return [t.strip() for t in raw.split(",") if t.strip()]
+
+
+def _spark_handles_dml(engine, name: str) -> bool:
+    """True when ``name`` is a table format with native Spark SQL DML (a
+    v2/lakehouse table).  This engine's catalog is temp views + dialect
+    stores + v1 managed parquet tables — none support UPDATE/DELETE in
+    Spark SQL, so everything takes the rewrite path.  The hook exists so a
+    Delta/Iceberg-backed deployment can flip it per table."""
+    return False
+
+
+def _create_store(engine, name: str, filename: str, decl: str) -> None:
+    """CREATE STORE/COLSTORE ... FROM 'file' (cols): ingest the CSV with
+    the declared schema into the engine warehouse, register the view."""
+    from maple_spark.sources.ingest import csv_to_parquet
+
+    schema = parse_table_decl(decl)
+    out_path = os.path.join(engine.warehouse, name)
+    df = csv_to_parquet(engine.spark, filename, out_path, schema=schema)
+    engine.register_store(name, out_path, df)
+    return None
+
+
+def _reload_store(engine, name: str, path: str) -> None:
+    df = engine.spark.read.parquet(path)
+    engine.register_store(name, path, df)
+
+
+def _verify_tables(engine, tables: list[str]) -> DataFrame:
+    """Full-scan integrity check per table: parquet CRC/footer validation
+    happens in the reader; the row count proves every row group decodes."""
+    spark = engine.spark
+    reports = []
+    for t in tables:
+        df = engine.table(t)
+        n = df.count()
+        reports.append((t, n, "ok"))
+    return spark.createDataFrame(reports, "table_name string, n_rows long, status string")
+
+
+def _mutate(engine, name: str, transform) -> None:
+    """Read → transform → rewrite.  Dialect stores rewrite their parquet
+    path (staging via localCheckpoint so the read completes before the
+    overwrite); view-only tables re-register the transformed view
+    (in-session mutation, source files untouched — the testdata contract)."""
+    df = engine.table(name)
+    out = transform(df)
+    path = engine.store_path(name)
+    if path is not None:
+        materialized = out.localCheckpoint(eager=True)
+        materialized.write.mode("overwrite").parquet(path)
+        _reload_store(engine, name, path)
+    else:
+        engine.replace_view(name, out)
+    return None
+
+
+def _insert_values(engine, name: str, values: str) -> None:
+    """INSERT INTO store VALUES (...), (...): evaluate each tuple with
+    Spark's own expression parser, cast to the table schema, append."""
+    spark = engine.spark
+    target = engine.table(name)
+    rows = []
+    for tup in _split_top_level_commas(values):
+        tup = tup.strip()
+        if not (tup.startswith("(") and tup.endswith(")")):
+            raise ValueError(f"malformed VALUES tuple: {tup!r}")
+        exprs = _split_top_level_commas(tup[1:-1])
+        if len(exprs) != len(target.columns):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(exprs)} values for "
+                f"{len(target.columns)} columns"
+            )
+        rows.append(
+            "SELECT "
+            + ", ".join(
+                f"CAST(({e.strip()}) AS {target.schema[c].dataType.simpleString()}) AS {c}"
+                for e, c in zip(exprs, target.columns)
+            )
+        )
+    new_rows = spark.sql(" UNION ALL ".join(rows))
+    path = engine.store_path(name)
+    new_rows.write.mode("append").parquet(path)
+    _reload_store(engine, name, path)
+    return None

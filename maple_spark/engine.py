@@ -26,10 +26,38 @@ from maple_spark.catalog import TABLES, register_views
 class MapleEngine:
     """One engine instance per (session, data directory)."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str, tables=TABLES):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        tables=TABLES,
+        warehouse: str | None = None,
+    ):
+        import tempfile
+
         self.spark = spark
         self.sf_dir = sf_dir
         self._tables = register_views(spark, sf_dir, tables)
+        #: directory for dialect-created stores (CREATE STORE/COLSTORE)
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="maple_stores_")
+        #: store name → parquet path, for statements that rewrite files
+        self._store_paths: dict[str, str] = {}
+
+    # -- dialect-store catalog hooks (used by maple_spark.dialect) -------
+    def store_path(self, name: str) -> str | None:
+        return self._store_paths.get(name)
+
+    def register_store(self, name: str, path: str, df: DataFrame) -> None:
+        self._store_paths[name] = path
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def replace_view(self, name: str, df: DataFrame) -> None:
+        """In-session mutation of a view-backed table: re-register the
+        transformed plan under the same name (source files untouched —
+        the read-only testdata contract)."""
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
 
     # -- query (doCommands analog) --------------------------------------
     def sql(self, query: str) -> DataFrame:
@@ -39,7 +67,9 @@ class MapleEngine:
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:
-        return self._tables[name]
+        if name in self._tables:
+            return self._tables[name]
+        return self.spark.table(name)  # Spark-catalog tables (CREATE TABLE)
 
     # -- utility commands (§2.11) ----------------------------------------
     def explain(self, query: str, mode: str = "formatted") -> str:
@@ -81,30 +111,52 @@ class MapleEngine:
 
     def execute_script(self, script: str) -> list[list | None]:
         """doCommands analog (server/NanoDBServer.java:77-96): run a
-        multi-statement SQL script sequentially, returning collected rows
-        per statement (None for statements with no result set).  Eager by
+        multi-statement script sequentially, returning collected rows per
+        statement (None for statements with no result set).  Eager by
         design — script statements see each other's effects, so a lazy
         result handed out here could observe a table a later DROP already
-        deleted.  This is the reference's embedded/test-harness entry
-        point (CommandResult collects tuples the same way,
-        SqlTestCase.java:28); for lazy single-query plans use ``sql()``."""
+        deleted.  Statements are routed through the reference-dialect
+        front-end (``maple_spark.dialect``): CREATE STORE/COLSTORE,
+        ANALYZE/VERIFY/OPTIMIZE, UPDATE/DELETE and store INSERTs run the
+        engine's implementations; everything ANSI flows to ``spark.sql``.
+        This is the reference's embedded/test-harness entry point
+        (CommandResult collects tuples the same way, SqlTestCase.java:28);
+        for lazy single-query plans use ``sql()``."""
+        from maple_spark.dialect import ExitScript, route_statement
+
         results: list[list | None] = []
         for stmt in self._split_statements(script):
-            df = self.spark.sql(stmt)
-            results.append(df.collect() if df.columns else None)
+            out = route_statement(self, stmt)
+            if isinstance(out, ExitScript):
+                break
+            if out is None:
+                results.append(None)
+            else:
+                results.append(out.collect() if out.columns else None)
         return results
 
     @staticmethod
     def _split_statements(script: str) -> list[str]:
-        """Split on ';' outside single/double-quoted strings (the level of
-        lexing the task needs — the statements themselves are parsed by
-        Spark SQL, not here)."""
+        """Split on ';' outside single/double-quoted strings, honoring
+        backslash escapes and ``--`` line comments (the level of lexing
+        the task needs — statement bodies are parsed by Spark SQL, not
+        here)."""
         stmts, buf, quote = [], [], None
-        for ch in script:
+        i, n = 0, len(script)
+        while i < n:
+            ch = script[i]
             if quote:
                 buf.append(ch)
+                if ch == "\\" and i + 1 < n:  # escaped char inside string
+                    buf.append(script[i + 1])
+                    i += 2
+                    continue
                 if ch == quote:
                     quote = None
+            elif ch == "-" and script[i : i + 2] == "--":
+                j = script.find("\n", i)
+                i = n if j < 0 else j
+                continue
             elif ch in ("'", '"'):
                 quote = ch
                 buf.append(ch)
@@ -113,6 +165,7 @@ class MapleEngine:
                 buf = []
             else:
                 buf.append(ch)
+            i += 1
         stmts.append("".join(buf))
         return [s.strip() for s in stmts if s.strip()]
 

@@ -224,11 +224,15 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    # The verifier consumes the candidate list three times (pair join +
-    # both sides of the id union); checkpoint it so the signature/banding
-    # DAG executes once instead of per-consumer.  The candidate list is
-    # tiny (near-dup pairs), so materializing it is free at any scale.
-    candidates = candidates.localCheckpoint(eager=False)
+    # The verifier consumes the candidate list multiple times (pair join +
+    # both sides of the id union).  No RDD checkpoint: the repeated subtrees
+    # are structurally identical, so AQE's exchange/stage reuse executes the
+    # signature/banding DAG once and re-reads its shuffle output for each
+    # consumer (timed: removing the old lazy localCheckpoint left execution
+    # cost unchanged).  A *lazy* localCheckpoint here is actively unsafe:
+    # its RDD captures SQL-metric accumulators from a throwaway
+    # QueryExecution that JVM GC can collect before the RDD first runs,
+    # producing "ERROR DAGScheduler: Failed to update accumulator" noise.
     return verify_jaccard(
         candidates, df, id_col, text_col, k, jaccard_threshold
     )
@@ -253,9 +257,11 @@ def verify_jaccard(
     )
     cand_docs = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     # three consumers below (per-doc counts + both sides of the pair join)
-    # would each re-run the shingle explode over the candidate docs;
-    # materialize it once — candidate-bounded, so small at any corpus size
-    sh = shingle(cand_docs, id_col, text_col, k).localCheckpoint(eager=False)
+    # share this subtree; AQE exchange reuse deduplicates it at runtime
+    # (no RDD checkpoint — see minhash_lsh_pairs on why lazy
+    # localCheckpoint is unsafe), and the explode itself is candidate-
+    # bounded, so even a re-run is O(candidate docs), not corpus-sized
+    sh = shingle(cand_docs, id_col, text_col, k)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # Join the two shingle streams through the pair table on (pair, shingle):
     # cost follows the candidate list, not the corpus squared.  The pair
@@ -367,9 +373,11 @@ def ngram_jaccard_pairs_prefix(
         )
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # shared by both join sides — AQE exchange reuse runs it once (lazy
+    # localCheckpoint avoided: see minhash_lsh_pairs)
     prefix = ranked.where(F.col("pos") <= prefix_len).select(
         id_col, "shingle", "sz"
-    ).localCheckpoint(eager=False)
+    )
     a = prefix.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
     )
@@ -386,7 +394,6 @@ def ngram_jaccard_pairs_prefix(
         )
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     return verify_jaccard(candidates, df, id_col, text_col, k, threshold)
 

@@ -1,0 +1,150 @@
+"""Reference-dialect front-end: a script written for the reference engine
+(CREATE STORE ... FROM file, INSERT, UPDATE, DELETE, ANALYZE, VERIFY,
+OPTIMIZE — grammar src/main/resources/nanosql.g) runs end-to-end through
+MapleEngine.execute_script.  Mirrors the doc/data.sql flow plus the
+utility statements.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from maple_spark.engine import MapleEngine
+
+    return MapleEngine(spark, SF_DIR, warehouse=str(tmp_path / "stores"))
+
+
+@pytest.fixture()
+def states_csv(tmp_path):
+    p = tmp_path / "states.csv"
+    p.write_text("1,Alabama\n2,Alaska\n3,Arizona\n4,Arkansas\n5,California\n")
+    return str(p)
+
+
+def test_create_store_from_file(engine, states_csv):
+    """CREATE STORE ... FROM 'file' (cols) — nanosql.g:260-270."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        SELECT * FROM states ORDER BY id;
+        """
+    )
+    assert res[0] is None
+    assert [tuple(r) for r in res[1]] == [
+        (1, "Alabama"), (2, "Alaska"), (3, "Arizona"), (4, "Arkansas"), (5, "California"),
+    ]
+
+
+def test_create_colstore_and_schema_types(engine, tmp_path):
+    """CREATE COLSTORE — nanosql.g:413-423; type map nanosql.g:320-341."""
+    p = tmp_path / "m.csv"
+    p.write_text("1,2.5,x,2024-01-02\n")
+    res = engine.execute_script(
+        f"""
+        CREATE COLSTORE m FROM '{p}'
+          (a integer, b double, c character varying(10), d date);
+        SELECT a, b, c, d FROM m;
+        """
+    )
+    row = res[1][0]
+    assert (row["a"], row["b"], row["c"], str(row["d"])) == (1, 2.5, "x", "2024-01-02")
+
+
+def test_insert_update_delete_roundtrip(engine, states_csv):
+    """INSERT VALUES (InsertCommand.java:160-185), UPDATE SET WHERE
+    (UpdateCommand.java:30), DELETE WHERE (DeleteCommand.java:35) as the
+    parquet rewrite path, driven by dialect text."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        INSERT INTO states VALUES (6, 'wuhan');
+        INSERT INTO states VALUES (7, '1'), (8, 'vv');
+        UPDATE states SET name = upper(name) WHERE id <= 2;
+        DELETE FROM states WHERE id = 4;
+        SELECT id, name FROM states ORDER BY id;
+        """
+    )
+    got = [tuple(r) for r in res[-1]]
+    assert got == [
+        (1, "ALABAMA"), (2, "ALASKA"), (3, "Arizona"), (5, "California"),
+        (6, "wuhan"), (7, "1"), (8, "vv"),
+    ]
+
+
+def test_update_delete_on_view_backed_table(engine):
+    """UPDATE/DELETE against a read-only source table mutates the
+    registered view in-session (files untouched — testdata contract)."""
+    res = engine.execute_script(
+        """
+        UPDATE region SET r_name = lower(r_name) WHERE r_regionkey = 0;
+        DELETE FROM region WHERE r_regionkey = 4;
+        SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;
+        """
+    )
+    got = [(r["r_regionkey"], r["r_name"]) for r in res[-1]]
+    assert len(got) == 4 and got[0] == (0, "africa")
+    # and the real file is untouched
+    fresh = engine.spark.read.parquet(f"{SF_DIR}/region.parquet")
+    assert fresh.count() == 5
+
+
+def test_analyze_verify_optimize(engine, states_csv):
+    """ANALYZE (nanosql.g:697-706), VERIFY (:722-730), OPTIMIZE
+    (:735-743)."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        ANALYZE region;
+        VERIFY states, region;
+        OPTIMIZE states;
+        SELECT count(*) AS n FROM states;
+        """
+    )
+    verify_rows = {r["table_name"]: (r["n_rows"], r["status"]) for r in res[2]}
+    assert verify_rows == {"states": (5, "ok"), "region": (5, "ok")}
+    assert res[-1][0]["n"] == 5
+    # OPTIMIZE compacted the store files
+    path = engine.store_path("states")
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files >= 1
+
+
+def test_txn_and_crash_scoped_out(engine):
+    from maple_spark.dialect import UnsupportedStatementError
+
+    for stmt in ("BEGIN WORK", "START TRANSACTION", "COMMIT", "ROLLBACK WORK", "CRASH"):
+        with pytest.raises(UnsupportedStatementError):
+            engine.execute_script(stmt)
+
+
+def test_exit_stops_script(engine):
+    res = engine.execute_script(
+        """
+        SELECT 1 AS a;
+        EXIT;
+        SELECT this_would_fail FROM nowhere;
+        """
+    )
+    assert len(res) == 1 and res[0][0]["a"] == 1
+
+
+def test_split_statements_escapes_and_comments(spark):
+    from maple_spark.engine import MapleEngine
+
+    stmts = MapleEngine._split_statements(
+        "SELECT 'a;b' AS x; -- trailing; comment\n"
+        "SELECT 'it\\'s fine;' AS y;\n"
+        'SELECT "q;\\"z;" AS z'
+    )
+    assert stmts == [
+        "SELECT 'a;b' AS x",
+        "SELECT 'it\\'s fine;' AS y",
+        'SELECT "q;\\"z;" AS z',
+    ]
