@@ -814,10 +814,12 @@ def sim2_embedding_near_dup(spark, sf_dir):
 
 
 def sim3_lsh_topk(spark, sf_dir):
-    """SRP-LSH bucketed ANN (rows-only: bucketing depends on xxhash64)."""
+    """SRP-LSH bucketed ANN with Hamming-1 multi-probe (rows-only:
+    bucketing depends on xxhash64; recall-vs-brute-force is pytest-tested
+    in test_pipelines)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return similarity.lsh_topk(e, q, k=5, num_planes=8)
+    return similarity.lsh_topk(e, q, k=5, num_planes=8, multi_probe=True)
 
 
 def sim4_ivf_topk(spark, sf_dir):

@@ -33,7 +33,17 @@ def salted_join(
     than rand() so results are reproducible and retries/speculative tasks
     agree.  Use when one side has heavy hitters AND the other side is too
     big to broadcast; cost = n_salts× replication of the right side.
+
+    Only inner/left-shaped joins are legal: an unmatched RIGHT row exists
+    once per replica, so right/full outer would emit n_salts null-padded
+    duplicates for it.  Salt the other side instead for those.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            "duplicate unmatched right rows once per salt replica; swap the "
+            "sides (salt the right table) and use a left-shaped join"
+        )
     salt = (
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     ).alias("__salt")

@@ -147,13 +147,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k: candidates = same SRP bucket, then exact cosine re-rank.
 
     With b planes, buckets split the corpus ~2^b ways; expected candidates
     per query = n/2^b — the knob that turns a 100 TB brute-force scan into
-    a bucket-local probe.  Recall < 1 by construction; raise num_planes
-    tables or probe neighboring buckets (Hamming-1) to trade cost/recall.
+    a bucket-local probe.  Recall < 1 by construction.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (flip each of the b bits): a
+    near neighbor that disagrees on exactly one hyperplane — the dominant
+    miss mode, since each bit flips independently with probability θ/π —
+    is recovered.  Cost: candidates × (b+1) on the QUERY side only; the
+    corpus is never re-hashed or replicated, so the multi-probe trade is
+    query-side fan-out for recall, the same lever as LSH forests but
+    without extra tables (Lv et al., "Multi-Probe LSH", VLDB 2007).
     """
     from pyspark.sql.window import Window
 
@@ -163,6 +172,19 @@ def lsh_topk(
         "qvec",
         num_planes,
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("srp_sig"),
+            *[
+                F.col("srp_sig").bitwiseXOR(F.lit(1 << p)).cast("bigint")
+                for p in range(num_planes)
+            ],
+        )
+        # a (query, neighbor) pair matches at most one probe value (the
+        # corpus point has a single signature), so no dedup pass is needed
+        qs = qs.select(
+            "query_id", "qvec", F.explode(probes).alias("srp_sig")
+        )
     cs = srp_signature(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")

@@ -91,39 +91,107 @@ def analyze_encoding(df: DataFrame, columns: list[str] | None = None) -> DataFra
     """Per-column {count, distinct, runs, sorted_ratio} + chosen encoding —
     the ``FileAnalyzer`` report as a DataFrame.
 
-    run/sortedness need row adjacency: computed per input order using a
-    window over a monotonic id.  This is an offline layout-analysis tool
-    (run at ingest like the reference does), not a hot-path operator; it is
-    one pass + one small shuffle per column.
+    run/sortedness need row adjacency in input order.  Adjacency is almost
+    entirely *within* partitions, so the lag window partitions by
+    ``spark_partition_id()`` (parallel, one shuffle for ALL columns) and
+    only the per-partition boundary rows — one row per partition, a tiny
+    table — go through a global window to stitch the partition-crossing
+    adjacencies.  The previous formulation windowed the whole table into a
+    single task per column; at 100 TB that is one executor sorting the
+    world, N-columns times.
+
+    The two formulations are equality-tested (`test_sources`): for every
+    row, "previous value" below is the same value the global-window lag
+    produced — a missing previous row and a NULL previous value are
+    indistinguishable to both eqNullSafe and the >= comparison, so the
+    boundary stitch needs no row/NULL marker.
     """
     cols = columns or df.columns
-    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
-    w = Window.orderBy("__rid")
-    reports = []
+    flagged = df.select(
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__rid"),
+        *[F.col(c) for c in cols],
+    )
+    wp = Window.partitionBy("__pid").orderBy("__rid")
+    lagged = flagged.select(
+        "__pid",
+        "__rid",
+        F.row_number().over(wp).alias("__rn"),
+        *[F.col(c) for c in cols],
+        *[F.lag(c).over(wp).alias(f"__prev_{c}") for c in cols],
+    )
+    # Per-partition partials: interior-row change/nondesc counts plus the
+    # boundary (first/last) values, extracted deterministically via
+    # struct-min/max on the row id.
+    per_part_aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        lagged = with_id.select(
-            F.col(c).alias("v"), F.lag(c).over(w).alias("prev")
-        )
-        rep = lagged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("v").alias("n_distinct"),
-            (F.sum(F.when(~F.col("v").eqNullSafe(F.col("prev")), 1).otherwise(0)) + 1).alias("n_runs"),
-            F.avg(
-                F.when(F.col("prev").isNull() | (F.col("v") >= F.col("prev")), 1.0).otherwise(0.0)
-            ).alias("sorted_ratio"),
-        ).withColumn("column", F.lit(c))
-        reports.append(rep)
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.select(
+        v, prev = F.col(c), F.col(f"__prev_{c}")
+        interior = F.col("__rn") > 1
+        per_part_aggs += [
+            F.sum(
+                F.when(interior & ~v.eqNullSafe(prev), 1).otherwise(0)
+            ).alias(f"__chg_{c}"),
+            F.sum(
+                F.when(interior & (prev.isNull() | (v >= prev)), 1).otherwise(0)
+            ).alias(f"__nd_{c}"),
+            F.min(F.struct(F.col("__rid").alias("r"), v.alias("v")))["v"].alias(
+                f"__first_{c}"
+            ),
+            F.max(F.struct(F.col("__rid").alias("r"), v.alias("v")))["v"].alias(
+                f"__last_{c}"
+            ),
+        ]
+    parts = lagged.groupBy("__pid").agg(*per_part_aggs)
+    # Stitch boundaries: each partition's first row pairs with the previous
+    # partition's last value.  One row per partition — the global window is
+    # over a metadata-sized table, not the data.
+    wg = Window.orderBy("__pid")
+    stitched_cols = [F.col("__n")]
+    for c in cols:
+        first = F.col(f"__first_{c}")
+        prev_last = F.lag(f"__last_{c}").over(wg)
+        stitched_cols += [
+            (
+                F.col(f"__chg_{c}")
+                + F.when(~first.eqNullSafe(prev_last), 1).otherwise(0)
+            ).alias(f"__chg_{c}"),
+            (
+                F.col(f"__nd_{c}")
+                + F.when(prev_last.isNull() | (first >= prev_last), 1).otherwise(0)
+            ).alias(f"__nd_{c}"),
+        ]
+    stitched = parts.select(*stitched_cols)
+    total_aggs = [F.sum("__n").alias("n")]
+    for c in cols:
+        total_aggs += [
+            (F.sum(f"__chg_{c}") + 1).alias(f"__runs_{c}"),
+            (F.sum(f"__nd_{c}") / F.sum("__n")).alias(f"__sr_{c}"),
+        ]
+    totals = stitched.agg(*total_aggs)
+    # distinct counts: one map-side-partial pass over the data, no window
+    distinct = df.agg(
+        *[F.approx_count_distinct(c).alias(f"__dist_{c}") for c in cols]
+    )
+    wide = totals.crossJoin(distinct)
+    # unpivot the single wide row into the per-column report
+    stack_expr = ", ".join(
+        f"'{c}', __dist_{c}, __runs_{c}, __sr_{c}" for c in cols
+    )
+    report = wide.select(
+        "n",
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column, n_distinct, n_runs, sorted_ratio_raw)"
+        ),
+    )
+    return report.select(
         "column",
         "n",
         "n_distinct",
         "n_runs",
-        F.round("sorted_ratio", 4).alias("sorted_ratio"),
+        F.round("sorted_ratio_raw", 4).alias("sorted_ratio"),
         F.when(
-            (F.col("n_runs") / F.col("n") < 0.25) & (F.col("sorted_ratio") > 0.9),
+            (F.col("n_runs") / F.col("n") < 0.25) & (F.col("sorted_ratio_raw") > 0.9),
             F.lit("RLE"),
         )
         .when(F.col("n_distinct") / F.col("n") < 0.75, F.lit("DICTIONARY"))

@@ -454,3 +454,43 @@ def test_embedding_near_dup_plan_has_no_cartesian(spark):
     plan = embedding_near_dup(e, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_multi_probe_improves_recall(spark):
+    """Hamming-1 multi-probe recovers neighbors that disagree on exactly
+    one hyperplane: recall vs brute force is monotonically >= the single-
+    bucket probe, and on a clustered corpus reaches a sane floor."""
+    import math
+    import random
+
+    from maple_spark.pipelines.similarity import cosine_topk, lsh_topk
+
+    rnd = random.Random(13)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(40):           # 40 clusters of 5 near-identical vectors
+        center = [rnd.gauss(0, 1) for _ in range(dim)]
+        for _ in range(5):
+            rows.append((vid, [x + rnd.gauss(0, 0.05) for x in center]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.where(F.col("vec_id") % 5 == 0).limit(20)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vecs, queries, k=3).collect()
+    }
+
+    def recall(multi_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                vecs, queries, k=3, num_planes=8, multi_probe=multi_probe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(False), recall(True)
+    assert r1 >= r0
+    assert r1 >= 0.9

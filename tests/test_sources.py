@@ -229,3 +229,58 @@ def test_python_datasource_stream_drains_offsets(spark):
     got = spark.sql("SELECT event_id FROM pyds_stream").collect()
     ids = sorted(r["event_id"] for r in got)
     assert ids == list(range(250))
+
+
+def test_analyze_encoding_partition_parallel_equals_global(spark):
+    """The partition-parallel runs/sortedness formulation must agree with
+    a straightforward global-window reference on multi-partition input,
+    including NULLs and partition-boundary adjacencies."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from maple_spark.sources import analyze_encoding
+
+    rnd = random.Random(7)
+    data = [
+        (
+            i // 37,
+            rnd.choice(["a", "b", None]),
+            rnd.randint(0, 50) if rnd.random() > 0.1 else None,
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        data, "sorted_col int, lowcard string, num int"
+    ).repartition(7)
+    # freeze the (arbitrary but fixed) post-repartition order so both
+    # formulations see the same sequence
+    df = df.cache()
+    df.count()
+
+    got = {
+        r["column"]: (r["n"], r["n_runs"], r["sorted_ratio"])
+        for r in analyze_encoding(df).collect()
+    }
+
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    w = Window.orderBy("__rid")
+    for c in df.columns:
+        lagged = with_id.select(F.col(c).alias("v"), F.lag(c).over(w).alias("prev"))
+        ref = lagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.when(~F.col("v").eqNullSafe(F.col("prev")), 1).otherwise(0)) + 1).alias(
+                "n_runs"
+            ),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("prev").isNull() | (F.col("v") >= F.col("prev")), 1.0
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("sorted_ratio"),
+        ).collect()[0]
+        assert got[c] == (ref["n"], ref["n_runs"], ref["sorted_ratio"]), c
+    df.unpersist()
