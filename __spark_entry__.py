@@ -797,6 +797,40 @@ def cp1_corpus_pipeline(spark, sf_dir):
     return capped.select("doc_id", "lang", "split", "quality")
 
 
+def t11_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any 13-word
+    n-gram with the eval set (docs with doc_id % 50 == 0 stand in for the
+    benchmark).  Corpus explodes once; benchmark gram set broadcasts; the
+    corpus never shuffles (GPT-3-style n-gram overlap decontamination)."""
+    from maple_spark.pipelines import curation
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return curation.decontaminate(d, bench, n=13)
+
+
+def t12_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (distinct word/bigram ratios,
+    top-token share) — boilerplate/spam quality filters; map-only."""
+    from maple_spark.pipelines import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.repetition_stats(d)
+
+
+def t13_pii_scrub(spark, sf_dir):
+    """PII count + mask (emails, phone literals) with portable
+    character-class regexes; map-only.  The driver corpus is synthetic
+    word salad (zero hits — asserted by the oracle too); planted-PII
+    behavior is pytest-verified."""
+    from maple_spark.pipelines import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.pii_scrub(d).select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed_text").alias("scrub_md5")
+    )
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -2451,6 +2485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_all": set_intersect_all,
         "set_except_all": set_except_all,
         "pv2_unpivot": pv2_unpivot,
+        "t11_decontaminate": t11_decontaminate,
+        "t12_repetition_stats": t12_repetition_stats,
+        "t13_pii_scrub": t13_pii_scrub,
     }
 
 
@@ -3731,5 +3768,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, 'n_o', n_o FROM wide
             UNION ALL
             SELECT o_orderpriority, 'n_p', n_p FROM wide
+        """,
+        "t11_decontaminate": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+              FROM w, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+              WHERE len(ws) >= 13
+            ),
+            bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n
+              FROM dg JOIN bg USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   COALESCE(hits.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        "t12_repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            tok AS (SELECT doc_id, UNNEST(ws) AS word FROM w),
+            wc AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM tok GROUP BY doc_id, word
+            ),
+            wstats AS (
+              SELECT doc_id, COUNT(*) AS dw, SUM(c) AS nw, MAX(c) AS topc
+              FROM wc GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+              FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            bstats AS (
+              SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT g) AS db
+              FROM bg GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   round(dw / greatest(nw, 1), 6) AS distinct_word_ratio,
+                   round(COALESCE(db, 0) / greatest(COALESCE(nb, 0), 1), 6)
+                       AS distinct_bigram_ratio,
+                   round(topc / greatest(nw, 1), 6) AS top_word_share
+            FROM w
+            JOIN wstats ON w.doc_id = wstats.doc_id
+            LEFT JOIN bstats ON w.doc_id = bstats.doc_id
+        """,
+        "t13_pii_scrub": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]'))
+                     AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                     '<EMAIL>', 'g'),
+                     '[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]',
+                     '<PHONE>', 'g')) AS scrub_md5
+            FROM documents
         """,
     }

@@ -1,0 +1,158 @@
+"""Corpus-curation operators a training-data pipeline needs beyond dedup:
+benchmark decontamination, repetition detection, and PII scrubbing.
+
+All three are pure Catalyst-expression dataflows (no Python in the row
+path) and each has a DuckDB SQL oracle twin in ``__spark_entry__``:
+
+- ``decontaminate``: flag documents sharing any word n-gram with a
+  benchmark/eval set — the standard n-gram-overlap decontamination used
+  before LLM training (the GPT-3 appendix describes 13-gram overlap; n is
+  a parameter).  Scale shape: explode docs to (doc, gram-hash) once,
+  build the benchmark gram set once (it is tiny relative to the corpus —
+  broadcast), and the flagging join is a broadcast semi-join: the corpus
+  shuffles zero times.
+- ``repetition_stats``: within-document repetition signals (distinct
+  word / bigram ratios, top-token share) — the boilerplate/spam signal
+  used by quality filters.  Map-only; no shuffle at all.
+- ``pii_scrub``: count + mask email/phone literals with portable
+  character-class regexes.  Map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: portable regex dialect (char classes only) — Java and RE2/PCRE agree,
+#: so the DuckDB oracle produces identical matches
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]"
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Array of space-joined word n-grams (empty when the doc has < n
+    words).  Built with transform over index sequence — codegen'd, no
+    Python."""
+    words = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination report vs the benchmark set:
+    (id, n_contaminated_grams, contaminated).
+
+    A document is contaminated when any of its word n-grams appears in
+    any benchmark document.  Distinct grams per doc (a gram repeated
+    inside one doc counts once — the count answers "how many benchmark
+    grams leak into this doc").
+
+    100 TB design: the corpus explodes to (id, gram) and aggregates
+    per-doc after a broadcast semi-join against the benchmark gram set —
+    benchmark/eval suites are MBs against a corpus of TBs, so the
+    expensive side never shuffles; flagging is map-side.  For a huge
+    benchmark, swap the broadcast for a shuffled semi-join on gram hash —
+    same dataflow.
+    """
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals:
+
+    - ``distinct_word_ratio``  = |set(words)| / |words|
+    - ``distinct_bigram_ratio``= |set(bigrams)| / |bigrams|
+    - ``top_word_share``       = count(most frequent word) / |words|
+
+    Low distinct ratios / high top share ⇒ boilerplate, keyword spam, or
+    looping generation — standard pre-training quality filters.  All
+    array expressions over one row: map-only at any corpus size.
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams = _word_ngrams(text_col, 2)
+    n_words = F.size(words)
+    n_bigrams = F.size(bigrams)
+    # top word share via aggregate over the distinct words: for each
+    # distinct word count its occurrences with a filter+size — O(u·w)
+    # per row worst case, but u (distinct words per doc) is bounded by
+    # doc length, and everything stays in codegen
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("distinct_word_ratio"),
+        F.round(
+            F.size(F.array_distinct(bigrams)).cast("double")
+            / F.greatest(n_bigrams, F.lit(1)),
+            6,
+        ).alias("distinct_bigram_ratio"),
+        F.round(
+            top_count.cast("double") / F.greatest(n_words, F.lit(1)), 6
+        ).alias("top_word_share"),
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count and mask email/phone literals:
+    (id, n_emails, n_phones, scrubbed_text).
+
+    Masking replaces matches with fixed tags so downstream dedup/token
+    counts stay deterministic.  Map-only; the regexes stick to character
+    classes so Java and the DuckDB oracle agree byte-for-byte.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed_text"),
+    )

@@ -185,19 +185,39 @@ def minhash_lsh_pairs(
     sharp and the verifier bill low.
     """
     rows_per_band = num_perm // bands
-    sig = _minhash_signatures_fast(df, id_col, text_col, num_perm, k)
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    # Banding fused over the raw permutation-min columns (h0..h63) rather
+    # than the assembled signature array: same band hashes (signature[i]
+    # IS h{i}), two fewer 64-wide projections for Catalyst to analyze —
+    # the signature→array→extract round-trip was pure plan bloat here.
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    sh = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(shingles).alias("__s"))
+        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
+    stacked = sig.select(
         F.col(id_col),
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bucket"),
+                )
                 for b in range(bands)
             ])
         ).alias("bb"),

@@ -494,3 +494,53 @@ def test_lsh_multi_probe_improves_recall(spark):
     r0, r1 = recall(False), recall(True)
     assert r1 >= r0
     assert r1 >= 0.9
+
+
+def test_decontaminate_known_overlap(spark):
+    """Planted 13-gram overlap: the contaminated doc is flagged with the
+    right gram count; clean docs are not."""
+    from maple_spark.pipelines.curation import decontaminate
+
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
+    leak = "intro " + bench_text + " outro"          # shares 2 13-grams
+    clean = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, leak), (2, clean), (3, "short doc")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+           for r in decontaminate(docs, bench, n=13).collect()}
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)                      # < 13 words → no grams
+
+
+def test_repetition_stats_detects_loops(spark):
+    from maple_spark.pipelines.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here are different")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["distinct_word_ratio"] == 0.25
+    assert got[1]["top_word_share"] == 1.0
+    assert got[1]["distinct_bigram_ratio"] == pytest.approx(1 / 3)
+    assert got[2]["distinct_word_ratio"] == 1.0
+    assert got[2]["top_word_share"] == 0.2
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from maple_spark.pipelines.curation import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@example.com or call 555-123-4567 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[1]["scrubbed_text"] == "mail <EMAIL> or call <PHONE> now"
+    assert got[2]["n_emails"] == 0 and got[2]["scrubbed_text"] == "no pii here"
