@@ -83,8 +83,16 @@ def run_repl(
                 out_stream.write("bye\n")
                 return
             try:
-                df = engine.sql(stmt)
-                if df.columns:
+                # dialect router: reference statements (CREATE STORE,
+                # ANALYZE, VERIFY, OPTIMIZE, UPDATE/DELETE, ...) run the
+                # engine implementations; ANSI flows to spark.sql
+                from maple_spark.dialect import ExitScript, route_statement
+
+                df = route_statement(engine, stmt)
+                if isinstance(df, ExitScript):
+                    out_stream.write("bye\n")
+                    return
+                if df is not None and df.columns:
                     rows = df.limit(max_rows + 1).collect()
                     out_stream.write(
                         format_rows(df.columns, rows, max_rows) + "\n"

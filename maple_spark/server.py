@@ -61,18 +61,29 @@ class _Handler(socketserver.StreamRequestHandler):
             try:
                 req = json.loads(line)
                 limit = int(req.get("limit", MAX_DEFAULT_ROWS))
-                df = engine.sql(req["sql"])
+                # dialect router: same statement surface as the REPL and
+                # execute_script (reference parity across all §3 entry
+                # points); EXIT closes this connection's loop
+                from maple_spark.dialect import ExitScript, route_statement
+
+                df = route_statement(engine, req["sql"])
+                if isinstance(df, ExitScript):
+                    self.wfile.write(
+                        (json.dumps({"ok": True, "bye": True}) + "\n").encode()
+                    )
+                    return
                 rows, truncated = [], False
-                # stream rows; stop at limit instead of collecting the
-                # full result on the driver (TupleSender contract)
-                for row in df.limit(limit + 1).toLocalIterator():
-                    if len(rows) == limit:
-                        truncated = True
-                        break
-                    rows.append([_json_safe(v) for v in row])
+                if df is not None:
+                    # stream rows; stop at limit instead of collecting the
+                    # full result on the driver (TupleSender contract)
+                    for row in df.limit(limit + 1).toLocalIterator():
+                        if len(rows) == limit:
+                            truncated = True
+                            break
+                        rows.append([_json_safe(v) for v in row])
                 resp = {
                     "ok": True,
-                    "columns": df.columns,
+                    "columns": df.columns if df is not None else [],
                     "rows": rows,
                     "truncated": truncated,
                 }

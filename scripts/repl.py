@@ -59,7 +59,16 @@ def main() -> None:
                 eng.analyze(table)
                 print(f"analyzed {table}: {eng.table_stats(table)}")
             else:
-                eng.sql(stmt).show(50, truncate=40)
+                # reference-dialect statements (CREATE STORE, VERIFY,
+                # OPTIMIZE, UPDATE/DELETE, ...) route to the engine;
+                # ANSI falls through to spark.sql
+                from maple_spark.dialect import route_statement
+
+                df = route_statement(eng, stmt)
+                if df is not None:
+                    df.show(50, truncate=40)
+                else:
+                    print("OK")
         except Exception as exc:  # keep the shell alive on bad SQL
             print(f"error: {type(exc).__name__}: {str(exc).splitlines()[0]}")
     print("bye")

@@ -6,6 +6,9 @@ and exact values (rows sorted by all columns, columns sorted by name) —
 the strictest reading of the driver's value-hash compare.
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...] [-excluded_query ...]
+       SELFCHECK_JSON=out.json python scripts/selfcheck.py ...   # also write
+       a machine-readable per-query record (committed per round as
+       SELFCHECK_r{N}.json so the full-registry claim is reproducible)
 """
 
 from __future__ import annotations
@@ -66,6 +69,7 @@ def main():
 
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    records = {}
     for name, fn in qs.items():
         if (only and name not in only) or name in excluded:
             continue
@@ -76,11 +80,13 @@ def main():
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": f"spark: {e}"}
             continue
         spark_time = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only, {spark_time:.1f}s)")
             n_rowsonly += 1
+            records[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -88,6 +94,7 @@ def main():
             print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": f"duckdb: {e}"}
             continue
         scols, srows = normalize(sdf)
         ocols, orows = normalize(odf)
@@ -95,6 +102,7 @@ def main():
             print(f"FAIL  {name}: columns spark={scols} duckdb={ocols}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": "schema mismatch"}
             continue
         dt_mismatch = [
             (c, str(sdf[c].dtype), str(odf[c].dtype))
@@ -107,6 +115,7 @@ def main():
             print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(orows)}")
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": "rowcount mismatch"}
             continue
         mismatches = [
             (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
@@ -119,15 +128,39 @@ def main():
             )
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "fail", "err": "value mismatch"}
             continue
         empty = "  [EMPTY RESULT]" if len(srows) == 0 else ""
         print(f"PASS  {name}: {len(srows)} rows ({spark_time:.1f}s){empty}")
         n_pass += 1
+        records[name] = {
+            "status": "pass",
+            "rows": len(srows),
+            "spark_sec": round(spark_time, 2),
+        }
 
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only"
         + (f"; failures: {failures}" if failures else "")
     )
+    import json
+    import os
+
+    out_json = os.environ.get("SELFCHECK_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_json}")
     return 1 if n_fail else 0
 
 

@@ -148,3 +148,58 @@ def test_split_statements_escapes_and_comments(spark):
         "SELECT 'it\\'s fine;' AS y",
         'SELECT "q;\\"z;" AS z',
     ]
+
+
+def test_repl_routes_dialect_statements(spark, tmp_path):
+    """The REPL accepts reference-dialect statements (§3.1 parity):
+    VERIFY prints a report table; UPDATE mutates the session view."""
+    import io
+
+    from maple_spark.engine import MapleEngine
+    from maple_spark.repl import run_repl
+
+    eng = MapleEngine(spark, SF_DIR, warehouse=str(tmp_path / "w"))
+    out = io.StringIO()
+    run_repl(
+        eng,
+        io.StringIO(
+            "VERIFY region;\n"
+            "UPDATE region SET r_name = lower(r_name) WHERE r_regionkey = 1;\n"
+            "SELECT r_name FROM region WHERE r_regionkey = 1;\n"
+            "EXIT;\n"
+        ),
+        out,
+    )
+    text = out.getvalue()
+    assert "region" in text and "ok" in text      # VERIFY report row
+    assert "america" in text                      # lowered by UPDATE
+    assert "bye" in text
+
+
+def test_tcp_server_routes_dialect_statements(spark, tmp_path):
+    """The TCP server shares the dialect surface (§3.2 parity)."""
+    from maple_spark.engine import MapleEngine
+    from maple_spark.server import QueryServer, query_once
+
+    eng = MapleEngine(
+        spark, SF_DIR, tables=("region", "nation"), warehouse=str(tmp_path / "w")
+    )
+    server = QueryServer(eng)
+    server.start_background()
+    try:
+        resp = query_once("127.0.0.1", server.port, "VERIFY region, nation")
+        assert resp["ok"]
+        got = {r[0]: (r[1], r[2]) for r in resp["rows"]}
+        assert got == {"region": (5, "ok"), "nation": (25, "ok")}
+
+        resp = query_once(
+            "127.0.0.1", server.port, "DELETE FROM nation WHERE n_nationkey >= 20"
+        )
+        assert resp["ok"] and resp["rows"] == []
+        resp = query_once(
+            "127.0.0.1", server.port, "SELECT COUNT(*) AS n FROM nation"
+        )
+        assert resp["ok"] and resp["rows"] == [[20]]
+    finally:
+        server.shutdown()
+        server.server_close()
