@@ -62,6 +62,11 @@ _CREATE_STORE = re.compile(
     r"'(?P<file>[^']+)'\s*\((?P<decl>.*)\)\s*$",
     re.I | re.S,
 )
+_CREATE_INDEX = re.compile(
+    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:\w+\s+)?ON\s+(?P<name>\w+)\s*"
+    r"\((?P<cols>[\w\s,]+)\)(?:\s+USING\s+\w+)?\s*$",
+    re.I,
+)
 _ANALYZE = re.compile(r"^\s*ANALYZE(?:\s+VERBOSE)?\s+(?P<tables>[\w\s,]+)$", re.I)
 _VERIFY = re.compile(r"^\s*VERIFY\s+(?P<tables>[\w\s,]+)$", re.I)
 _OPTIMIZE = re.compile(r"^\s*OPTIMIZE\s+(?P<tables>[\w\s,]+)$", re.I)
@@ -157,6 +162,10 @@ def route_statement(engine, stmt: str):
     if m:
         return _create_store(engine, m.group("name"), m.group("file"), m.group("decl"))
 
+    m = _CREATE_INDEX.match(stmt)
+    if m:
+        return _create_index(engine, m.group("name"), _table_list(m.group("cols")))
+
     m = _ANALYZE.match(stmt)
     if m:
         for t in _table_list(m.group("tables")):
@@ -220,6 +229,36 @@ def _spark_handles_dml(engine, name: str) -> bool:
     Spark SQL, so everything takes the rewrite path.  The hook exists so a
     Delta/Iceberg-backed deployment can flip it per table."""
     return False
+
+
+def _create_index(engine, name: str, cols: list[str]) -> None:
+    """CREATE INDEX (nanosql.g:426-448, CreateIndexCommand.java:76): the
+    Parquet-native analog of a secondary index is *layout* — rewrite the
+    store sorted (one column: range-sort → row-group min/max skipping) or
+    Z-ordered (several columns: min/max pruning on each at once).  Only
+    dialect-created stores can be rewritten; the driver's source tables
+    are read-only by contract."""
+    path = engine.store_path(name)
+    if path is None:
+        raise UnsupportedStatementError(
+            f"CREATE INDEX ON {name}: only dialect-created stores can be "
+            "re-laid-out; source tables are read-only (sort/Z-order them at "
+            "ingest with csv_to_parquet/zorder_write)"
+        )
+    df = engine.table(name)
+    if len(cols) == 1:
+        out = (
+            df.repartitionByRange(8, cols[0]).sortWithinPartitions(cols[0])
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(path)
+        _reload_store(engine, name, path)
+    else:
+        from maple_spark.sources.layout import zorder_write
+
+        staged = df.localCheckpoint(eager=True)
+        zorder_write(staged, path, cols)
+        _reload_store(engine, name, path)
+    return None
 
 
 def _create_store(engine, name: str, filename: str, decl: str) -> None:

@@ -203,3 +203,22 @@ def test_tcp_server_routes_dialect_statements(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_create_index_relayouts_store(engine, states_csv):
+    """CREATE INDEX (nanosql.g:426-448) → sorted relayout of the store;
+    data survives byte-identically and the files are range-sorted."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        DELETE FROM states WHERE id = 3;
+        CREATE UNIQUE INDEX idx_id ON states (id) USING BTREE;
+        SELECT id, name FROM states ORDER BY id;
+        """
+    )
+    assert [r["id"] for r in res[-1]] == [1, 2, 4, 5]
+    # read-only source tables refuse the rewrite
+    from maple_spark.dialect import UnsupportedStatementError
+
+    with pytest.raises(UnsupportedStatementError):
+        engine.execute_script("CREATE INDEX i ON region (r_regionkey)")
