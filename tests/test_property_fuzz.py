@@ -262,3 +262,28 @@ def test_random_window_frames_agree(engines, part, frame, pred):
     orows = sorted((tuple(r) for r in con.execute(sql).fetchall()),
                    key=lambda t: tuple((x is None, str(x)) for x in t))
     assert srows == orows, (part, frame, pred)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    col=st.sampled_from(["p_size", "p_brand", "p_retailprice", "p_partkey"]),
+    direction=st.sampled_from(["ASC", "DESC"]),
+    nulls=st.sampled_from(["NULLS FIRST", "NULLS LAST"]),
+    limit=st.integers(min_value=1, max_value=50),
+)
+def test_random_order_by_limit_agree(engines, col, direction, nulls, limit):
+    """Sort semantics parity (O1/O2: ordering directions × null placement
+    × LIMIT): both engines must produce the identical ordered prefix.
+    Ties broken on p_partkey so the prefix is deterministic."""
+    spark, con = engines
+    sql = (
+        f"SELECT p_partkey FROM fuzz_part "
+        f"ORDER BY {col} {direction} {nulls}, p_partkey ASC LIMIT {limit}"
+    )
+    sres = [r["p_partkey"] for r in spark.sql(sql).collect()]
+    ores = [r[0] for r in con.execute(sql).fetchall()]
+    assert sres == ores, sql
