@@ -831,6 +831,23 @@ def t13_pii_scrub(spark, sf_dir):
     )
 
 
+def t14_domain_mix(spark, sf_dir):
+    """Weighted per-source subsample (corpus mixing): content-stable md5
+    draw per (source, doc_id) against per-domain target fractions —
+    deterministic, map-only, re-run-stable.  The oracle computes the same
+    draw, so the mix itself is hash-verified."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.domain_mix(
+        d,
+        "source",
+        "doc_id",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+    ).select("doc_id", "source", "lang")
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -2488,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_decontaminate": t11_decontaminate,
         "t12_repetition_stats": t12_repetition_stats,
         "t13_pii_scrub": t13_pii_scrub,
+        "t14_domain_mix": t14_domain_mix,
     }
 
 
@@ -3818,6 +3836,17 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             JOIN wstats ON w.doc_id = wstats.doc_id
             LEFT JOIN bstats ON w.doc_id = bstats.doc_id
+        """,
+        "t14_domain_mix": """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     CAST(('0x' || substring(md5(source || '|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                          % 10000 AS mix_draw,
+                     CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                          WHEN 'src2' THEN 0.25 ELSE 0.1 END AS mix_weight
+              FROM documents
+            ) WHERE mix_draw < mix_weight * 10000
         """,
         "t13_pii_scrub": """
             SELECT doc_id,

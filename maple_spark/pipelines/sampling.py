@@ -60,3 +60,48 @@ def quota_sample(
         .where(F.col("rk") <= cap)
         .drop("rk")
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Weighted per-domain subsampling — the corpus-mixing primitive: keep
+    each row with its domain's target fraction, decided by a
+    content-stable md5 draw in [0, 1) so re-runs and corpus growth never
+    flip a document's keep/drop decision (the property ``sample(fraction,
+    seed)`` cannot give across partitionings — same argument as
+    ``hash_split``).
+
+    The draw reuses the engine-portable md5 formula (first 4 hex digits →
+    integer, here mod ``resolution`` for 4 decimal digits of weight
+    precision), salted with the domain so the mix draw is independent of
+    the train/valid/test split draw.  Map-only: no shuffle at any scale.
+    Weights > 1 mean "keep everything" (upsampling/repetition is the
+    sequence-packing layer's job, not the filter's).
+    """
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(domain_col), F.col(id_col).cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % resolution
+    )
+    weight = F.lit(default_weight)
+    for dom, w in sorted(weights.items()):
+        weight = F.when(F.col(domain_col) == dom, F.lit(w)).otherwise(weight)
+    return (
+        df.withColumn("mix_draw", draw)
+        .withColumn("mix_weight", weight)
+        .where(F.col("mix_draw") < F.col("mix_weight") * resolution)
+        .drop("mix_draw", "mix_weight")
+    )

@@ -544,3 +544,30 @@ def test_pii_scrub_masks_and_counts(spark):
     assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
     assert got[1]["scrubbed_text"] == "mail <EMAIL> or call <PHONE> now"
     assert got[2]["n_emails"] == 0 and got[2]["scrubbed_text"] == "no pii here"
+
+
+def test_domain_mix_deterministic_and_proportional(spark):
+    """domain_mix keeps ~the target fraction per domain, identically on
+    every run, and never flips a decision when the corpus grows."""
+    from maple_spark.pipelines.sampling import domain_mix
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"heavy": 0.25, "light": 0.75}
+
+    kept1 = {r["doc_id"] for r in domain_mix(df, "source", "doc_id", weights).collect()}
+    kept2 = {r["doc_id"] for r in domain_mix(df, "source", "doc_id", weights).collect()}
+    assert kept1 == kept2                                   # re-run stable
+
+    heavy = sum(1 for i in kept1 if i % 2 == 0) / 1000
+    light = sum(1 for i in kept1 if i % 2 == 1) / 1000
+    assert abs(heavy - 0.25) < 0.05 and abs(light - 0.75) < 0.05
+
+    # growth stability: decisions on the original ids don't change when
+    # new rows appear
+    grown = spark.createDataFrame(
+        rows + [(i, "heavy") for i in range(2000, 3000)],
+        "doc_id long, source string",
+    )
+    kept3 = {r["doc_id"] for r in domain_mix(grown, "source", "doc_id", weights).collect()}
+    assert {i for i in kept3 if i < 2000} == kept1
