@@ -831,6 +831,39 @@ def t13_pii_scrub(spark, sf_dir):
     )
 
 
+def cp2_curation_pipeline(spark, sf_dir):
+    """Capstone #2 — the curation pass composed as ONE oracle-checked
+    dataflow: quality filter (t3) → benchmark decontamination (t11) →
+    repetition filter (t12) → domain mix (t14) → PII scrub (t13).
+    Proves the round-3 curation operators compose deterministically;
+    every stage is also individually hash-verified.  At 100 TB this is
+    one corpus scan, one broadcast semi-join (benchmark grams), and one
+    per-doc hit aggregation — see SCALE.md."""
+    from maple_spark.pipelines import curation, sampling
+
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(d).select("doc_id", "text", "lang", "source", "quality")
+    kept = scored.where(F.col("quality") >= 0.4)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    decon = curation.decontaminate(kept, bench, n=13)
+    clean = kept.join(
+        decon.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    rep = curation.repetition_stats(clean)
+    varied = clean.join(
+        rep.where(F.col("distinct_word_ratio") >= 0.2).select("doc_id"), "doc_id"
+    )
+    mixed = sampling.domain_mix(
+        varied, "source", "doc_id", weights={"src0": 1.0, "src1": 0.5}, default_weight=0.3
+    )
+    return curation.pii_scrub(mixed).join(
+        mixed.select("doc_id", "lang", "source", "quality"), "doc_id"
+    ).select(
+        "doc_id", "lang", "source", "quality", "n_emails",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+    )
+
+
 def t14_domain_mix(spark, sf_dir):
     """Weighted per-source subsample (corpus mixing): content-stable md5
     draw per (source, doc_id) against per-domain target fractions —
@@ -2506,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_repetition_stats": t12_repetition_stats,
         "t13_pii_scrub": t13_pii_scrub,
         "t14_domain_mix": t14_domain_mix,
+        "cp2_curation_pipeline": cp2_curation_pipeline,
     }
 
 
@@ -3836,6 +3870,75 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             JOIN wstats ON w.doc_id = wstats.doc_id
             LEFT JOIN bstats ON w.doc_id = bstats.doc_id
+        """,
+        "cp2_curation_pipeline": """
+            WITH scored AS (
+              SELECT doc_id, text, lang, source,
+                     round((least(n_words / 20.0, 1.0)
+                            + (1.0 - least(punct_ratio * 5, 1.0))
+                            + least(stopword_ratio * 4, 1.0)) / 3.0, 6) AS quality
+              FROM (
+                SELECT doc_id, text, lang, source,
+                       len(string_split(text, ' ')) AS n_words,
+                       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(CAST(len(list_filter(string_split(text, ' '),
+                             w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                             AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                         AS stopword_ratio
+                FROM documents
+              )
+            ), kept AS (
+              SELECT * FROM scored WHERE quality >= 0.4
+            ), kw AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM kept
+            ), dgk AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+              FROM kw, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+              WHERE len(ws) >= 13
+            ), bw AS (
+              SELECT string_split(text, ' ') AS ws FROM documents
+              WHERE doc_id % 50 = 0
+            ), bg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS gram
+              FROM bw, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+              WHERE len(ws) >= 13
+            ), contaminated AS (
+              SELECT DISTINCT doc_id FROM dgk JOIN bg USING (gram)
+            ), clean AS (
+              SELECT k.* FROM kept k
+              WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), rep AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       round(CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE)
+                             / greatest(len(string_split(text, ' ')), 1), 6) AS r
+                FROM clean
+              ) WHERE r >= 0.2
+            ), varied AS (
+              SELECT c.* FROM clean c JOIN rep USING (doc_id)
+            ), mixed AS (
+              SELECT * FROM (
+                SELECT v.*,
+                       CAST(('0x' || substring(md5(source || '|' ||
+                            CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                            % 10000 AS mix_draw,
+                       CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                            ELSE 0.3 END AS mw
+                FROM varied v
+              ) WHERE mix_draw < mw * 10000
+            )
+            SELECT doc_id, lang, source, quality,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                     AS BIGINT) AS n_emails,
+                   md5(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                     '<EMAIL>', 'g'),
+                     '[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]',
+                     '<PHONE>', 'g')) AS scrub_md5
+            FROM mixed
         """,
         "t14_domain_mix": """
             SELECT doc_id, source, lang FROM (
