@@ -67,13 +67,19 @@ def decontaminate(
     """
     doc_grams = docs.select(
         F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
-    ).distinct()
+    )
     bench_grams = (
         benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
         .distinct()
     )
+    # Order matters at scale: the broadcast semi-join FILTERS FIRST (map
+    # side, no shuffle of the exploded corpus), so the distinct + count
+    # shuffle only the matching (doc, gram) pairs — bounded by actual
+    # contamination, not corpus size.  A distinct before the join would
+    # shuffle every gram of every document.
     hits = (
         doc_grams.join(F.broadcast(bench_grams), on="gram", how="left_semi")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )

@@ -332,9 +332,13 @@ def embedding_near_dup(
     Pruning power is (π/w)^P cells: weak at loose thresholds (t=0.4 →
     ~3 buckets/axis) but strong in the actual near-dup regime (t=0.95 →
     ~10 buckets/axis, ~1000 cells at P=3).  The 3^P fan-out is the
-    price of determinism; P tunes fan-out vs pruning.  Pivot-based
-    metric-space similarity joins are classic (e.g. Jacox & Samet,
-    "Metric Space Similarity Joins", TODS 2008; epsilon-grid-order).
+    price of determinism; P tunes fan-out vs pruning — and the fan-out
+    side carries only (id, bucket keys), never the vector payload:
+    candidate (id_a, id_b) pairs re-attach both embeddings through two
+    id equi-joins afterwards, so the replicated shuffle is a few ints
+    per probe instead of the full embedding.  Pivot-based metric-space
+    similarity joins are classic (e.g. Jacox & Samet, "Metric Space
+    Similarity Joins", TODS 2008; epsilon-grid-order).
     """
     import itertools
     import math
@@ -356,7 +360,7 @@ def embedding_near_dup(
         .alias(f"b{i}")
         for i in range(n_pivots)
     ]
-    base = df.select(F.col(id_col).alias("id"), v.alias("vec"), *bucket_cols)
+    base = df.select(F.col(id_col).alias("id"), *bucket_cols)
     shifts = list(itertools.product((-1, 0, 1), repeat=n_pivots))
     shift_arr = F.array(
         *[
@@ -367,24 +371,26 @@ def embedding_near_dup(
     keys = [f"k{i}" for i in range(n_pivots)]
     a = base.select(
         F.col("id").alias("id_a"),
-        F.col("vec").alias("va"),
         *[F.col(f"b{i}") for i in range(n_pivots)],
         F.explode(shift_arr).alias("d"),
     ).select(
         "id_a",
-        "va",
         *[(F.col(f"b{i}") + F.col(f"d.d{i}")).alias(k) for i, k in enumerate(keys)],
     )
     b = base.select(
         F.col("id").alias("id_b"),
-        F.col("vec").alias("vb"),
         *[F.col(f"b{i}").alias(k) for i, k in enumerate(keys)],
     )
     # Each qualifying pair matches under exactly one shift vector
     # (δ_i = b_i(b) − b_i(a) is unique), so no dedup pass is needed.
+    pairs = a.join(b, on=keys).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, on=keys)
-        .where(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
         )
