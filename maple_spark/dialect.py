@@ -81,6 +81,7 @@ _INSERT_VALUES = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+VALUES\s*(?P<values>\(.+\))\s*$",
     re.I | re.S,
 )
+_EXPLAIN_DML = re.compile(r"^\s*EXPLAIN\s+(?P<inner>(?:UPDATE|DELETE)\b.+)$", re.I | re.S)
 _TXN = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(\s+WORK)?\s*$", re.I)
 _CRASH = re.compile(r"^\s*CRASH\s*$", re.I)
 _EXIT = re.compile(r"^\s*(EXIT|QUIT)\s*$", re.I)
@@ -189,6 +190,13 @@ def route_statement(engine, stmt: str):
             _reload_store(engine, t, path)
         return None
 
+    # EXPLAIN UPDATE/DELETE (nanosql.g:711-719 allows DML under EXPLAIN;
+    # Spark's parser doesn't): build the rewrite plan without executing it
+    # and return its formatted physical plan as a one-column result set.
+    m = _EXPLAIN_DML.match(stmt)
+    if m:
+        return _explain_dml(engine, m.group("inner"))
+
     # UPDATE/DELETE: only when Spark SQL can't (plain parquet/temp-view
     # tables).  The WHERE/SET bodies are parsed by Spark via F.expr.
     m = _UPDATE.match(stmt)
@@ -229,6 +237,39 @@ def _spark_handles_dml(engine, name: str) -> bool:
     Spark SQL, so everything takes the rewrite path.  The hook exists so a
     Delta/Iceberg-backed deployment can flip it per table."""
     return False
+
+
+def _build_dml_frame(engine, inner: str) -> DataFrame:
+    """Build (don't execute) the read-transform frame for an UPDATE or
+    DELETE statement — shared by EXPLAIN DML."""
+    from maple_spark.operators.dml import delete_where, update_where
+
+    m = _UPDATE.match(inner)
+    if m:
+        assignments = {}
+        for part in _split_top_level_commas(m.group("sets")):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = F.expr(expr.strip())
+        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        return update_where(engine.table(m.group("name")), cond, assignments)
+    m = _DELETE.match(inner)
+    if m:
+        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        return delete_where(engine.table(m.group("name")), cond)
+    raise ValueError(f"EXPLAIN: unparseable DML statement: {inner!r}")
+
+
+def _explain_dml(engine, inner: str) -> DataFrame:
+    """ExplainCommand parity for DML (ExplainCommand.java:26-29 prints the
+    plan without running it): the rewrite's formatted physical plan, one
+    line per row."""
+    from maple_spark.plans import explain_str
+
+    plan = explain_str(_build_dml_frame(engine, inner), "formatted")
+    spark = engine.spark
+    return spark.createDataFrame(
+        [(line,) for line in plan.splitlines()], "plan string"
+    )
 
 
 def _create_index(engine, name: str, cols: list[str]) -> None:

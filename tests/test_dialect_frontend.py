@@ -222,3 +222,21 @@ def test_create_index_relayouts_store(engine, states_csv):
 
     with pytest.raises(UnsupportedStatementError):
         engine.execute_script("CREATE INDEX i ON region (r_regionkey)")
+
+
+def test_explain_dml(engine, states_csv):
+    """EXPLAIN UPDATE/DELETE (nanosql.g:711-719): prints the rewrite plan
+    without executing it — the table is unchanged afterwards."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        EXPLAIN UPDATE states SET name = upper(name) WHERE id = 1;
+        EXPLAIN DELETE FROM states WHERE id > 3;
+        SELECT count(*) AS n FROM states;
+        """
+    )
+    upd_plan = "\n".join(r["plan"] for r in res[1])
+    del_plan = "\n".join(r["plan"] for r in res[2])
+    assert "Physical Plan" in upd_plan and "Scan parquet" in upd_plan
+    assert "Filter" in del_plan or "Physical Plan" in del_plan
+    assert res[-1][0]["n"] == 5            # nothing executed
