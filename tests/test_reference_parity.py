@@ -345,3 +345,38 @@ def test_time_equality_semantics(spark):
     assert t0 == "23:34:15.626"
     for i in range(1, 5):
         assert row[f"t{i}"] != t0
+
+
+def test_doc_data_sql_replay(engine):
+    """Replay the reference's demo script doc/data.sql verbatim (two
+    CREATE TABLEs, an empty-result join before any INSERT, eight
+    INSERTs), then verify the join the script sets up."""
+    for t in ("states", "test"):
+        engine.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clear_stale_location(engine.spark, t)
+    script = """
+        create table states ( id int, name varchar(30) );
+        create table test ( id int, name varchar(30) );
+        select t.id,t.name,s.id from test t inner join states s
+          on t.id=s.id where t.id>0 order by t.id desc;
+        INSERT INTO states VALUES (1, 'Alabama');
+        INSERT INTO states VALUES (2, 'Alaska');
+        INSERT INTO states VALUES (3, 'Arizona');
+        INSERT INTO states VALUES (4, 'Arkansas');
+        INSERT INTO states VALUES (5, 'California');
+        INSERT INTO states VALUES (6, 'wuhan');
+        INSERT INTO states VALUES (7, '1');
+        INSERT INTO states VALUES (8, 'vv');
+    """
+    res = engine.execute_script(script)
+    assert res[2] == []                     # join before inserts: empty
+    # the script's own join, now that states has rows (test still empty)
+    assert engine.execute_script(
+        "select count(*) AS n from states"
+    )[0][0]["n"] == 8
+    engine.execute_script("INSERT INTO test VALUES (2, 'two'), (5, 'five')")
+    rows = engine.execute_script(
+        "select t.id,t.name,s.id from test t inner join states s "
+        "on t.id=s.id where t.id>0 order by t.id desc"
+    )[0]
+    assert [tuple(r) for r in rows] == [(5, "five", 5), (2, "two", 2)]
