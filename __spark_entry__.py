@@ -881,6 +881,19 @@ def t14_domain_mix(spark, sf_dir):
     ).select("doc_id", "source", "lang")
 
 
+def st4_quota_admit(spark, sf_dir):
+    """Batch dual of the streaming per-key admission cap
+    (streaming/stateful.quota_admit_stream, equality-tested in
+    test_streaming): first 25 events per event_type by (ts, event_id) —
+    the per-source rate-cap primitive for firehose ingest."""
+    from maple_spark.pipelines import sampling
+
+    e = _t(spark, sf_dir, "events")
+    return sampling.quota_sample(
+        e, "event_type", ["ts", "event_id"], cap=25
+    ).select("event_id", "event_type")
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -2540,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_pii_scrub": t13_pii_scrub,
         "t14_domain_mix": t14_domain_mix,
         "cp2_curation_pipeline": cp2_curation_pipeline,
+        "st4_quota_admit": st4_quota_admit,
     }
 
 
@@ -3870,6 +3884,14 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             JOIN wstats ON w.doc_id = wstats.doc_id
             LEFT JOIN bstats ON w.doc_id = bstats.doc_id
+        """,
+        "st4_quota_admit": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts ASC, event_id ASC) AS rk
+              FROM events
+            ) WHERE rk <= 25
         """,
         "cp2_curation_pipeline": """
             WITH scored AS (

@@ -47,14 +47,16 @@ def hash_split(
 
 
 def quota_sample(
-    df: DataFrame, group_col: str | list[str], order_col: str, cap: int
+    df: DataFrame, group_col: str | list[str], order_col: str | list[str], cap: int
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group (single column or composite),
-    chosen by ascending ``order_col`` (deterministic — no sampling
-    noise).  The balanced-corpus primitive: cap over-represented
+    chosen by ascending ``order_col`` (single or composite — pass a
+    composite when the first key can tie, so the kept set is
+    deterministic).  The balanced-corpus primitive: cap over-represented
     languages/sources instead of global downsampling."""
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
-    w = Window.partitionBy(*groups).orderBy(F.col(order_col).asc())
+    orders = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*groups).orderBy(*[F.col(c).asc() for c in orders])
     return (
         df.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= cap)

@@ -165,3 +165,63 @@ def user_ewma_stream(events: DataFrame, alpha: float = 0.25) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ----------------------------------------------------------------------
+# Per-key admission cap — streaming quota sampling
+# ----------------------------------------------------------------------
+
+ADMIT_STATE_SCHEMA = StructType([StructField("n_admitted", LongType())])
+
+
+def make_quota_admitter(cap: int, key_name: str, output_schema: StructType):
+    """Build the applyInPandasWithState function for ``quota_admit_stream``:
+    admit the first ``cap`` rows per key across the whole stream, drop the
+    rest.  Rows within a micro-batch are admitted in event-time order
+    (``ts`` ascending) so the admitted set is deterministic for a given
+    micro-batch sequence."""
+
+    def admit(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        for pdf in batches:
+            if n >= cap:
+                break
+            take = pdf.sort_values("ts").head(cap - n)
+            n += len(take)
+            if len(take):
+                yield take[[f.name for f in output_schema.fields]]
+        state.update((n,))
+
+    return admit
+
+
+def quota_admit_stream(
+    events: DataFrame, key_col: str = "event_type", cap: int = 100
+) -> DataFrame:
+    """Streaming per-key admission cap — the streaming counterpart of
+    ``sampling.quota_sample``: at most ``cap`` rows per key pass through,
+    first-come (event-time order within each micro-batch), everything
+    after is dropped at ingest.  The per-source rate-cap / class-balance
+    primitive for a training-data firehose.
+
+    Scale shape: state per key is ONE counter (8 bytes), hash-partitioned
+    by key in the state store; saturated keys stop emitting but their
+    counter persists for the stream's lifetime (bounded by key
+    cardinality, not row count).  Batch duality: on a finite input the
+    admitted multiset equals ``quota_sample`` by event-time rank
+    (equality-tested).
+    """
+    out_schema = StructType(
+        [f for f in events.schema.fields]
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        make_quota_admitter(cap, key_col, out_schema),
+        outputStructType=out_schema,
+        stateStructType=ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -489,3 +489,48 @@ def test_stream_stream_left_outer_join_emits_null_padded(spark, tmp_path_factory
     # advanced watermark applied; users 3/4 (late batches) may or may not
     assert (2, ts(0), None, 2.0, None) in nulls
     assert all(r[0] in (2, 3, 4) for r in nulls)
+
+
+def test_quota_admit_stream_caps_per_key(spark):
+    """Streaming per-key admission cap: at most `cap` events per
+    event_type pass, chosen in event-time order — and on the finite
+    fixture the admitted multiset equals the batch quota_sample by ts
+    rank (batch/stream duality for the quota primitive)."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.sampling import quota_sample
+    from maple_spark.streaming.events import read_events_stream
+    from maple_spark.streaming.stateful import quota_admit_stream
+
+    cap = 25
+    stream = quota_admit_stream(
+        read_events_stream(spark, SF_DIR), key_col="event_type", cap=cap
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("quota_admit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_type, event_id, ts FROM quota_admit")
+    counts = {r["event_type"]: r["n"] for r in
+              got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    q.stop()
+    batch = load_table(spark, SF_DIR, "events")
+    full = {r["event_type"]: r["n"] for r in
+            batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, n_full in full.items():
+        assert counts.get(k, 0) == min(cap, n_full), k
+
+    # duality: single-file fixture = one micro-batch, so the admitted set
+    # is exactly the batch quota by event-time order
+    want = {
+        (r["event_type"], r["event_id"])
+        for r in quota_sample(batch, "event_type", "ts", cap=cap).collect()
+    }
+    have = {(r["event_type"], r["event_id"]) for r in
+            spark.sql("SELECT event_type, event_id FROM quota_admit").collect()}
+    assert have == want
