@@ -14,5 +14,16 @@ from maple_spark.streaming.events import (
     hourly_agg_batch,
     sessionize,
 )
+from maple_spark.streaming.stateful import (
+    quota_admit_stream,
+    user_profile_stream,
+)
 
-__all__ = ["read_events_stream", "windowed_agg", "hourly_agg_batch", "sessionize"]
+__all__ = [
+    "read_events_stream",
+    "windowed_agg",
+    "hourly_agg_batch",
+    "sessionize",
+    "quota_admit_stream",
+    "user_profile_stream",
+]
