@@ -231,3 +231,29 @@ def test_bm25_single_scan_and_partial_topk(spark):
     assert "ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Blanket scale guarantee over the ENTIRE registry: no queries()
+    entry may plan a CartesianProduct — the all-pairs scale-killer —
+    except j6_cross_join, whose semantics ARE the Cartesian product.
+    (BroadcastNestedLoopJoin is tolerated only for one-row broadcast
+    sides: scalar-aggregate crossJoins like TF-IDF's corpus-size attach;
+    a BNLJ whose build side isn't a single-row aggregate fails too.)"""
+    import __spark_entry__ as entrymod
+
+    from conftest import SF_DIR
+
+    allowed_cartesian = {"j6_cross_join"}
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name in allowed_cartesian:
+            continue
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # building must never fail either
+            offenders.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
