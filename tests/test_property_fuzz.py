@@ -287,3 +287,38 @@ def test_random_order_by_limit_agree(engines, col, direction, nulls, limit):
     sres = [r["p_partkey"] for r in spark.sql(sql).collect()]
     ores = [r[0] for r in con.execute(sql).fetchall()]
     assert sres == ores, sql
+
+
+str_expr = st.recursive(
+    st.sampled_from(["p_name", "p_brand", "p_type"]),
+    lambda inner: st.one_of(
+        st.builds(lambda e: f"lower({e})", inner),
+        st.builds(lambda e: f"upper({e})", inner),
+        st.builds(lambda e: f"trim({e})", inner),
+        st.builds(lambda e, a, b: f"substr({e}, {a}, {b})", inner,
+                  st.integers(min_value=1, max_value=8),
+                  st.integers(min_value=0, max_value=12)),
+        st.builds(lambda a, b: f"concat({a}, '-', {b})", inner, inner),
+    ),
+    max_leaves=3,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=str_expr)
+def test_random_string_exprs_agree(engines, expr):
+    """String-function compositions (lower/upper/trim/substr/concat) must
+    produce identical values in both engines — fuzzed evidence for the
+    §2.8 string surface beyond the fixed oracle queries."""
+    spark, con = engines
+    sql = (
+        f"SELECT p_partkey, {expr} AS v FROM fuzz_part "
+        "ORDER BY p_partkey LIMIT 200"
+    )
+    sres = [(r["p_partkey"], r["v"]) for r in spark.sql(sql).collect()]
+    ores = con.execute(sql).fetchall()
+    assert sres == [tuple(r) for r in ores], expr
