@@ -198,3 +198,35 @@ def analyze_encoding(df: DataFrame, columns: list[str] | None = None) -> DataFra
         .otherwise(F.lit("NONE"))
         .alias("encoding"),
     )
+
+
+def text_to_parquet(
+    spark: SparkSession,
+    text_path: str,
+    out_path: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Raw text-lines → documents-shaped Parquet: one row per line with
+    (doc_id, text, source_file).
+
+    ``doc_id`` is md5 of the line content — deterministic across re-runs,
+    partitionings, and corpus growth (a positional id from
+    ``monotonically_increasing_id`` is none of those), and 128 bits keeps
+    collisions negligible at trillion-line scale.  Identical lines get
+    identical ids BY DESIGN: they are the same document, and the exact
+    dedup tier collapses them anyway.  Map-only ingest; one pass.
+    """
+    df = (
+        spark.read.text(text_path)
+        .where(F.length("value") > 0)
+        .select(
+            F.md5("value").alias("doc_id"),
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source_file"),
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    if partitions:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

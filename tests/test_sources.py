@@ -284,3 +284,17 @@ def test_analyze_encoding_partition_parallel_equals_global(spark):
         ).collect()[0]
         assert got[c] == (ref["n"], ref["n_runs"], ref["sorted_ratio"]), c
     df.unpersist()
+
+
+def test_text_lines_ingest(spark, tmp_path):
+    """Raw text-lines ingest: content-hash ids are re-run stable, blank
+    lines drop, duplicate lines collapse to one document."""
+    from maple_spark.sources.ingest import text_to_parquet
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha doc\n\nbeta doc\nalpha doc\n")
+    out1 = text_to_parquet(spark, str(p), str(tmp_path / "o1"))
+    got = {r["text"]: r["doc_id"] for r in out1.collect()}
+    assert set(got) == {"alpha doc", "beta doc"}
+    out2 = text_to_parquet(spark, str(p), str(tmp_path / "o2"))
+    assert {r["doc_id"] for r in out2.collect()} == set(got.values())
