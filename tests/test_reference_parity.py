@@ -380,3 +380,38 @@ def test_doc_data_sql_replay(engine):
         "on t.id=s.id where t.id>0 order by t.id desc"
     )[0]
     assert [tuple(r) for r in rows] == [(5, "five", 5), (2, "two", 2)]
+
+
+def test_column_name_resolution_semantics(spark):
+    """Behavioral analog of TestColumnName.java (wildcards, table
+    qualification): `*`, `t.*`, `t.col`, bare `col`, and ambiguity.
+    The reference models these as ColumnName objects; here they are
+    resolution semantics of the analyzer."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    a = spark.createDataFrame([(1, "x")], "id long, va string")
+    b = spark.createDataFrame([(1, "y")], "id long, vb string")
+    a.createOrReplaceTempView("cn_a")
+    b.createOrReplaceTempView("cn_b")
+
+    # * expands both sides; t.* expands one side
+    j = spark.sql("SELECT * FROM cn_a JOIN cn_b ON cn_a.id = cn_b.id")
+    assert j.columns == ["id", "va", "id", "vb"]
+    ja = spark.sql("SELECT cn_a.* FROM cn_a JOIN cn_b ON cn_a.id = cn_b.id")
+    assert ja.columns == ["id", "va"]
+
+    # qualified column resolves; unqualified ambiguous column errors
+    one = spark.sql(
+        "SELECT cn_a.id AS aid, cn_b.id AS bid FROM cn_a JOIN cn_b ON cn_a.id = cn_b.id"
+    ).collect()[0]
+    assert (one["aid"], one["bid"]) == (1, 1)
+    with _pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT id FROM cn_a JOIN cn_b ON cn_a.id = cn_b.id"
+        ).collect()
+
+    # unqualified unique column resolves across the join
+    assert spark.sql(
+        "SELECT va FROM cn_a JOIN cn_b ON cn_a.id = cn_b.id"
+    ).collect()[0]["va"] == "x"
