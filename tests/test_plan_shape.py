@@ -257,3 +257,54 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_tpch_shuffle_budgets(spark):
+    """Shuffle-count regression net: each TPC-H-shape query must not plan
+    MORE shuffle exchanges (hash/range/single-partition — broadcasts
+    excluded) than its audited budget at sf0.001.  A failing budget means
+    a change introduced a shuffle the star-schema plan didn't need —
+    exactly the regression that stays invisible at toy scale and bites at
+    100 TB.  Budgets are the audited plan shapes, not aspirations; if a
+    deliberate plan change lowers one, tighten it."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    from conftest import SF_DIR
+
+    budgets = {
+        "a2_groupby_q1": 1,
+        "cp1_corpus_pipeline": 2,
+        "flagship_join_topk": 0,
+        "q10_returned_items": 1,
+        "q11_important_stock": 3,
+        "q12_shipmode_priority": 1,
+        "q13_customer_distribution": 2,
+        "q14_promo_effect": 1,
+        "q15_top_supplier": 3,
+        "q16_supplier_cnt": 3,
+        "q17_small_quantity_revenue": 2,
+        "q18_large_volume_customer": 1,
+        "q19_disjunctive_pushdown": 1,
+        "q20_excess_shipments": 3,
+        "q21_waiting_supplier": 1,
+        "q22_global_sales_opportunity": 2,
+        "q2_groupwise_max": 1,
+        "q3_shipping_priority": 1,
+        "q4_order_priority": 1,
+        "q5_local_supplier": 1,
+        "q6_forecast_revenue": 1,
+        "q7_volume_shipping": 1,
+        "q8_market_share": 1,
+        "q9_product_profit": 1,
+    }
+    pat = re.compile(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)")
+    qs = entrymod.queries()
+    over = []
+    for name, budget in budgets.items():
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        n = len(pat.findall(plan))
+        if n > budget:
+            over.append((name, n, budget))
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
