@@ -1866,6 +1866,45 @@ def pv1_pivot(spark, sf_dir):
     )
 
 
+def ts3_hierarchical_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour buckets are
+    aggregated ONCE from raw events, then day re-aggregates the hourly
+    partials and month the daily ones — the mergeable-partial pattern
+    that makes multi-granularity rollups O(buckets), never a second raw
+    scan (TimescaleDB continuous aggregates / OLAP cube refresh do
+    exactly this).  Sums stay DECIMAL through every level so the
+    re-aggregation is order-independent and matches the oracle exactly;
+    the cast to double happens once, at the edge."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+
+    def leveled(df, tag):
+        return df.select(
+            F.lit(tag).alias("granularity"),
+            F.col("bucket").alias("bucket_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("s").cast("double").alias("sum_value"),
+        )
+
+    return (
+        leveled(hourly, "hour")
+        .unionByName(leveled(daily, "day"))
+        .unionByName(leveled(monthly, "month"))
+    )
+
+
 def ts1_gapfill(spark, sf_dir):
     """Time-series gap-fill: zero-fill every (hour, event_type) cell over
     the full observed range — the densification step before charting or
@@ -2554,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_domain_mix": t14_domain_mix,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "st4_quota_admit": st4_quota_admit,
+        "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
     }
 
 
@@ -3884,6 +3924,32 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             JOIN wstats ON w.doc_id = wstats.doc_id
             LEFT JOIN bstats ON w.doc_id = bstats.doc_id
+        """,
+        "ts3_hierarchical_rollup": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS bucket, event_type,
+                     COUNT(*) AS n_events,
+                     SUM(CAST(value AS DECIMAL(38,6))) AS s
+              FROM events GROUP BY 1, 2
+            ), daily AS (
+              SELECT date_trunc('day', bucket) AS bucket, event_type,
+                     SUM(n_events) AS n_events, SUM(s) AS s
+              FROM hourly GROUP BY 1, 2
+            ), monthly AS (
+              SELECT date_trunc('month', bucket) AS bucket, event_type,
+                     SUM(n_events) AS n_events, SUM(s) AS s
+              FROM daily GROUP BY 1, 2
+            )
+            SELECT 'hour' AS granularity, bucket AS bucket_start, event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(s AS DOUBLE) AS sum_value
+            FROM hourly
+            UNION ALL
+            SELECT 'day', bucket, event_type, CAST(n_events AS BIGINT),
+                   CAST(s AS DOUBLE) FROM daily
+            UNION ALL
+            SELECT 'month', bucket, event_type, CAST(n_events AS BIGINT),
+                   CAST(s AS DOUBLE) FROM monthly
         """,
         "st4_quota_admit": """
             SELECT event_id, event_type FROM (
