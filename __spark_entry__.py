@@ -2007,6 +2007,27 @@ def t7_rolling_fingerprint(spark, sf_dir):
     )
 
 
+def a14_countmin_sketch(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates (the other mergeable
+    sketch family: HLL answers distinct-count, CMS answers how-many-of-X
+    in depth×width memory).  Built as a pure dataflow
+    (functions/sketch.py): one explode+groupBy builds the counter table,
+    estimates join it broadcast — no driver round-trip.  Estimates sit
+    next to exact counts so the CMS guarantee (estimate ≥ exact,
+    ≤ exact + εN) is visible in the output.  Rows-only check (xxhash64
+    bucketing is Spark-specific); the bound and mergeability are
+    pytest-asserted."""
+    from maple_spark.functions.sketch import countmin_estimate, countmin_table
+
+    o = _t(spark, sf_dir, "orders")
+    sketch = countmin_table(o, "o_orderpriority")
+    exact = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = countmin_estimate(sketch, exact.select("o_orderpriority"), "o_orderpriority")
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_n", "cms_estimate"
+    )
+
+
 def a11_hll_sketch(spark, sf_dir):
     """Mergeable HLL sketches (Apache DataSketches binding): per-priority
     distinct-customer estimates plus the re-aggregated global estimate via
@@ -2594,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "st4_quota_admit": st4_quota_admit,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
+        "a14_countmin_sketch": a14_countmin_sketch,
     }
 
 

@@ -72,3 +72,42 @@ def test_hll_sketch_accuracy_and_union_consistency(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("est")
     ).collect()[0]["est"]
     assert abs(got["ALL"] - direct) / direct < 0.02
+
+
+def test_countmin_sketch_error_bound_and_merge(spark):
+    """CMS guarantees: estimate >= exact and <= exact + (e/width)*N; and
+    two half-corpus sketches merged cell-wise equal the full-corpus
+    sketch estimates (mergeability)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+    from maple_spark.functions.sketch import (
+        countmin_estimate,
+        countmin_table,
+        merge_countmin,
+    )
+
+    from conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    n_total = o.count()
+    width = 4096
+    sketch = countmin_table(o, "o_orderpriority", width=width)
+    exact = {r["o_orderpriority"]: r["count"]
+             for r in o.groupBy("o_orderpriority").count().collect()}
+    keys = o.select("o_orderpriority").distinct()
+    est = {r["o_orderpriority"]: r["cms_estimate"]
+           for r in countmin_estimate(sketch, keys, "o_orderpriority", width=width).collect()}
+    eps = math.e / width
+    for k, n in exact.items():
+        assert n <= est[k] <= n + eps * n_total, k
+
+    # mergeability: sketch(halfA) + sketch(halfB) == sketch(all)
+    a = countmin_table(o.where(F.col("o_orderkey") % 2 == 0), "o_orderpriority", width=width)
+    b = countmin_table(o.where(F.col("o_orderkey") % 2 == 1), "o_orderpriority", width=width)
+    merged = merge_countmin(a, b)
+    est2 = {r["o_orderpriority"]: r["cms_estimate"]
+            for r in countmin_estimate(merged, keys, "o_orderpriority", width=width).collect()}
+    assert est2 == est
