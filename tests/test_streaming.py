@@ -534,3 +534,33 @@ def test_quota_admit_stream_caps_per_key(spark):
     have = {(r["event_type"], r["event_id"]) for r in
             spark.sql("SELECT event_type, event_id FROM quota_admit").collect()}
     assert have == want
+
+
+def test_countmin_sketch_streams(spark):
+    """The CMS counter table is a plain groupBy-count, so it runs as an
+    incremental streaming aggregation unchanged: the sketch built from
+    the event stream equals the batch sketch cell-for-cell (the streaming
+    frequency-sketch pattern for unbounded firehoses)."""
+    from maple_spark.catalog import load_table
+    from maple_spark.functions.sketch import countmin_table
+    from maple_spark.streaming.events import read_events_stream
+
+    stream_sketch = countmin_table(
+        read_events_stream(spark, SF_DIR), "event_type", depth=3, width=256
+    )
+    q = (
+        stream_sketch.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rows(spark.sql("SELECT h, bucket, n FROM cms_stream"))
+    q.stop()
+    want = rows(
+        countmin_table(
+            load_table(spark, SF_DIR, "events"), "event_type", depth=3, width=256
+        )
+    )
+    assert got == want and len(want) > 0
