@@ -67,7 +67,11 @@ _CREATE_INDEX = re.compile(
     r"\((?P<cols>[\w\s,]+)\)(?:\s+USING\s+\w+)?\s*$",
     re.I,
 )
-_ANALYZE = re.compile(r"^\s*ANALYZE(?:\s+VERBOSE)?\s+(?P<tables>[\w\s,]+)$", re.I)
+# (?!TABLE\b): Spark's own `ANALYZE TABLE t COMPUTE STATISTICS` must fall
+# through to spark.sql, not be parsed as the reference's bare-table form
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE(?:\s+VERBOSE)?\s+(?!TABLE\b)(?P<tables>[\w\s,]+)$", re.I
+)
 _VERIFY = re.compile(r"^\s*VERIFY\s+(?P<tables>[\w\s,]+)$", re.I)
 _OPTIMIZE = re.compile(r"^\s*OPTIMIZE\s+(?P<tables>[\w\s,]+)$", re.I)
 _UPDATE = re.compile(

@@ -240,3 +240,27 @@ def test_explain_dml(engine, states_csv):
     assert "Physical Plan" in upd_plan and "Scan parquet" in upd_plan
     assert "Filter" in del_plan or "Physical Plan" in del_plan
     assert res[-1][0]["n"] == 5            # nothing executed
+
+
+def test_spark_native_analyze_table_falls_through(engine):
+    """Spark's own ANALYZE TABLE syntax must reach spark.sql untouched,
+    not be mis-parsed as the reference's bare-table ANALYZE."""
+    engine.spark.sql("DROP TABLE IF EXISTS dlt_t")
+    import shutil
+
+    warehouse = engine.spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        shutil.rmtree(warehouse.removeprefix("file:") + "/dlt_t", ignore_errors=True)
+    engine.execute_script(
+        """
+        CREATE TABLE dlt_t (x INT);
+        INSERT INTO dlt_t VALUES (1), (2);
+        ANALYZE TABLE dlt_t COMPUTE STATISTICS;
+        """
+    )
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in engine.spark.sql("DESCRIBE TABLE EXTENDED dlt_t").collect()
+    }
+    assert "2 rows" in desc.get("Statistics", "")
+    engine.spark.sql("DROP TABLE dlt_t")
