@@ -57,9 +57,11 @@ _TYPE_MAP = [
     (re.compile(r"numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.I), None),  # → decimal(p,s)
 ]
 
+# file_name (nanosql.g:215-231) is an UNQUOTED ident[.ext] in the
+# reference; quoted paths are also accepted for real filesystem paths
 _CREATE_STORE = re.compile(
     r"^\s*CREATE\s+(?:COL)?STORE\s+(?P<name>\w+)\s+FROM\s+"
-    r"'(?P<file>[^']+)'\s*\((?P<decl>.*)\)\s*$",
+    r"(?:'(?P<file>[^']+)'|(?P<file_bare>[\w./\\-]+))\s*\((?P<decl>.*)\)\s*$",
     re.I | re.S,
 )
 _CREATE_INDEX = re.compile(
@@ -165,7 +167,12 @@ def route_statement(engine, stmt: str):
 
     m = _CREATE_STORE.match(stmt)
     if m:
-        return _create_store(engine, m.group("name"), m.group("file"), m.group("decl"))
+        return _create_store(
+            engine,
+            m.group("name"),
+            m.group("file") or m.group("file_bare"),
+            m.group("decl"),
+        )
 
     m = _CREATE_INDEX.match(stmt)
     if m:
@@ -308,8 +315,14 @@ def _create_index(engine, name: str, cols: list[str]) -> None:
 
 def _create_store(engine, name: str, filename: str, decl: str) -> None:
     """CREATE STORE/COLSTORE ... FROM 'file' (cols): ingest the CSV with
-    the declared schema into the engine warehouse, register the view."""
+    the declared schema into the engine warehouse, register the view.
+    Relative paths resolve against the PYTHON process working dir (the
+    reference resolves file_name against its server dir); Spark's JVM
+    would otherwise resolve them against its own start dir."""
     from maple_spark.sources.ingest import csv_to_parquet
+
+    if not os.path.isabs(filename) and "://" not in filename:
+        filename = os.path.abspath(filename)
 
     schema = parse_table_decl(decl)
     out_path = os.path.join(engine.warehouse, name)

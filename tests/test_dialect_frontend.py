@@ -264,3 +264,20 @@ def test_spark_native_analyze_table_falls_through(engine):
     }
     assert "2 rows" in desc.get("Statistics", "")
     engine.spark.sql("DROP TABLE dlt_t")
+
+
+def test_create_store_unquoted_filename(engine, states_csv, monkeypatch, tmp_path):
+    """The reference grammar's file_name is an unquoted ident[.ext]
+    (nanosql.g:215-231) resolved relative to the working dir — both the
+    unquoted and quoted forms must work."""
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    shutil.copy(states_csv, tmp_path / "states.txt")
+    res = engine.execute_script(
+        """
+        CREATE STORE states2 FROM states.txt (id int, name varchar(30));
+        SELECT count(*) AS n FROM states2;
+        """
+    )
+    assert res[-1][0]["n"] == 5
