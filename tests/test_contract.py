@@ -26,6 +26,7 @@ def test_rows_only_set_is_intentional():
         "enc1_encoding_report",
         "mm3_embed_stub",
         "a11_hll_sketch",
+        "a14_countmin_sketch",  # xxhash64 bucketing; bound pytest-asserted
     }
 
 
