@@ -14,6 +14,12 @@ provides the same ergonomics:
 plus DDL passthrough (CREATE/DROP on the session catalog).  Statistics feed
 Catalyst's CBO exactly like the reference's ``TableStats``/``ColumnStats``
 feed its DP join planner (``qeval/DPJoinPlanner.java``).
+
+``execute_script`` (and through it the REPL and TCP server) routes the
+reference's non-ANSI statements via ``maple_spark.dialect`` — CREATE
+STORE/COLSTORE/INDEX, ANALYZE/VERIFY/OPTIMIZE, UPDATE/DELETE, store
+INSERTs, EXPLAIN DML, EXIT — so scripts written for the reference run
+verbatim (``tests/test_dialect_frontend.py``, ``test_reference_parity.py``).
 """
 
 from __future__ import annotations
