@@ -480,16 +480,24 @@ def a9_rollup(spark, sf_dir):
 def o1_sort_rownum(spark, sf_dir):
     """O1/O2 SortNode with reference null ordering (NULLS FIRST on ASC,
     TupleComparator.java:104-113).  row_number encodes the order into
-    values so the order-insensitive hash still verifies the sort."""
+    values so the order-insensitive hash still verifies the sort.
+
+    The rank is computed by ``distributed_row_number`` — quantile-bucketed
+    two-pass rank, NOT a global single-partition window: every partition
+    ranks in parallel, so the plan survives a 100 TB customer table
+    (plan-asserted in tests/test_plan_shape.py)."""
+    from maple_spark.operators.sort import distributed_row_number
+
     c = _t(spark, sf_dir, "customer").withColumn(
         "maybe_bal", F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
     )
-    w = Window.orderBy(
-        F.col("maybe_bal").asc_nulls_first(), F.col("c_custkey").asc()
+    ranked = distributed_row_number(
+        c,
+        "maybe_bal",
+        [F.col("maybe_bal").asc_nulls_first(), F.col("c_custkey").asc()],
+        rn_name="rn",
     )
-    return c.select(
-        "c_custkey", "maybe_bal", F.row_number().over(w).cast("bigint").alias("rn")
-    )
+    return ranked.select("c_custkey", "maybe_bal", "rn")
 
 
 def o3_topk(spark, sf_dir):

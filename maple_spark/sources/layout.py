@@ -8,20 +8,25 @@ of several columns so each output file covers a compact hyper-rectangle —
 min/max pruning then works on EVERY z-ordered column at once.
 
 ``z_value`` is pure Catalyst bit arithmetic (shiftright/bitwiseAND/
-shiftleft sums — JVM, codegen-able, no UDF).  Columns are first rank-
-normalized to ``bits``-bit integers with ``ntile`` so skewed/arbitrary
-domains interleave evenly (the standard practice — Delta OPTIMIZE ZORDER
-does the same with range partition ids).
+shiftleft sums — JVM, codegen-able, no UDF).  Columns are rank-normalized
+to ``bits``-bit integers with *approx-quantile cut points* so skewed/
+arbitrary domains interleave evenly: one map-side-combine
+``approx_percentile`` pass computes the cut points for ALL columns, the
+cuts broadcast as literals, and each row finds its bucket through a
+binary-search ``CASE WHEN`` tree — O(log buckets) comparisons, map-only.
 
-Scale: the ranking pass is one window over a sample-ranged sort — at
-ingest time, amortized over every future pruned scan.
+The previous formulation ran ``ntile() OVER (ORDER BY col)`` per column:
+N single-partition passes over the whole table at ingest (one executor
+sorting the world, N times).  Quantile binning costs one aggregate pass
+total and keeps every stage parallel; exact-equal-frequency buckets are
+not needed — bucketing only has to be monotone, and Delta's OPTIMIZE
+ZORDER makes the same approximation with range partition ids.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def z_value(cols: list[Column], bits: int = 16) -> Column:
@@ -36,6 +41,44 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
     return z
 
 
+def search_sorted_expr(col: Column, cuts: list) -> Column:
+    """Bucket index = number of ``cuts`` <= ``col`` (NULL → 0), as a
+    binary-search ``CASE WHEN`` tree over literal cut points: evaluation
+    touches O(log len(cuts)) comparisons per row (CASE WHEN branches are
+    lazy), stays entirely JVM-side, and needs no join or window.
+    ``cuts`` must be sorted and deduplicated."""
+
+    def tree(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        # col >= cuts[mid-1] → bucket in [mid, hi]; NULL comparisons are
+        # never true, so NULLs fall through every otherwise() to bucket 0
+        # (the reference's NULLS-FIRST placement).
+        return F.when(col >= F.lit(cuts[mid - 1]), tree(mid, hi)).otherwise(
+            tree(lo, mid - 1)
+        )
+
+    return tree(0, len(cuts))
+
+
+def quantile_cuts(
+    df: DataFrame, cols: list[str], n_buckets: int, accuracy: int = 10000
+) -> dict[str, list]:
+    """Per-column approx-quantile cut points, ALL columns in one map-side
+    aggregate pass.  Returns sorted+deduped cuts (≤ n_buckets-1 each);
+    heavy duplicate values collapse cuts, which merely widens that value's
+    bucket — monotonicity, the only property bucketing needs, holds."""
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    row = df.select(
+        *[
+            F.percentile_approx(F.col(c), fracs, accuracy).alias(c)
+            for c in cols
+        ]
+    ).first()
+    return {c: sorted(set(row[c] or [])) for c in cols}
+
+
 def zorder_write(
     df: DataFrame,
     out_path: str,
@@ -43,18 +86,16 @@ def zorder_write(
     n_files: int = 8,
     bits: int = 10,
 ) -> DataFrame:
-    """Write ``df`` Z-ordered on ``cols``: rank-normalize each column to
-    2^bits buckets, compute the interleaved key, range-partition + sort by
+    """Write ``df`` Z-ordered on ``cols``: quantile-normalize each column to
+    ≤ 2^bits buckets, compute the interleaved key, range-partition + sort by
     it, write.  Every output file then covers a compact region in ALL
-    ``cols`` → min/max skipping prunes on any of them."""
-    norm = df
-    for c in cols:
-        norm = norm.withColumn(
-            f"__r_{c}", F.ntile(1 << bits).over(Window.orderBy(c)) - 1
-        )
-    keyed = norm.withColumn(
-        "__z", z_value([F.col(f"__r_{c}") for c in cols], bits)
-    ).drop(*[f"__r_{c}" for c in cols])
+    ``cols`` → min/max skipping prunes on any of them.  No global window
+    anywhere: one aggregate pass for cut points, then map-only bucketing."""
+    cuts = quantile_cuts(df, cols, 1 << bits)
+    keyed = df.withColumn(
+        "__z",
+        z_value([search_sorted_expr(F.col(c), cuts[c]) for c in cols], bits),
+    )
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

@@ -78,6 +78,31 @@ def test_sort_nulls_last_desc(spark):
     assert got == [(3, 30), (2, 20), (1, 10), (0, None), (4, None)]
 
 
+def test_distributed_row_number_matches_global_window(spark):
+    """Two-pass bucketed rank == single-partition global row_number, on a
+    NULL-bearing, duplicate-heavy, skewed key (one value spans several
+    quantiles → deduped cut points) with a tiebreaker completing the
+    total order."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from maple_spark.operators.sort import distributed_row_number
+
+    rnd = random.Random(11)
+    data = [
+        (i, rnd.choice([None, 7, 7, 7, rnd.randint(0, 100)]))  # skew on 7 + NULLs
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(data, "id int, k int")
+    keys = [F.col("k").asc_nulls_first(), F.col("id").asc()]
+    got = distributed_row_number(df, "k", keys, rn_name="rn", n_buckets=8)
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*keys)).cast("bigint")
+    )
+    assert rows(got.select("id", "k", "rn")) == rows(want.select("id", "k", "rn"))
+
+
 # --- joins: all five JoinTypes with correct null-padding ------------------
 
 def _join_pair(spark):

@@ -233,6 +233,29 @@ def test_bm25_single_scan_and_partial_topk(spark):
     assert plan.count("BroadcastHashJoin") >= 1
 
 
+def test_o1_rank_is_distributed(spark):
+    """o1's global row_number must NOT serialize the relation through a
+    single-partition window: the rank window is partitioned by the
+    quantile bucket, and the only SinglePartition exchange in the plan is
+    over the metadata-sized per-bucket counts table (≤ n_buckets rows),
+    never the customer data."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.o1_sort_rownum(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rank window runs partition-local over the range bucket
+    assert "row_number() windowspecdefinition(__bkt" in plan
+    # exactly one single-partition stage: the bucket-count offsets window;
+    # its input is the (partial+final) count aggregate, not the relation
+    assert plan.count("Exchange SinglePartition") == 1
+    single = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate" in single.split("Exchange")[0]
+
+
 def test_no_cartesian_product_anywhere(spark):
     """Blanket scale guarantee over the ENTIRE registry: no queries()
     entry may plan a CartesianProduct — the all-pairs scale-killer —
