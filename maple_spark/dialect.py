@@ -19,9 +19,11 @@ parser cannot run:
   transform-rewrite (UpdateCommand.java:30)
 - ``DELETE FROM t [WHERE e]``              (nanosql.g:662-671)  → read-
   filter-rewrite (DeleteCommand.java:35)
-- ``INSERT INTO t VALUES (...), ...`` on a dialect store → parquet append
-  (InsertCommand.java:160-185); inserts on Spark catalog tables fall
-  through to ``spark.sql``
+- ``INSERT INTO t [(cols)] VALUES (...), ... | SELECT ...``
+  (nanosql.g:613-642) on a dialect store → parquet append, on a
+  view-backed table → unioned view (InsertCommand.java:41,160-185 —
+  column list and SELECT form included); inserts on real Spark catalog
+  tables fall through to ``spark.sql``
 - ``BEGIN/START TRANSACTION/COMMIT/ROLLBACK`` (nanosql.g:676-694) →
   explicit error: transactions are scoped out (BASELINE.json — Parquet has
   no WAL); a silent no-op would lie about atomicity
@@ -76,15 +78,24 @@ _ANALYZE = re.compile(
 )
 _VERIFY = re.compile(r"^\s*VERIFY\s+(?P<tables>[\w\s,]+)$", re.I)
 _OPTIMIZE = re.compile(r"^\s*OPTIMIZE\s+(?P<tables>[\w\s,]+)$", re.I)
+# UPDATE captures the whole body after SET; the SET/WHERE split happens in
+# _parse_update with a quote-aware scan (a string literal containing the
+# word WHERE must not split the statement — nanosql.g parses with a real
+# lexer, so this layer needs at least quote-level fidelity).
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
-    re.I | re.S,
+    r"^\s*UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<body>.+)$", re.I | re.S
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)(?:\s+WHERE\s+(?P<where>.+))?$", re.I | re.S
+    r"^\s*DELETE\s+FROM\s+(?P<name>\w+)(?P<body>\s+.*)?$", re.I | re.S
 )
-_INSERT_VALUES = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+VALUES\s*(?P<values>\(.+\))\s*$",
+# Full insert_stmt surface (nanosql.g:613-642): optional column list, then
+# either VALUES tuples or a SELECT clause (InsertCommand.java:41 accepts
+# both).  (?!SELECT\b) keeps `INSERT INTO t (SELECT ...)` from parsing the
+# subquery as a column list.
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s*"
+    r"(?:\(\s*(?!SELECT\b)(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+    r"(?:VALUES\s*(?P<values>\(.+\))|(?P<select>\(?\s*SELECT\b.+?\)?))\s*$",
     re.I | re.S,
 )
 _EXPLAIN_DML = re.compile(r"^\s*EXPLAIN\s+(?P<inner>(?:UPDATE|DELETE)\b.+)$", re.I | re.S)
@@ -131,19 +142,101 @@ def parse_table_decl(decl: str) -> str:
 
 
 def _split_top_level_commas(s: str) -> list[str]:
-    parts, depth, buf = [], 0, []
-    for ch in s:
-        if ch == "(":
+    """Split on ',' outside parens AND outside single/double-quoted
+    strings (honoring backslash escapes) — ``SET name = 'a,b', v = 2``
+    must split into exactly two assignments."""
+    parts, depth, quote, buf = [], 0, None, []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
             depth += 1
+            buf.append(ch)
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+            buf.append(ch)
+        elif ch == "," and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     parts.append("".join(buf))
     return parts
+
+
+def _find_top_level_keyword(s: str, keyword: str) -> int:
+    """Index of the first word-boundary ``keyword`` outside quotes and
+    parens, or -1.  The quote/escape machinery matches
+    ``_split_top_level_commas`` so ``SET c = 'a WHERE b'`` never splits
+    inside the literal."""
+    depth, quote = 0, None
+    i, n, k = 0, len(s), len(keyword)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + k].upper() == keyword.upper():
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            j = i + k
+            after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _parse_update(stmt: str):
+    """UPDATE t SET a=e, ... [WHERE e] → (name, {col: Column}, where
+    Column) or None.  WHERE is located with the quote-aware scanner; the
+    assignment bodies are parsed by Spark via F.expr."""
+    m = _UPDATE.match(stmt)
+    if not m:
+        return None
+    body = m.group("body")
+    widx = _find_top_level_keyword(body, "WHERE")
+    sets, where = (body, None) if widx < 0 else (body[:widx], body[widx + 5 :])
+    assignments = {}
+    for part in _split_top_level_commas(sets):
+        col, expr = part.split("=", 1)
+        assignments[col.strip()] = F.expr(expr.strip())
+    cond = F.expr(where) if where and where.strip() else F.lit(True)
+    return m.group("name"), assignments, cond
+
+
+def _parse_delete(stmt: str):
+    """DELETE FROM t [WHERE e] → (name, where Column) or None."""
+    m = _DELETE.match(stmt)
+    if not m:
+        return None
+    body = m.group("body") or ""
+    widx = _find_top_level_keyword(body, "WHERE")
+    if widx < 0:
+        if body.strip():
+            return None  # trailing junk that isn't a WHERE clause
+        return m.group("name"), F.lit(True)
+    return m.group("name"), F.expr(body[widx + 5 :])
 
 
 def route_statement(engine, stmt: str):
@@ -210,29 +303,35 @@ def route_statement(engine, stmt: str):
 
     # UPDATE/DELETE: only when Spark SQL can't (plain parquet/temp-view
     # tables).  The WHERE/SET bodies are parsed by Spark via F.expr.
-    m = _UPDATE.match(stmt)
-    if m and not _spark_handles_dml(engine, m.group("name")):
+    parsed = _parse_update(stmt)
+    if parsed and not _spark_handles_dml(engine, parsed[0]):
         from maple_spark.operators.dml import update_where
 
-        name = m.group("name")
-        assignments = {}
-        for part in _split_top_level_commas(m.group("sets")):
-            col, expr = part.split("=", 1)
-            assignments[col.strip()] = F.expr(expr.strip())
-        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        name, assignments, cond = parsed
         return _mutate(engine, name, lambda df: update_where(df, cond, assignments))
 
-    m = _DELETE.match(stmt)
-    if m and not _spark_handles_dml(engine, m.group("name")):
+    parsed = _parse_delete(stmt)
+    if parsed and not _spark_handles_dml(engine, parsed[0]):
         from maple_spark.operators.dml import delete_where
 
-        name = m.group("name")
-        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+        name, cond = parsed
         return _mutate(engine, name, lambda df: delete_where(df, cond))
 
-    m = _INSERT_VALUES.match(stmt)
-    if m and engine.store_path(m.group("name")) is not None:
-        return _insert_values(engine, m.group("name"), m.group("values"))
+    m = _INSERT.match(stmt)
+    if m and not _is_spark_catalog_table(spark, m.group("name")):
+        # dialect stores append parquet; view-backed tables re-register a
+        # unioned view.  Real session-catalog tables fall through to
+        # spark.sql, whose INSERT already handles every form natively.
+        if engine.store_path(m.group("name")) is not None or engine.is_view_table(
+            m.group("name")
+        ):
+            return _insert(
+                engine,
+                m.group("name"),
+                _table_list(m.group("cols")) if m.group("cols") else None,
+                m.group("values"),
+                m.group("select"),
+            )
 
     return spark.sql(stmt)
 
@@ -255,18 +354,14 @@ def _build_dml_frame(engine, inner: str) -> DataFrame:
     DELETE statement — shared by EXPLAIN DML."""
     from maple_spark.operators.dml import delete_where, update_where
 
-    m = _UPDATE.match(inner)
-    if m:
-        assignments = {}
-        for part in _split_top_level_commas(m.group("sets")):
-            col, expr = part.split("=", 1)
-            assignments[col.strip()] = F.expr(expr.strip())
-        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
-        return update_where(engine.table(m.group("name")), cond, assignments)
-    m = _DELETE.match(inner)
-    if m:
-        cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
-        return delete_where(engine.table(m.group("name")), cond)
+    parsed = _parse_update(inner)
+    if parsed:
+        name, assignments, cond = parsed
+        return update_where(engine.table(name), cond, assignments)
+    parsed = _parse_delete(inner)
+    if parsed:
+        name, cond = parsed
+        return delete_where(engine.table(name), cond)
     raise ValueError(f"EXPLAIN: unparseable DML statement: {inner!r}")
 
 
@@ -348,11 +443,28 @@ def _verify_tables(engine, tables: list[str]) -> DataFrame:
     return spark.createDataFrame(reports, "table_name string, n_rows long, status string")
 
 
+def _is_spark_catalog_table(spark: SparkSession, name: str) -> bool:
+    """True when ``name`` resolves to a REAL session-catalog table (managed
+    or external), not a temp view.  Temp views take lookup precedence in
+    Spark, so when one exists the catalog reports TEMPORARY and DML must
+    go through the engine's view/store machinery — silently shadowing a
+    catalog table with a mutated temp view would make later spark.sql
+    INSERTs invisible."""
+    try:
+        t = spark.catalog.getTable(name)
+    except Exception:
+        return False
+    return (t.tableType or "").upper() not in ("TEMPORARY", "VIEW")
+
+
 def _mutate(engine, name: str, transform) -> None:
     """Read → transform → rewrite.  Dialect stores rewrite their parquet
     path (staging via localCheckpoint so the read completes before the
-    overwrite); view-only tables re-register the transformed view
-    (in-session mutation, source files untouched — the testdata contract)."""
+    overwrite); session-catalog tables are rewritten IN PLACE with an
+    overwrite insertInto (never shadowed by a temp view — a later
+    spark.sql INSERT must stay visible); view-only tables re-register the
+    transformed view (in-session mutation, source files untouched — the
+    testdata contract)."""
     df = engine.table(name)
     out = transform(df)
     path = engine.store_path(name)
@@ -360,36 +472,89 @@ def _mutate(engine, name: str, transform) -> None:
         materialized = out.localCheckpoint(eager=True)
         materialized.write.mode("overwrite").parquet(path)
         _reload_store(engine, name, path)
+    elif _is_spark_catalog_table(engine.spark, name):
+        materialized = out.localCheckpoint(eager=True)  # read before truncate
+        materialized.write.insertInto(name, overwrite=True)
     else:
         engine.replace_view(name, out)
     return None
 
 
-def _insert_values(engine, name: str, values: str) -> None:
-    """INSERT INTO store VALUES (...), (...): evaluate each tuple with
-    Spark's own expression parser, cast to the table schema, append."""
+def _insert(
+    engine,
+    name: str,
+    cols: list[str] | None,
+    values: str | None,
+    select: str | None,
+) -> None:
+    """INSERT INTO t [(cols)] VALUES (...), ... | SELECT ...
+    (nanosql.g:613-642; InsertCommand.java:41,160-185 — the reference
+    accepts the column list and the SELECT form).  Values/query columns
+    map positionally onto ``cols`` (default: the full schema), every
+    expression is parsed/cast by Spark SQL itself, unlisted columns fill
+    with NULL, and the result lands as a parquet append (stores) or a
+    unioned view (view-backed tables)."""
     spark = engine.spark
     target = engine.table(name)
-    rows = []
-    for tup in _split_top_level_commas(values):
-        tup = tup.strip()
-        if not (tup.startswith("(") and tup.endswith(")")):
-            raise ValueError(f"malformed VALUES tuple: {tup!r}")
-        exprs = _split_top_level_commas(tup[1:-1])
-        if len(exprs) != len(target.columns):
+    tcols = target.columns
+    if cols is None:
+        cols = list(tcols)
+    else:
+        unknown = [c for c in cols if c not in tcols]
+        if unknown:
+            raise ValueError(f"INSERT INTO {name}: unknown columns {unknown}")
+
+    def cast_to(colname: str, expr_sql: str) -> str:
+        t = target.schema[colname].dataType.simpleString()
+        return f"CAST(({expr_sql}) AS {t}) AS {colname}"
+
+    if values is not None:
+        row_selects = []
+        for tup in _split_top_level_commas(values):
+            tup = tup.strip()
+            if not (tup.startswith("(") and tup.endswith(")")):
+                raise ValueError(f"malformed VALUES tuple: {tup!r}")
+            exprs = _split_top_level_commas(tup[1:-1])
+            if len(exprs) != len(cols):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(exprs)} values for "
+                    f"{len(cols)} columns"
+                )
+            row_selects.append(
+                "SELECT "
+                + ", ".join(cast_to(c, e.strip()) for e, c in zip(exprs, cols))
+            )
+        new_rows = spark.sql(" UNION ALL ".join(row_selects))
+    else:
+        sel = select.strip()
+        if sel.startswith("(") and sel.endswith(")"):
+            sel = sel[1:-1].strip()
+        src = spark.sql(sel)
+        if len(src.columns) != len(cols):
             raise ValueError(
-                f"INSERT INTO {name}: {len(exprs)} values for "
-                f"{len(target.columns)} columns"
+                f"INSERT INTO {name}: query returns {len(src.columns)} "
+                f"columns for {len(cols)} target columns"
             )
-        rows.append(
-            "SELECT "
-            + ", ".join(
-                f"CAST(({e.strip()}) AS {target.schema[c].dataType.simpleString()}) AS {c}"
-                for e, c in zip(exprs, target.columns)
-            )
+        new_rows = src.select(
+            *[
+                F.col(s).cast(target.schema[c].dataType).alias(c)
+                for s, c in zip(src.columns, cols)
+            ]
         )
-    new_rows = spark.sql(" UNION ALL ".join(rows))
+    # unlisted columns fill with NULL; order follows the table schema
+    full = new_rows.select(
+        *[
+            F.col(c) if c in cols else F.lit(None).cast(target.schema[c].dataType).alias(c)
+            for c in tcols
+        ]
+    )
     path = engine.store_path(name)
-    new_rows.write.mode("append").parquet(path)
-    _reload_store(engine, name, path)
+    if path is not None:
+        # staging break: INSERT ... SELECT may read the very store it
+        # appends to — materialize before touching the target path
+        materialized = full.localCheckpoint(eager=True)
+        materialized.write.mode("append").parquet(path)
+        _reload_store(engine, name, path)
+    else:
+        engine.replace_view(name, engine.table(name).unionByName(full))
     return None

@@ -53,6 +53,12 @@ class MapleEngine:
     def store_path(self, name: str) -> str | None:
         return self._store_paths.get(name)
 
+    def is_view_table(self, name: str) -> bool:
+        """True for tables this engine registered as temp views (testdata
+        sources, replaced views) — the targets whose DML must go through
+        the view machinery rather than spark.sql."""
+        return name in self._tables
+
     def register_store(self, name: str, path: str, df: DataFrame) -> None:
         self._store_paths[name] = path
         self._tables[name] = df

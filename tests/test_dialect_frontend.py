@@ -78,6 +78,83 @@ def test_insert_update_delete_roundtrip(engine, states_csv):
     ]
 
 
+def test_insert_column_list_and_insert_select(engine, states_csv):
+    """The full insert_stmt surface (nanosql.g:613-642): a column list
+    fills unlisted columns with NULL, and INSERT ... SELECT — including
+    reading from the very store being appended — lands via the staged
+    parquet append (InsertCommand.java:41,160-185)."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        INSERT INTO states (id) VALUES (6);
+        INSERT INTO states (name, id) VALUES ('zz', 7);
+        INSERT INTO states SELECT id + 100, upper(name) FROM states WHERE id <= 2;
+        SELECT id, name FROM states ORDER BY id;
+        """
+    )
+    got = [tuple(r) for r in res[-1]]
+    assert got == [
+        (1, "Alabama"), (2, "Alaska"), (3, "Arizona"), (4, "Arkansas"),
+        (5, "California"), (6, None), (7, "zz"),
+        (101, "ALABAMA"), (102, "ALASKA"),
+    ]
+
+
+def test_insert_select_into_view_backed_table(engine):
+    """INSERT ... SELECT on a read-only source table unions into the
+    registered view in-session (files untouched — testdata contract)."""
+    res = engine.execute_script(
+        """
+        INSERT INTO region (r_regionkey, r_name) SELECT r_regionkey + 10, r_name FROM region;
+        SELECT count(*) AS n FROM region;
+        """
+    )
+    assert res[-1][0]["n"] == 10
+    assert engine.spark.read.parquet(f"{SF_DIR}/region.parquet").count() == 5
+
+
+def test_update_quote_aware_where_split(engine, states_csv):
+    """A string literal containing WHERE / commas / semicolon-ish text must
+    not mis-split the UPDATE body (the reference lexes with a real
+    grammar, nanosql.g:647-658; the router's scan is quote-aware)."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        UPDATE states SET name = 'a WHERE b' WHERE id = 1;
+        UPDATE states SET name = 'x,y', id = id + 100 WHERE id = 2;
+        SELECT id, name FROM states WHERE id IN (1, 102) ORDER BY id;
+        """
+    )
+    got = [tuple(r) for r in res[-1]]
+    assert got == [(1, "a WHERE b"), (102, "x,y")]
+
+
+def test_dml_on_spark_catalog_table_stays_visible(engine):
+    """ADVICE regression: UPDATE on a real session-catalog table must
+    rewrite the table IN PLACE (no temp-view shadowing), so a later
+    INSERT INTO routed through spark.sql stays visible to SELECTs."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS dml_cat")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        shutil.rmtree(wh.removeprefix("file:") + "/dml_cat", ignore_errors=True)
+    spark.sql("CREATE TABLE dml_cat (id INT, v STRING) USING parquet")
+    try:
+        res = engine.execute_script(
+            """
+            INSERT INTO dml_cat VALUES (1, 'a'), (2, 'b');
+            UPDATE dml_cat SET v = upper(v) WHERE id = 1;
+            INSERT INTO dml_cat VALUES (3, 'c');
+            SELECT id, v FROM dml_cat ORDER BY id;
+            """
+        )
+        assert [tuple(r) for r in res[-1]] == [(1, "A"), (2, "b"), (3, "c")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_cat")
+
+
 def test_update_delete_on_view_backed_table(engine):
     """UPDATE/DELETE against a read-only source table mutates the
     registered view in-session (files untouched — testdata contract)."""
