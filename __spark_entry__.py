@@ -4041,11 +4041,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT v.*,
                        CAST(('0x' || substring(md5(source || '|' ||
                             CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                            % 10000 AS mix_draw,
+                            AS mix_draw,
                        CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                             ELSE 0.3 END AS mw
                 FROM varied v
-              ) WHERE mix_draw < mw * 10000
+              ) WHERE mix_draw < mw * 65536
             )
             SELECT doc_id, lang, source, quality,
                    CAST(len(regexp_extract_all(text,
@@ -4063,11 +4063,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, lang,
                      CAST(('0x' || substring(md5(source || '|' ||
                           CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                          % 10000 AS mix_draw,
+                          AS mix_draw,
                      CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                           WHEN 'src2' THEN 0.25 ELSE 0.1 END AS mix_weight
               FROM documents
-            ) WHERE mix_draw < mix_weight * 10000
+            ) WHERE mix_draw < mix_weight * 65536
         """,
         "t13_pii_scrub": """
             SELECT doc_id,

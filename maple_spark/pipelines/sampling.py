@@ -70,7 +70,6 @@ def domain_mix(
     id_col: str,
     weights: dict[str, float],
     default_weight: float = 1.0,
-    resolution: int = 10000,
 ) -> DataFrame:
     """Weighted per-domain subsampling — the corpus-mixing primitive: keep
     each row with its domain's target fraction, decided by a
@@ -79,31 +78,31 @@ def domain_mix(
     seed)`` cannot give across partitionings — same argument as
     ``hash_split``).
 
-    The draw reuses the engine-portable md5 formula (first 4 hex digits →
-    integer, here mod ``resolution`` for 4 decimal digits of weight
-    precision), salted with the domain so the mix draw is independent of
-    the train/valid/test split draw.  Map-only: no shuffle at any scale.
+    The draw reuses the engine-portable md5 formula: the first 4 hex
+    digits ARE a uniform 16-bit integer, compared directly against
+    ``weight * 65536`` — no modulo, so no residue bias (a ``% 10000``
+    draw would over-select residues 0..5535 by 7/6 and skew the kept
+    fraction by up to ~3.4 points).  Weight resolution is 1/65536.  The
+    draw is salted with the domain so it is independent of the
+    train/valid/test split draw.  Map-only: no shuffle at any scale.
     Weights > 1 mean "keep everything" (upsampling/repetition is the
     sequence-packing layer's job, not the filter's).
     """
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(domain_col), F.col(id_col).cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % resolution
-    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(domain_col), F.col(id_col).cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     weight = F.lit(default_weight)
     for dom, w in sorted(weights.items()):
         weight = F.when(F.col(domain_col) == dom, F.lit(w)).otherwise(weight)
     return (
         df.withColumn("mix_draw", draw)
         .withColumn("mix_weight", weight)
-        .where(F.col("mix_draw") < F.col("mix_weight") * resolution)
+        .where(F.col("mix_draw") < F.col("mix_weight") * 65536)
         .drop("mix_draw", "mix_weight")
     )

@@ -213,8 +213,14 @@ def text_to_parquet(
     partitionings, and corpus growth (a positional id from
     ``monotonically_increasing_id`` is none of those), and 128 bits keeps
     collisions negligible at trillion-line scale.  Identical lines get
-    identical ids BY DESIGN: they are the same document, and the exact
-    dedup tier collapses them anyway.  Map-only ingest; one pass.
+    identical ids BY DESIGN: they are the same document, and this ingest
+    collapses them with a hash group-by (map-side partial agg + ONE
+    shuffle on doc_id — not map-only; the dedup is the cost of a stable
+    id).  The surviving ``source_file`` is the MINIMUM across duplicate
+    holders, so which provenance wins is deterministic across runs and
+    partitionings, unlike ``dropDuplicates`` (whichever row a task sees
+    first).  ``text`` is functionally determined by ``doc_id``, so min()
+    is exact for it, not a choice.
     """
     df = (
         spark.read.text(text_path)
@@ -224,7 +230,8 @@ def text_to_parquet(
             F.col("value").alias("text"),
             F.input_file_name().alias("source_file"),
         )
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"), F.min("source_file").alias("source_file"))
     )
     if partitions:
         df = df.repartition(partitions)

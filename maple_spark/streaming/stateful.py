@@ -174,12 +174,23 @@ def user_ewma_stream(events: DataFrame, alpha: float = 0.25) -> DataFrame:
 ADMIT_STATE_SCHEMA = StructType([StructField("n_admitted", LongType())])
 
 
-def make_quota_admitter(cap: int, key_name: str, output_schema: StructType):
+def make_quota_admitter(
+    cap: int,
+    key_name: str,
+    output_schema: StructType,
+    order_cols: list[str] = ("ts", "event_id"),
+):
     """Build the applyInPandasWithState function for ``quota_admit_stream``:
     admit the first ``cap`` rows per key across the whole stream, drop the
-    rest.  Rows within a micro-batch are admitted in event-time order
-    (``ts`` ascending) so the admitted set is deterministic for a given
-    micro-batch sequence."""
+    rest.
+
+    The whole micro-batch group is concatenated BEFORE sorting: Arrow
+    hands the group to Python in maxRecordsPerBatch-sized chunks, and a
+    chunk-at-a-time admit would fall back to arrival order whenever a
+    key's group spans chunks — breaking determinism and the equality with
+    the batch dual.  Ordering is the composite ``order_cols`` (default
+    ``(ts, event_id)``), exactly the batch ``quota_sample`` order, so ties
+    on ``ts`` admit identically in both engines."""
 
     def admit(
         key: tuple[Any, ...],
@@ -187,10 +198,9 @@ def make_quota_admitter(cap: int, key_name: str, output_schema: StructType):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (n,) = state.get if state.exists else (0,)
-        for pdf in batches:
-            if n >= cap:
-                break
-            take = pdf.sort_values("ts").head(cap - n)
+        if n < cap:
+            pdf = pd.concat(list(batches), ignore_index=True)
+            take = pdf.sort_values(list(order_cols)).head(cap - n)
             n += len(take)
             if len(take):
                 yield take[[f.name for f in output_schema.fields]]
@@ -200,13 +210,18 @@ def make_quota_admitter(cap: int, key_name: str, output_schema: StructType):
 
 
 def quota_admit_stream(
-    events: DataFrame, key_col: str = "event_type", cap: int = 100
+    events: DataFrame,
+    key_col: str = "event_type",
+    cap: int = 100,
+    order_cols: list[str] = ("ts", "event_id"),
 ) -> DataFrame:
     """Streaming per-key admission cap — the streaming counterpart of
     ``sampling.quota_sample``: at most ``cap`` rows per key pass through,
-    first-come (event-time order within each micro-batch), everything
-    after is dropped at ingest.  The per-source rate-cap / class-balance
-    primitive for a training-data firehose.
+    first-come (composite ``order_cols`` event-time order within each
+    micro-batch, chunk-concatenated so the order holds even when a group
+    exceeds one Arrow batch), everything after is dropped at ingest.  The
+    per-source rate-cap / class-balance primitive for a training-data
+    firehose.
 
     Scale shape: state per key is ONE counter (8 bytes), hash-partitioned
     by key in the state store; saturated keys stop emitting but their
@@ -219,7 +234,7 @@ def quota_admit_stream(
         [f for f in events.schema.fields]
     )
     return events.groupBy(key_col).applyInPandasWithState(
-        make_quota_admitter(cap, key_col, out_schema),
+        make_quota_admitter(cap, key_col, out_schema, order_cols),
         outputStructType=out_schema,
         stateStructType=ADMIT_STATE_SCHEMA,
         outputMode="append",
