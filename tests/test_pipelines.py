@@ -410,10 +410,10 @@ def test_star_connected_components_matches_min_label(spark):
     assert a == b
 
 
-def test_embedding_near_dup_pivot_grid_equals_allpairs(spark):
-    """The pivot-grid metric-space join is exact: identical output to the
-    brute-force all-pairs oracle on the real embeddings table, at a loose
-    threshold (worst case for pruning) and in the near-dup regime."""
+def test_embedding_near_dup_blocked_gram_equals_allpairs(spark):
+    """The blocked gram-matrix join is exact: identical output to the
+    brute-force all-pairs oracle on the real embeddings table, at loose
+    thresholds (densest output regime)."""
     from maple_spark.catalog import load_table
     from maple_spark.pipelines.similarity import (
         embedding_near_dup,
@@ -428,8 +428,8 @@ def test_embedding_near_dup_pivot_grid_equals_allpairs(spark):
 
 
 def test_embedding_near_dup_high_threshold_recall(spark):
-    """Planted near-dup pairs in the cosine≥0.95 regime: pivot-grid recall
-    is 1.0 (triangle-inequality guarantee), precision 1.0 (exact verify)."""
+    """Planted near-dup pairs in the cosine≥0.95 regime: blocked-gram
+    recall is 1.0 and precision 1.0 (exact by construction)."""
     from maple_spark.pipelines.similarity import embedding_near_dup
 
     base = [0.3, -1.2, 0.8, 2.0, -0.5, 1.1]
@@ -445,8 +445,8 @@ def test_embedding_near_dup_high_threshold_recall(spark):
 
 
 def test_embedding_near_dup_plan_has_no_cartesian(spark):
-    """The shipped near-dup path must plan as a hash/merge equi-join on the
-    pivot buckets — never a CartesianProduct or BroadcastNestedLoopJoin."""
+    """The shipped near-dup path must plan as broadcast block-pair joins
+    plus a cogroup — never a CartesianProduct or BroadcastNestedLoopJoin."""
     from maple_spark.catalog import load_table
     from maple_spark.pipelines.similarity import embedding_near_dup
 
