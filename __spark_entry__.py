@@ -2382,9 +2382,41 @@ def t9_bm25_search(spark, sf_dir):
     )
 
 
-#: sequence packing parameters: tokens per training window, shard count
+#: sequence packing parameters: tokens per training window, shard sizing
 PACK_CAPACITY = 2048
-PACK_SHARDS = 16
+PACK_SHARDS_FLOOR = 16
+#: one packing shard (= one writer task / pack file stream) per this much
+#: source parquet — matches typical file-split sizing so shard count grows
+#: linearly with input instead of being a fixed foot-gun
+PACK_SHARD_INPUT_BYTES = 64 * 1024 * 1024
+
+
+def pack_shards_for_bytes(input_bytes: int) -> int:
+    """Shard count for sequence packing at a given input size: one shard
+    per 64 MiB of source parquet, floor 16.  Pure so it's unit-testable at
+    sizes the fixtures can't reach; at the committed fixtures (sf0.01 =
+    66 KB, sf0.1 = 595 KB of documents.parquet) this is exactly the floor,
+    so t10's output — shard is part of it — is unchanged and the DuckDB
+    oracle's ``doc_id % 16`` stays valid."""
+    import math as _math
+
+    return max(PACK_SHARDS_FLOOR, _math.ceil(input_bytes / PACK_SHARD_INPUT_BYTES))
+
+
+def _pack_shards(d) -> int:
+    """Derive the shard count from the relation's parquet footprint —
+    metadata only (file sizes via ``inputFiles``), no data scan."""
+    import os
+
+    total = 0
+    for f in d.inputFiles():
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            # non-local / unstatable source: fall back to the floor
+            return PACK_SHARDS_FLOOR
+    return pack_shards_for_bytes(total)
 
 
 def t10_sequence_pack(spark, sf_dir):
@@ -2394,12 +2426,15 @@ def t10_sequence_pack(spark, sf_dir):
     and token offset where it starts.  Sharding by doc_id % K makes the
     running sum a per-shard window (one shuffle, K independent streams) —
     the 100 TB shape, where a single global cumulative sum would
-    serialize; shards map 1:1 to writer tasks emitting pack files."""
+    serialize; shards map 1:1 to writer tasks emitting pack files.
+    K itself scales with input size (one shard per 64 MiB of source,
+    floor 16 — see :func:`pack_shards_for_bytes`), so at 100 TB the
+    cumulative sum runs on ~1.6 M independent streams, not 16."""
     d = _t(spark, sf_dir, "documents")
     n_tokens = F.size(
         F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     ).cast("bigint")
-    shard = (F.col("doc_id") % PACK_SHARDS).cast("bigint")
+    shard = (F.col("doc_id") % _pack_shards(d)).cast("bigint")
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

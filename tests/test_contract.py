@@ -63,3 +63,21 @@ def test_queries_are_lazy(spark):
         df = fn(spark, SF_DIR)
         assert df is not None
     assert time.time() - t0 < lazy_budget_sec
+
+
+def test_pack_shards_scale_with_input():
+    """t10's shard count derives from input size: the floor at fixture
+    scale (so the %16 oracle stays valid) and linear growth beyond it —
+    one cumulative-sum stream per 64 MiB of source parquet."""
+    mib = 1024 * 1024
+    assert e.pack_shards_for_bytes(0) == 16
+    assert e.pack_shards_for_bytes(600 * 1024) == 16          # ~sf0.1 fixture
+    assert e.pack_shards_for_bytes(10 * 1024 * mib) == 160    # 10 GiB
+    assert e.pack_shards_for_bytes(100 * 1024 * 1024 * mib) == 1638400  # 100 TiB
+
+
+def test_t10_uses_floor_shards_at_fixture(spark):
+    """At the committed fixtures the derived shard count must equal the
+    oracle's literal 16 — shard is part of t10's output."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert e._pack_shards(d) == 16
