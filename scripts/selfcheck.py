@@ -56,9 +56,15 @@ def main():
 
     spark = get_spark()
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # extended oracles need the Spark-compatible xxhash64 UDFs registered
+    # below — they are kept out of oracle_sql() because the driver's gate
+    # runs on a vanilla DuckDB (see oracle_sql_extended's docstring)
+    oracles = {**entrymod.oracle_sql(), **entrymod.oracle_sql_extended()}
 
     con = duckdb.connect()
+    from maple_spark.functions.xxh import register_duckdb_udfs
+
+    register_duckdb_udfs(con)
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()

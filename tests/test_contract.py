@@ -15,8 +15,10 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_rows_only_set_is_intentional():
-    """Queries WITHOUT an oracle must be exactly the documented
-    hash/clustering-dependent ones."""
+    """Queries WITHOUT a driver-runnable oracle must be exactly the
+    documented hash/clustering-dependent ones.  The xxhash64-dependent
+    four (d3/d4/sim3/a14) additionally carry EXTENDED oracles that run on
+    a UDF-equipped DuckDB (selfcheck) — see the next test."""
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert qs - os_ == {
         "d3_minhash_lsh",
@@ -26,8 +28,55 @@ def test_rows_only_set_is_intentional():
         "enc1_encoding_report",
         "mm3_embed_stub",
         "a11_hll_sketch",
-        "a14_countmin_sketch",  # xxhash64 bucketing; bound pytest-asserted
+        "a14_countmin_sketch",
     }
+
+
+def test_extended_oracles_cover_hash_dependent_queries():
+    """The extended (UDF-equipped DuckDB) oracles cover exactly the four
+    xxhash64-dependent queries, are disjoint from the driver oracles, and
+    leave only engine-internal ops (MLlib k-means, DataSketches HLL,
+    encoding report, stub inference) as true rows-only."""
+    ext = set(e.oracle_sql_extended())
+    assert ext == {
+        "d3_minhash_lsh",
+        "d4_simhash_pairs",
+        "sim3_lsh_topk",
+        "a14_countmin_sketch",
+    }
+    assert not (ext & set(e.oracle_sql()))
+    true_rows_only = set(e.queries()) - set(e.oracle_sql()) - ext
+    assert true_rows_only == {
+        "sim4_ivf_topk",
+        "enc1_encoding_report",
+        "mm3_embed_stub",
+        "a11_hll_sketch",
+    }
+
+
+def test_extended_oracle_value_exact_at_sf0001(spark):
+    """End-to-end pin that an extended oracle really is value-exact: run
+    a14 (Count-Min) and d4 (SimHash) on Spark and on a UDF-equipped DuckDB
+    at sf0.001 and compare values (sorted rows, sorted columns)."""
+    import duckdb
+
+    from maple_spark.functions.xxh import register_duckdb_udfs
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    register_duckdb_udfs(con)
+    for t in ("orders", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in ("a14_countmin_sketch", "d4_simhash_pairs"):
+        sdf = e.queries()[name](spark, sf).toPandas()
+        odf = con.execute(e.oracle_sql_extended()[name]).fetchdf()
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        assert scols == ocols, name
+        srows = sorted(map(tuple, sdf[scols].itertuples(index=False)))
+        orows = sorted(map(tuple, odf[ocols].itertuples(index=False)))
+        assert srows == orows, name
 
 
 def test_every_query_documented():

@@ -74,3 +74,57 @@ def test_coercion_ladder_matches_spark(spark):
         ).dtypes
     )
     assert types == {"il": "bigint", "lf": "double", "fd": "double"}
+
+
+def test_python_xxh64_matches_spark(spark):
+    """The pure-Python XXH64 (extended-oracle hash) equals Spark's
+    xxhash64 on every type path it claims: i32, i64, UTF-8 strings, and
+    chained multi-column calls — randomized inputs, fixed seed."""
+    import random
+
+    from maple_spark.functions.xxh import spark_xxhash64
+
+    rnd = random.Random(99)
+    data = [
+        (
+            rnd.randint(-(2**63), 2**63 - 1),
+            rnd.randint(-(2**31), 2**31 - 1),
+            "".join(
+                chr(rnd.choice([rnd.randint(32, 126), rnd.randint(0x3B1, 0x3C9)]))
+                for _ in range(rnd.randint(0, 40))
+            ),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(data, "l long, i int, s string")
+    got = df.select(
+        "l", "i", "s",
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("i", "s", "l").alias("hc"),
+    ).collect()
+    for r in got:
+        assert r.hl == spark_xxhash64(r.l)
+        assert r.hi == spark_xxhash64(("i32", r.i))
+        assert r.hs == spark_xxhash64(r.s)
+        assert r.hc == spark_xxhash64(("i32", r.i), r.s, r.l)
+
+
+def test_np_xxh64_long_matches_scalar():
+    """The vectorized rehash path (minhash oracle) equals the scalar
+    implementation for random (salt, value) pairs."""
+    import numpy as np
+
+    from maple_spark.functions.xxh import (
+        _int_salt_table,
+        np_xxh64_long,
+        spark_xxhash64,
+    )
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(-(2**63), 2**63, 500, dtype=np.int64)
+    perms = rng.integers(0, 64, 500, dtype=np.int32)
+    got = np_xxh64_long(vals, _int_salt_table()[perms]).view(np.int64)
+    for g, p, v in zip(got, perms, vals):
+        assert g == spark_xxhash64(("i32", int(p)), int(v))
