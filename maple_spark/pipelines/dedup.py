@@ -270,42 +270,34 @@ def verify_jaccard(
     Only documents that appear in a candidate pair are shingled (left-semi
     prefilter) — at corpus scale the verifier touches O(candidate docs),
     not the whole corpus, and cost follows the candidate count, not n²."""
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no .distinct(): left-semi keeps one match regardless of key dups,
+    # so deduping the broadcast list would only add an exchange
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     cand_docs = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-    # three consumers below (per-doc counts + both sides of the pair join)
-    # share this subtree; AQE exchange reuse deduplicates it at runtime
-    # (no RDD checkpoint — see minhash_lsh_pairs on why lazy
-    # localCheckpoint is unsafe), and the explode itself is candidate-
-    # bounded, so even a re-run is O(candidate docs), not corpus-sized
-    sh = shingle(cand_docs, id_col, text_col, k)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    # Join the two shingle streams through the pair table on (pair, shingle):
-    # cost follows the candidate list, not the corpus squared.  The pair
-    # list and per-doc counts are candidate-bounded (small) — broadcast
-    # them so the only exchange left is the (id_b, shingle) equi-join and
-    # the intersection groupBy.
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        sh_a.join(F.broadcast(pairs), on="id_a")
-        .join(sh_b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # One shingle-set row per candidate doc (shingle() is distinct per
+    # doc, so collect_list IS the set), then the per-pair intersection is
+    # a single map-side array_intersect — versus the previous exploded
+    # (id_b, shingle) equi-join + count groupBy + two count-broadcast
+    # joins, which cost 4 extra exchanges; at sf0.1 the verifier's wall
+    # time was ~90% stage overhead on candidate-bounded (tiny) data.
+    # Shuffle volume is the same shingles either way — packed as one
+    # array row per doc instead of exploded rows.  Cost still follows
+    # the candidate list, not the corpus squared.
+    sets = shingle(cand_docs, id_col, text_col, k).groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__set")
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
+    n_inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        inter.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        sa.join(F.broadcast(pairs), on="id_a")
+        .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                n_inter / (F.size("__sa") + F.size("__sb") - n_inter),
                 6,
             ),
         )
