@@ -853,20 +853,22 @@ def cp2_curation_pipeline(spark, sf_dir):
     scored = textstats.quality_score(d).select("doc_id", "text", "lang", "source", "quality")
     kept = scored.where(F.col("quality") >= 0.4)
     bench = d.where(F.col("doc_id") % 50 == 0)
-    decon = curation.decontaminate(kept, bench, n=13)
-    clean = kept.join(
-        decon.where(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
-    rep = curation.repetition_stats(clean)
-    varied = clean.join(
-        rep.where(F.col("distinct_word_ratio") >= 0.2).select("doc_id"), "doc_id"
+    # ONE linear scan: every filter stage appends its signal columns and
+    # filters in place (with_repetition_stats / with_pii_scrub) instead of
+    # projecting a stats frame and self-joining it back — the join-back
+    # pattern re-executed the upstream lineage once per consumer (~3×
+    # the corpus scan).  The only non-map stages left are the benchmark
+    # gram semi-join (broadcast) and the contaminated-id distinct, whose
+    # result is bounded by actual leakage and broadcasts into a left-anti.
+    bad_ids = curation.contaminated_ids(kept, bench, n=13)
+    clean = kept.join(F.broadcast(bad_ids), "doc_id", "left_anti")
+    varied = curation.with_repetition_stats(clean).where(
+        F.col("distinct_word_ratio") >= 0.2
     )
     mixed = sampling.domain_mix(
         varied, "source", "doc_id", weights={"src0": 1.0, "src1": 0.5}, default_weight=0.3
     )
-    return curation.pii_scrub(mixed).join(
-        mixed.select("doc_id", "lang", "source", "quality"), "doc_id"
-    ).select(
+    return curation.with_pii_scrub(mixed).select(
         "doc_id", "lang", "source", "quality", "n_emails",
         F.md5("scrubbed_text").alias("scrub_md5"),
     )

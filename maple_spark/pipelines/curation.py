@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from maple_spark.pipelines.util import spread as _spread
+
 #: portable regex dialect (char classes only) — Java and RE2/PCRE agree,
 #: so the DuckDB oracle produces identical matches
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
@@ -65,7 +67,7 @@ def decontaminate(
     benchmark, swap the broadcast for a shuffled semi-join on gram hash —
     same dataflow.
     """
-    doc_grams = docs.select(
+    doc_grams = _spread(docs).select(
         F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
     )
     bench_grams = (
@@ -98,19 +100,12 @@ def decontaminate(
     )
 
 
-def repetition_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Within-document repetition signals:
-
-    - ``distinct_word_ratio``  = |set(words)| / |words|
-    - ``distinct_bigram_ratio``= |set(bigrams)| / |bigrams|
-    - ``top_word_share``       = count(most frequent word) / |words|
-
-    Low distinct ratios / high top share ⇒ boilerplate, keyword spam, or
-    looping generation — standard pre-training quality filters.  All
-    array expressions over one row: map-only at any corpus size.
-    """
+def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-appending form of :func:`repetition_stats`: all input
+    columns plus the three signals.  Lets a multi-stage curation pipeline
+    (cp2) filter on the signals in the SAME scan instead of computing a
+    stats-only projection and self-joining it back — the join-back
+    pattern re-executes the upstream lineage once per consumer."""
     words = F.split(F.col(text_col), " ")
     bigrams = _word_ngrams(text_col, 2)
     n_words = F.size(words)
@@ -126,7 +121,7 @@ def repetition_stats(
         )
     )
     return docs.select(
-        F.col(id_col),
+        "*",
         F.round(
             F.size(F.array_distinct(words)).cast("double")
             / F.greatest(n_words, F.lit(1)),
@@ -143,6 +138,42 @@ def repetition_stats(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals:
+
+    - ``distinct_word_ratio``  = |set(words)| / |words|
+    - ``distinct_bigram_ratio``= |set(bigrams)| / |bigrams|
+    - ``top_word_share``       = count(most frequent word) / |words|
+
+    Low distinct ratios / high top share ⇒ boilerplate, keyword spam, or
+    looping generation — standard pre-training quality filters.  All
+    array expressions over one row: map-only at any corpus size.
+    """
+    return with_repetition_stats(_spread(docs), text_col).select(
+        F.col(id_col),
+        "distinct_word_ratio",
+        "distinct_bigram_ratio",
+        "top_word_share",
+    )
+
+
+def with_pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-appending form of :func:`pii_scrub` (see
+    :func:`with_repetition_stats` for why): input columns plus
+    n_emails / n_phones / scrubbed_text."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed_text"),
+    )
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -153,12 +184,32 @@ def pii_scrub(
     counts stay deterministic.  Map-only; the regexes stick to character
     classes so Java and the DuckDB oracle agree byte-for-byte.
     """
-    t = F.col(text_col)
-    return docs.select(
-        F.col(id_col),
-        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ).alias("scrubbed_text"),
+    return with_pii_scrub(_spread(docs), text_col).select(
+        F.col(id_col), "n_emails", "n_phones", "scrubbed_text"
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Just the ids of contaminated documents — the filter-pipeline form
+    of :func:`decontaminate`.  The result is bounded by actual benchmark
+    leakage (small at any corpus scale), so a caller can broadcast it
+    into a left-anti join instead of join-backing a corpus-sized
+    report."""
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), on="gram", how="left_semi")
+        .select(id_col)
+        .distinct()
     )
