@@ -13,6 +13,21 @@ building + eager Catalyst analysis) BEFORE the clock starts, because that
 driver-side cost is fixed per query, independent of data volume — at 100 TB
 it is noise, at sf0.1 it would dominate wide plans (e.g. the 64-permutation
 MinHash projection) and mis-rank optimizations that matter at scale.
+
+Two harness-side floors on the numbers (measured, round 4):
+
+- Every fixture table is ONE parquet file with ONE row group, and Spark
+  cannot split a row group, so every scan (and its map-side work: partial
+  aggregation, filters, projection) runs on one core regardless of split
+  or partition settings.  Queries whose input feeds an explode/regex
+  pipeline sidestep this via spread() (a cheap repartition of the small
+  fixture, no-op at scale); scan+agg queries like a2/a4/q6 eat it — e.g.
+  a2's 600 k-row scan+partial-agg is a fixed ~0.4 s single-core component
+  that would parallelize over row groups on any real layout.
+- Run-to-run noise at these sizes is ±15-25% per query (min-of-2 helps,
+  stage scheduling at 32 threads over ~100 ms stages doesn't average out).
+  d3's in-bench vs standalone delta (~0.2 s) is within this band —
+  profiled fresh vs aged sessions show no systematic aging effect.
 """
 
 from __future__ import annotations
