@@ -930,8 +930,10 @@ def sim3_lsh_topk(spark, sf_dir):
 
 
 def sim4_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer + probe-and-rerank (rows-only:
-    cell assignment depends on MLlib k-means internals)."""
+    """IVF ANN: deterministic-Lloyd k-means coarse quantizer +
+    probe-and-rerank.  Decimal-exact centroid means and tie-stable argmin
+    make the whole operator reproducible in pure SQL — the oracle unrolls
+    the same two Lloyd rounds (value-exact at sf0.01)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     return similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3)
@@ -2671,7 +2673,85 @@ def oracle_sql() -> dict[str, str]:
     davg = lambda col, alias, s=2: (
         f"CAST(SUM(CAST({col} AS DECIMAL(38,{s}))) AS DOUBLE) / COUNT({col}) AS {alias}"
     )
+
+    # --- sim4: deterministic-Lloyd IVF, pure SQL (no UDFs needed) -------
+    # Mirrors ivf_topk exactly: init = 8 smallest-id vectors, two Lloyd
+    # rounds (argmin squared-L2 with left-to-right fold = list_reduce,
+    # ties to the lowest cell = list_position-of-min; per-cell means
+    # summed in DECIMAL(38,12) — exact, order-independent — then one
+    # double division), final assignment, 3-probe search, exact rerank.
+    _ivf_dist = (
+        "list_transform({cents}, c -> list_reduce("
+        "list_transform(generate_series(1, 64),"
+        " j -> (({v})[j] - c[j]) * (({v})[j] - c[j])), (a, b) -> a + b))"
+    )
+
+    def _ivf_assign(name, src, cents):
+        d = _ivf_dist.format(cents=cents, v="v")
+        return (
+            f"{name} AS (SELECT vec_id, v,"
+            f" list_position(d, list_aggregate(d, 'min')) - 1 AS cell"
+            f" FROM (SELECT vec_id, v, {d} AS d FROM {src}))"
+        )
+
+    def _ivf_update(prev_assign, prev_cents, out):
+        return f"""{out}_s AS (
+              SELECT cell, g.j AS pos,
+                     CAST(SUM(CAST(v[g.j] AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM {prev_assign}, unnest(generate_series(1, 64)) AS g(j)
+              GROUP BY cell, g.j
+            ), {out}_cv AS (
+              SELECT cell, list(m ORDER BY pos) AS cv FROM {out}_s GROUP BY cell
+            ), {out} AS (
+              SELECT list(COALESCE({out}_cv.cv, ic.cv) ORDER BY ic.cell)
+                AS cents
+              FROM (SELECT g.j - 1 AS cell, {prev_cents}.cents[g.j] AS cv
+                    FROM {prev_cents},
+                         unnest(generate_series(1, 8)) AS g(j)) ic
+              LEFT JOIN {out}_cv ON {out}_cv.cell = ic.cell
+            )"""
+
+    sim4_oracle = f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), init AS (
+              SELECT list(v ORDER BY vec_id) AS cents
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+            ),
+            {_ivf_assign("a1", "e, init", "init.cents")},
+            {_ivf_update("a1", "init", "cents1")},
+            {_ivf_assign("a2", "e, cents1", "cents1.cents")},
+            {_ivf_update("a2", "cents1", "cents2")},
+            {_ivf_assign("a3", "e, cents2", "cents2.cents")},
+            probes AS (
+              SELECT query_id, qvec, cell FROM (
+                SELECT query_id, qvec, g.j - 1 AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d[g.j] ASC, g.j ASC)
+                         AS rk
+                FROM (SELECT q.vec_id AS query_id, q.v AS qvec,
+                             {_ivf_dist.format(cents="cents2.cents", v="q.v")}
+                               AS d
+                      FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q,
+                           cents2),
+                     unnest(generate_series(1, 8)) AS g(j)
+              ) WHERE rk <= 3
+            ), cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(p.qvec, a.v) AS cosine
+              FROM probes p JOIN a3 a ON a.cell = p.cell
+              WHERE p.query_id <> a.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC)
+                       AS rk
+              FROM cand) WHERE rk <= 5
+        """
     return {
+        "sim4_ivf_topk": sim4_oracle,
         "flagship_join_topk": FLAGSHIP_ORACLE,
         "s1_scan_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity,

@@ -227,34 +227,95 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer assigns each
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
     corpus vector to a cell; queries probe their ``n_probe`` nearest
     centroids and re-rank exactly within those cells.
 
-    Scale shape: training samples the corpus (KMeans on a bounded sample),
-    assignment is one map-only pass, and the search join touches
-    ~n_probe/n_cells of the corpus per query.  Centroids are tiny and
-    broadcast.  Recall rises with n_probe (n_probe = n_cells ⇒ exact).
+    The quantizer is Lloyd's algorithm in DataFrame algebra, made FULLY
+    DETERMINISTIC so the whole operator has an exact SQL oracle twin
+    (previously MLlib KMeans — rows-only, its kmeans|| init and
+    float-sum centroids are engine-internal):
+
+    - init: the ``n_cells`` corpus vectors with the smallest ids;
+    - assignment: argmin squared-L2 against broadcast centroid literals,
+      ties to the lowest cell — one map-only pass, the distance fold is
+      left-to-right so DuckDB's ``list_reduce`` reproduces it bit-exactly;
+    - update: per-cell per-dimension mean with the summation done in
+      DECIMAL(38,12) — decimal addition is exact and order-independent,
+      so the mean does not depend on partitioning (a double sum would),
+      then one double division;
+    - ``lloyd_iters`` fixed rounds (no convergence test → no
+      data-dependent control flow for the oracle to mirror).
+
+    Scale shape unchanged: each round is one map-only assignment pass +
+    one (cell, dim)-grouped partial agg; centroids are k×d values round-
+    tripped through the driver (the standard k-means dataflow — MLlib
+    does the same); the search join touches ~n_probe/n_cells of the
+    corpus per query.  Recall rises with n_probe (= n_cells ⇒ exact).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
     from maple_spark.pipelines.util import spread
 
+    lloyd_iters = 2
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
         )
-    ).withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(c.select("features"))
-    assigned = model.transform(c).select("neighbor_id", "embedding", "cell")
-
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
     )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in c.orderBy("neighbor_id").limit(n_cells).collect()
+    ]
+
+    def cent_array(cents):
+        return F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in cents])
+
+    def dist_structs(vec, cents):
+        # squared L2 to each centroid, left-to-right fold (oracle-parity)
+        return F.transform(
+            cent_array(cents),
+            lambda ctr, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        ctr,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                i.alias("cell"),
+            ),
+        )
+
+    def assign(cents):
+        # struct sort orders by (dist, cell): ties to the lowest cell
+        return c.withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(dist_structs(F.col("embedding"), cents)), 1
+            )["cell"],
+        )
+
+    for _ in range(lloyd_iters):
+        stats = (
+            assign(centroids)
+            .select("cell", F.posexplode(F.col("embedding").cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("col").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(ctr) for ctr in centroids]  # empty cells keep old
+        for r in stats:
+            new_cents[r["cell"]][r["pos"]] = float(r["s"]) / r["n"]
+        centroids = new_cents
+
+    assigned = assign(centroids).select("neighbor_id", "embedding", "cell")
+    cent_lit = cent_array(centroids)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("__cents", cent_lit)

@@ -24,7 +24,6 @@ def test_rows_only_set_is_intentional():
         "d3_minhash_lsh",
         "d4_simhash_pairs",
         "sim3_lsh_topk",
-        "sim4_ivf_topk",
         "enc1_encoding_report",
         "mm3_embed_stub",
         "a11_hll_sketch",
@@ -45,9 +44,10 @@ def test_extended_oracles_cover_hash_dependent_queries():
         "a14_countmin_sketch",
     }
     assert not (ext & set(e.oracle_sql()))
+    # sim4's deterministic-Lloyd IVF has a PURE-SQL oracle (no UDF) and
+    # lives in the driver-visible oracle_sql()
     true_rows_only = set(e.queries()) - set(e.oracle_sql()) - ext
     assert true_rows_only == {
-        "sim4_ivf_topk",
         "enc1_encoding_report",
         "mm3_embed_stub",
         "a11_hll_sketch",
