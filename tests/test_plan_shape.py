@@ -331,3 +331,46 @@ def test_tpch_shuffle_budgets(spark):
         if n > budget:
             over.append((name, n, budget))
     assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
+def test_single_partition_exchanges_are_audited(spark):
+    """Blanket scale guarantee #2: an `Exchange SinglePartition` is the
+    accidental-serialization trap (VERDICT r3 found two).  Every query
+    that plans one is audited here with its count; all are metadata-sized
+    global-aggregate finals — a scalar subquery value, a corpus-level
+    constant (doc count, avgdl, total), per-bucket offset counts (o1,
+    enc1's boundary stitch), or series bounds (ts1) — never a
+    relation-sized stage.  Any NEW single-partition exchange (or a count
+    increase) fails this test and must be justified by editing the
+    audit."""
+    import __spark_entry__ as entrymod
+
+    from conftest import SF_DIR
+
+    audited = {
+        "a11_hll_sketch": 1,            # global HLL union — one sketch row
+        "e10_scalar_subquery": 1,       # the scalar aggregate itself
+        "enc1_encoding_report": 2,      # per-partition boundary stitch rows
+        "o1_sort_rownum": 1,            # per-bucket count offsets (≤ n_buckets)
+        "q11_important_stock": 1,       # global threshold scalar
+        "q14_promo_effect": 1,          # global promo/total ratio scalar
+        "q15_top_supplier": 1,          # global max revenue scalar
+        "q17_small_quantity_revenue": 1,  # global avg-qty scalar per part join
+        "q19_disjunctive_pushdown": 1,  # final one-row sum
+        "q22_global_sales_opportunity": 1,  # global avg balance scalar
+        "q6_forecast_revenue": 1,       # final one-row sum
+        "t8_tfidf_topterms": 1,         # corpus doc-count attach
+        "t9_bm25_search": 2,            # doc count + avgdl attaches
+        "ts1_gapfill": 1,               # series min/max bounds row
+    }
+    got = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange SinglePartition")
+        if n:
+            got[name] = n
+    assert got == audited, {
+        k: (got.get(k), audited.get(k))
+        for k in set(got) | set(audited)
+        if got.get(k) != audited.get(k)
+    }
