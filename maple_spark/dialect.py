@@ -141,6 +141,33 @@ def parse_table_decl(decl: str) -> str:
     return ", ".join(out)
 
 
+def _parens_balance(s: str) -> bool:
+    """True when the leading '(' of ``s`` matches its FINAL ')' — i.e.
+    stripping the outer pair is safe.  Quote-aware.  False for
+    ``(SELECT ...) UNION ALL (SELECT ...)``, where the first paren closes
+    mid-string and naive stripping would mangle the set operation."""
+    depth, quote = 0, None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i < n - 1:
+                return False  # outer paren closed before the end
+        i += 1
+    return depth == 0
+
+
 def _split_top_level_commas(s: str) -> list[str]:
     """Split on ',' outside parens AND outside single/double-quoted
     strings (honoring backslash escapes) — ``SET name = 'a,b', v = 2``
@@ -221,7 +248,14 @@ def _parse_update(stmt: str):
     for part in _split_top_level_commas(sets):
         col, expr = part.split("=", 1)
         assignments[col.strip()] = F.expr(expr.strip())
-    cond = F.expr(where) if where and where.strip() else F.lit(True)
+    if where is None:
+        cond = F.lit(True)  # no WHERE clause: the grammar's full-table form
+    elif where.strip():
+        cond = F.expr(where)
+    else:
+        # a bare trailing WHERE is malformed — raising beats silently
+        # rewriting every row as an unconditional update
+        raise ValueError(f"UPDATE {m.group('name')}: empty WHERE clause")
     return m.group("name"), assignments, cond
 
 
@@ -527,7 +561,7 @@ def _insert(
         new_rows = spark.sql(" UNION ALL ".join(row_selects))
     else:
         sel = select.strip()
-        if sel.startswith("(") and sel.endswith(")"):
+        if sel.startswith("(") and sel.endswith(")") and _parens_balance(sel):
             sel = sel[1:-1].strip()
         src = spark.sql(sel)
         if len(src.columns) != len(cols):

@@ -80,6 +80,8 @@ def distributed_row_number(
     ``bucket_col`` must be numeric/orderable by ``approx_percentile`` and
     must be the leading ``order_keys`` expression.
     """
+    from maple_spark.sources.layout import search_sorted_expr
+
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -91,10 +93,9 @@ def distributed_row_number(
         )
     ).first()
     cuts = sorted(set(row["cuts"] or []))  # all-NULL key → no cuts → 1 bucket
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(bc >= F.lit(c), 1).otherwise(0)  # NULL-safe: NULL → 0
-    bucketed = df.withColumn("__bkt", bucket)
+    # same binary-search CASE tree as Z-order binning: O(log n_buckets)
+    # lazy branches per row, NULLs fall through to bucket 0 (NULLS FIRST)
+    bucketed = df.withColumn("__bkt", search_sorted_expr(bc, cuts))
 
     from pyspark.sql.window import Window
 

@@ -411,20 +411,37 @@ def embedding_near_dup(
     work is (block_rows²·d) FLOPs and 2·block_rows·d·8 bytes per task —
     ``block_rows`` tunes task memory at any scale.
 
-    100 TB shape: FLOPs n²d/2 spread over nb²/2 independent tasks, each
-    running at matmul speed; shuffle volume n·nb·d·8 bytes.  The one
-    driver-side job is a count of the id column to size nb (skippable by
-    passing ``n_blocks`` when the caller knows the corpus size).
+    Scale shape: FLOPs n²d/2 spread over nb²/2 independent tasks, each
+    running at matmul speed; shuffle volume n·nb·d·8 bytes.  nb is sized
+    from the input's parquet footprint (metadata only via ``inputFiles``
+    — no job runs at build time, so bench timings include every scan),
+    capped at 1024 blocks: nb² block pairs and n²d/2 FLOPs are the
+    exact-tier's honest budget, and past ~1024·block_rows vectors the
+    right tool is the approximate tier (sim3 SRP-LSH), not a bigger
+    exact join.  Pass ``n_blocks`` to override.
     """
     import math
+    import os
 
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
     if n_blocks is None:
-        n = df.select(id_col).count()
-        n_blocks = max(1, math.ceil(n / block_rows))
+        # ~1024 embedding rows ≈ 0.5 MiB of compressed parquet at d=64
+        try:
+            nbytes = 0
+            for f in df.inputFiles():
+                path = f[len("file:"):] if f.startswith("file:") else f
+                nbytes += os.path.getsize(path)
+        except Exception:
+            nbytes = 0
+        if nbytes:
+            n_blocks = max(1, math.ceil(nbytes / (512 * 1024)))
+        else:
+            # non-file source (in-memory frame): fall back to a count
+            n_blocks = max(1, math.ceil(df.count() / block_rows))
+        n_blocks = min(n_blocks, 1024)
     corpus = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

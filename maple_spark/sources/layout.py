@@ -65,18 +65,56 @@ def search_sorted_expr(col: Column, cuts: list) -> Column:
 def quantile_cuts(
     df: DataFrame, cols: list[str], n_buckets: int, accuracy: int = 10000
 ) -> dict[str, list]:
-    """Per-column approx-quantile cut points, ALL columns in one map-side
-    aggregate pass.  Returns sorted+deduped cuts (≤ n_buckets-1 each);
-    heavy duplicate values collapse cuts, which merely widens that value's
-    bucket — monotonicity, the only property bucketing needs, holds."""
-    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    row = df.select(
-        *[
-            F.percentile_approx(F.col(c), fracs, accuracy).alias(c)
-            for c in cols
-        ]
-    ).first()
-    return {c: sorted(set(row[c] or [])) for c in cols}
+    """Per-column cut points for quantile bucketing.  Returns
+    sorted+deduped cuts (≤ n_buckets-1 each); heavy duplicate values
+    collapse cuts, which merely widens that value's bucket —
+    monotonicity, the only property bucketing needs, holds.
+
+    Numeric columns: ALL in one map-side-combine ``approx_percentile``
+    aggregate pass (bounded memory, no driver collect).  Non-numeric
+    orderable columns (string/date/timestamp — ``percentile_approx``
+    rejects them, but Z-ordering on them is legitimate; Delta's OPTIMIZE
+    ZORDER supports them too): one shared seeded-sample pass, evenly
+    spaced cut values from the sorted sample — the same
+    sample-the-column strategy Spark's own RangePartitioner uses, and
+    like it, fully parallel (no single-partition stage)."""
+    numeric = {
+        "byte", "short", "int", "bigint", "float", "double", "tinyint",
+        "smallint", "integer", "long",
+    }
+
+    def is_numeric(c):
+        t = df.schema[c].dataType.simpleString()
+        return t in numeric or t.startswith("decimal")
+
+    num_cols = [c for c in cols if is_numeric(c)]
+    other_cols = [c for c in cols if not is_numeric(c)]
+    cuts: dict[str, list] = {}
+    if num_cols:
+        fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+        row = df.select(
+            *[
+                F.percentile_approx(F.col(c), fracs, accuracy).alias(c)
+                for c in num_cols
+            ]
+        ).first()
+        cuts.update({c: sorted(set(row[c] or [])) for c in num_cols})
+    if other_cols:
+        n = df.count()
+        target = max(10_000, 20 * n_buckets)
+        frac = min(1.0, target / max(n, 1))
+        sample = df.select(*other_cols).sample(frac, seed=42).collect()
+        for c in other_cols:
+            vals = sorted(r[c] for r in sample if r[c] is not None)
+            k = len(vals)
+            cuts[c] = sorted(
+                {
+                    vals[(k * i) // n_buckets]
+                    for i in range(1, n_buckets)
+                    if (k * i) // n_buckets < k
+                }
+            )
+    return cuts
 
 
 def zorder_write(

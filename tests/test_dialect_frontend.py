@@ -358,3 +358,29 @@ def test_create_store_unquoted_filename(engine, states_csv, monkeypatch, tmp_pat
         """
     )
     assert res[-1][0]["n"] == 5
+
+
+def test_update_with_empty_where_raises(engine, states_csv):
+    """A bare trailing WHERE must error, not silently become an
+    unconditional full-table update (review finding, round 4)."""
+    engine.execute_script(
+        f"CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));"
+    )
+    with pytest.raises(Exception, match="empty WHERE"):
+        engine.execute_script("UPDATE states SET name = 'x' WHERE ;")
+    # table unchanged
+    res = engine.execute_script("SELECT count(*) FROM states WHERE name = 'x';")
+    assert res[0][0][0] == 0
+
+
+def test_insert_select_set_operation_parens(engine, states_csv):
+    """INSERT INTO t (SELECT ...) UNION ALL (SELECT ...) — the outer
+    parens do NOT wrap the whole query, so they must not be stripped."""
+    engine.execute_script(
+        f"CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));"
+    )
+    engine.execute_script(
+        "INSERT INTO states (SELECT 90, 'aa') UNION ALL (SELECT 91, 'bb');"
+    )
+    res = engine.execute_script("SELECT id, name FROM states WHERE id >= 90 ORDER BY id;")
+    assert [tuple(r) for r in res[0]] == [(90, "aa"), (91, "bb")]

@@ -298,3 +298,39 @@ def test_text_lines_ingest(spark, tmp_path):
     assert set(got) == {"alpha doc", "beta doc"}
     out2 = text_to_parquet(spark, str(p), str(tmp_path / "o2"))
     assert {r["doc_id"] for r in out2.collect()} == set(got.values())
+
+
+def test_zorder_supports_string_and_date_columns(spark, tmp_warehouse):
+    """Z-order columns need only be ORDERABLE, not numeric: string/date
+    cut points come from a seeded-sample pass (percentile_approx rejects
+    them).  Per-file min/max spans must narrow on the string column."""
+    import datetime
+    import random
+
+    import pyarrow.dataset as ds
+
+    from maple_spark.sources.layout import zorder_write
+
+    rnd = random.Random(11)
+    base = datetime.date(2024, 1, 1)
+    n = 5000
+    df = spark.createDataFrame(
+        [
+            (
+                f"user{rnd.randint(0, 9999):04d}",
+                base + datetime.timedelta(days=rnd.randint(0, 364)),
+            )
+            for _ in range(n)
+        ],
+        "name string, d date",
+    )
+    zpath = f"{tmp_warehouse}/zorder_str"
+    out = zorder_write(df, zpath, ["name", "d"], n_files=8, bits=8)
+    assert out.count() == n
+    frags = list(ds.dataset(zpath, format="parquet").get_fragments())
+    name_spans = []
+    for fr in frags:
+        st = fr.metadata.row_group(0).column(0).statistics
+        # name domain is user0000..user9999 → span as numeric suffix delta
+        name_spans.append((int(st.max[4:]) - int(st.min[4:])) / 9999.0)
+    assert sum(name_spans) / len(name_spans) < 0.7
