@@ -181,6 +181,33 @@ class MapleEngine:
         stmts.append("".join(buf))
         return [s.strip() for s in stmts if s.strip()]
 
+    @staticmethod
+    def _last_top_level_semicolon(script: str) -> int:
+        """Index of the last ';' outside quotes and ``--`` comments, or -1.
+        The REPL's statement-complete trigger: a ';' inside a string
+        literal must NOT flush the buffer (same lexing rules as
+        ``_split_statements``)."""
+        last, quote = -1, None
+        i, n = 0, len(script)
+        while i < n:
+            ch = script[i]
+            if quote:
+                if ch == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+            elif ch == "-" and script[i : i + 2] == "--":
+                j = script.find("\n", i)
+                i = n if j < 0 else j
+                continue
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == ";":
+                last = i
+            i += 1
+        return last
+
     def optimize(self, path: str, target_partitions: int = 8) -> DataFrame:
         """OPTIMIZE analog (commands/OptimizeCommand.java:63): compact a
         parquet location's small files into ``target_partitions`` files."""

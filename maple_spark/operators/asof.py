@@ -54,21 +54,31 @@ def as_of_join(
         c for c in right.columns if c not in (key, right_time)
     ]
 
+    # The whole right row (time + payload) travels as ONE struct and is
+    # carried atomically: per-column last(ignorenulls=True) would fill a
+    # NULL in the latest right row's payload with a STALE value from an
+    # older right row — a chimera of several rows, not ASOF semantics.
+    # The struct is non-null exactly when it came from a right row, so
+    # last(struct, ignorenulls=True) picks the latest right ROW whole.
+    prow = F.struct(
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
     lt = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+        F.lit(None).cast(
+            right.select(prow.alias("__prow")).schema["__prow"].dataType
+        ).alias("__prow"),
     )
     rt = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        F.col(right_time).alias("__rt"),
+        prow.alias("__prow"),
     )
     # right rows sort before left rows at equal (key, time): a right row at
     # exactly left_time is visible to that left row (ASOF convention)
@@ -78,26 +88,16 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = lt.unionByName(rt).select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload_cols
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"),
+        "*", F.last("__prow", ignorenulls=True).over(w).alias("__c")
     )
     out = carried.where(F.col("__is_left") == 1)
     if tolerance is not None:
-        fresh = F.col("__c_rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            "*",
-            *[
-                F.when(fresh, F.col(f"__c_{c}")).alias(f"__f_{c}")
-                for c in payload_cols
-            ],
-        )
-        picked = [F.col(f"__f_{c}").alias(c) for c in payload_cols]
+        fresh = F.col("__c.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        picked = [
+            F.when(fresh, F.col(f"__c.{c}")).alias(c) for c in payload_cols
+        ]
     else:
-        picked = [F.col(f"__c_{c}").alias(c) for c in payload_cols]
+        picked = [F.col(f"__c.{c}").alias(c) for c in payload_cols]
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns], *picked
     )

@@ -45,17 +45,23 @@ def not_in_subquery(left: DataFrame, left_col: str, sub: DataFrame) -> DataFrame
     check is a 1-row broadcast, not a driver round-trip per row."""
     sub_col = sub.columns[0]
     keys = sub.select(F.col(sub_col).alias("__in_key"))
-    has_null = keys.select(
-        F.max(F.col("__in_key").isNull().cast("int")).alias("__has_null")
+    stats = keys.select(
+        F.max(F.col("__in_key").isNull().cast("int")).alias("__has_null"),
+        F.count(F.lit(1)).alias("__n_keys"),
     )
     anti = left.join(
         keys.where(F.col("__in_key").isNotNull()).distinct(),
         on=left[left_col] == F.col("__in_key"),
         how="left_anti",
-    ).where(F.col(left_col).isNotNull())
-    return anti.crossJoin(F.broadcast(has_null)).where(
-        F.coalesce(F.col("__has_null"), F.lit(0)) == 0
-    ).drop("__has_null")
+    )
+    # left-NULL rows: NULL NOT IN (non-empty set) is NULL → dropped, but
+    # NULL NOT IN (EMPTY set) is TRUE → kept (ANSI; PostgreSQL agrees)
+    return (
+        anti.crossJoin(F.broadcast(stats))
+        .where(F.coalesce(F.col("__has_null"), F.lit(0)) == 0)
+        .where(F.col(left_col).isNotNull() | (F.col("__n_keys") == 0))
+        .drop("__has_null", "__n_keys")
+    )
 
 
 def exists(left: DataFrame, sub: DataFrame, cond: Column) -> DataFrame:

@@ -72,12 +72,17 @@ def run_repl(
     out_stream.flush()
     for line in in_stream:
         buf.append(line)
-        if ";" not in line:
+        # quote/comment-aware completeness check: a ';' inside a string
+        # literal or -- comment must not flush the buffer; an unterminated
+        # trailing statement stays buffered instead of executing early
+        script = "".join(buf)
+        cut = engine._last_top_level_semicolon(script)
+        if cut < 0:
             out_stream.write(CONT_PROMPT)
             out_stream.flush()
             continue
-        script = "".join(buf)
-        buf = []
+        script, rest = script[: cut + 1], script[cut + 1 :]
+        buf = [rest] if rest.strip() else []
         for stmt in engine._split_statements(script):
             if stmt.strip().rstrip(";").upper() in ("EXIT", "QUIT"):
                 out_stream.write("bye\n")
@@ -102,7 +107,7 @@ def run_repl(
             except Exception as exc:  # keep the session alive on bad SQL
                 msg = str(exc).splitlines()[0] if str(exc) else repr(exc)
                 out_stream.write(f"ERROR: {msg}\n")
-        out_stream.write(PROMPT)
+        out_stream.write(CONT_PROMPT if buf else PROMPT)
         out_stream.flush()
 
 

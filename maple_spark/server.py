@@ -66,7 +66,16 @@ class _Handler(socketserver.StreamRequestHandler):
                 # points); EXIT closes this connection's loop
                 from maple_spark.dialect import ExitScript, route_statement
 
-                df = route_statement(engine, req["sql"])
+                # Routing is serialized across handler threads: dialect
+                # DML is read-transform-replace on shared engine state
+                # (temp views, _tables/_store_paths), so two concurrent
+                # UPDATEs on one table would both read the same base plan
+                # and the second replace_view would silently drop the
+                # first one's update.  The reference runs commands
+                # single-threaded too.  Result STREAMING below stays
+                # outside the lock — reads can overlap.
+                with self.server.route_lock:  # type: ignore[attr-defined]
+                    df = route_statement(engine, req["sql"])
                 if isinstance(df, ExitScript):
                     self.wfile.write(
                         (json.dumps({"ok": True, "bye": True}) + "\n").encode()
@@ -102,6 +111,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
     def __init__(self, engine: MapleEngine, host: str = "127.0.0.1", port: int = 0):
         super().__init__((host, port), _Handler)
         self.engine = engine
+        self.route_lock = threading.Lock()
 
     @property
     def port(self) -> int:

@@ -46,7 +46,11 @@ def read_events_stream(
         d = os.path.join(tempfile.gettempdir(), f"maple_events_stream_{tag}")
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "part-000.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: a dangling symlink (fixture moved/recreated)
+        # reports exists()=False but still blocks os.symlink — relink it
+        if os.path.lexists(link) and not os.path.exists(link):
+            os.unlink(link)
+        if not os.path.lexists(link):
             os.symlink(path, link)
         path = d
     stream = (
@@ -54,8 +58,17 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    # Arrow reports both INT64 TIMESTAMP(NANOS) and legacy INT96 as "ns",
+    # but Spark reads INT96 as a real timestamp natively — only columns
+    # that actually surfaced as longs need the ns→us truncation (same
+    # guard as catalog.load_table).
+    from pyspark.sql.types import LongType
+
     for c in ns_cols:
-        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        if isinstance(stream.schema[c].dataType, LongType):
+            stream = stream.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
+            )
     return stream
 
 
@@ -200,8 +213,14 @@ def join_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
+    # coalesce the key across sides: an unmatched RIGHT row in the outer
+    # modes has a NULL left key, and its real key lives in __rk
     return l.join(r, cond, how).select(
-        key, "l_ts", "r_ts", "l_value", "r_value"
+        F.coalesce(F.col(key), F.col("__rk")).alias(key),
+        "l_ts",
+        "r_ts",
+        "l_value",
+        "r_value",
     )
 
 

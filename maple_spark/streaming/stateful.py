@@ -43,6 +43,7 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
     ]
 )
 
@@ -52,15 +53,19 @@ def _update_profile(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Merge this micro-batch's events for one user into running state."""
-    n, s = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    """Merge this micro-batch's events for one user into running state.
+    ``last_ts`` is part of the STATE (merged with max), not a per-batch
+    value: late-arriving data must never move the profile's last event
+    time backwards."""
+    n, s, last_ts = state.get if state.exists else (0, 0.0, None)
     for pdf in batches:
         n += len(pdf)
         s += float(pdf["value"].fillna(0.0).sum())
         ts_max = pdf["ts"].max()
-        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
-    state.update((n, s))
+        if ts_max is not pd.NaT:
+            py_ts = ts_max.to_pydatetime()
+            last_ts = py_ts if last_ts is None else max(last_ts, py_ts)
+    state.update((n, s, last_ts))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -126,8 +131,15 @@ def make_ewma_processor(alpha: float = 0.25):
             n, ewma = (
                 self._state.get() if self._state.exists() else (0, 0.0)
             )
-            for pdf in rows:
-                for v in pdf.sort_values("ts")["value"]:
+            # concatenate ALL Arrow chunks before sorting: a group larger
+            # than maxRecordsPerBatch arrives as several pdfs, and a
+            # chunk-at-a-time sort would fold in arrival order across
+            # chunks (the same fix as make_quota_admitter); composite
+            # (ts, event_id) order makes ties deterministic too
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if len(pdf):
+                order = [c for c in ("ts", "event_id") if c in pdf.columns]
+                for v in pdf.sort_values(order)["value"]:
                     v = float(v)
                     ewma = v if n == 0 else alpha * v + (1 - alpha) * ewma
                     n += 1
@@ -176,9 +188,8 @@ ADMIT_STATE_SCHEMA = StructType([StructField("n_admitted", LongType())])
 
 def make_quota_admitter(
     cap: int,
-    key_name: str,
     output_schema: StructType,
-    order_cols: list[str] = ("ts", "event_id"),
+    order_cols: tuple[str, ...] | list[str] = ("ts", "event_id"),
 ):
     """Build the applyInPandasWithState function for ``quota_admit_stream``:
     admit the first ``cap`` rows per key across the whole stream, drop the
@@ -213,7 +224,7 @@ def quota_admit_stream(
     events: DataFrame,
     key_col: str = "event_type",
     cap: int = 100,
-    order_cols: list[str] = ("ts", "event_id"),
+    order_cols: tuple[str, ...] | list[str] = ("ts", "event_id"),
 ) -> DataFrame:
     """Streaming per-key admission cap — the streaming counterpart of
     ``sampling.quota_sample``: at most ``cap`` rows per key pass through,
@@ -234,7 +245,7 @@ def quota_admit_stream(
         [f for f in events.schema.fields]
     )
     return events.groupBy(key_col).applyInPandasWithState(
-        make_quota_admitter(cap, key_col, out_schema, order_cols),
+        make_quota_admitter(cap, out_schema, order_cols),
         outputStructType=out_schema,
         stateStructType=ADMIT_STATE_SCHEMA,
         outputMode="append",

@@ -122,3 +122,19 @@ def test_range_join_tiers(spark):
     )
     got = rows(range_join(fact, bands, "v").select("id", "tier"))
     assert got == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_asof_latest_row_wins_even_with_null_payload(spark):
+    """The matched right row must be taken WHOLE: a NULL in the latest
+    right row's payload stays NULL — per-column carry would smuggle in a
+    stale value from an older right row (review finding, round 4)."""
+    from maple_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 1, 1.0, 2.0), (1, 2, None, 3.0)], "k int, t int, a double, b double"
+    )
+    got = as_of_join(left, right, key="k", left_time="t", right_time="t").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["a"] is None and r["b"] == 3.0

@@ -177,6 +177,23 @@ def test_not_in_without_null(spark):
     assert rows(not_in_subquery(left, "x", sub).select("x")) == [(1,)]
 
 
+def test_not_in_null_left_rows(spark):
+    """ANSI (PostgreSQL/DuckDB agree): NULL NOT IN (empty set) is TRUE —
+    the NULL left row survives; NULL NOT IN (non-empty set) is NULL —
+    dropped (review finding, round 4)."""
+    from maple_spark.operators.subquery import not_in_subquery
+
+    left = spark.createDataFrame([(None,), (1,), (2,)], "x int")
+    empty = spark.createDataFrame([], "y int")
+    got = sorted(
+        (r.x for r in not_in_subquery(left, "x", empty).collect()),
+        key=lambda v: (v is None, v),
+    )
+    assert got == [1, 2, None]
+    nonempty = spark.createDataFrame([(1,)], "y int")
+    assert rows(not_in_subquery(left, "x", nonempty).select("x")) == [(2,)]
+
+
 # --- aggregates: NULL-skipping (CountAggregate/SumAvgAggregate) -----------
 
 def test_count_ignores_nulls(spark):

@@ -564,3 +564,26 @@ def test_countmin_sketch_streams(spark):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_join_streams_outer_key_coalesced(spark):
+    """Unmatched RIGHT rows in the outer modes must keep their key (it
+    arrives via the right side's key column, NULL on the left) — batch
+    duality makes this directly assertable (review finding, round 4)."""
+    import datetime as dt
+
+    from maple_spark.streaming.events import join_streams
+
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = "user_id long, ts timestamp, value double"
+    left = spark.createDataFrame([(1, ts(0), 1.0)], schema)
+    right = spark.createDataFrame(
+        [(1, ts(5), 10.0), (2, ts(5), 20.0)], schema
+    )
+    got = {
+        (r["user_id"], r["l_value"], r["r_value"])
+        for r in join_streams(
+            left, right, within="30 minutes", how="full_outer"
+        ).collect()
+    }
+    assert got == {(1, 1.0, 10.0), (2, None, 20.0)}
