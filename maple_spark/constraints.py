@@ -53,15 +53,22 @@ def fk_violations(
     child: DataFrame, child_cols: list[str], parent: DataFrame, parent_cols: list[str]
 ) -> DataFrame:
     """Child rows whose FK has no parent (empty ⇒ FK holds).  Left-anti
-    join; the parent side reduces to distinct keys (broadcastable dims)."""
+    join; the parent side reduces to distinct keys (broadcastable dims).
+
+    ANSI MATCH SIMPLE: a child row with NULL in ANY FK column satisfies
+    the constraint (nullable FKs are legal) and is excluded from the
+    check — only fully-non-NULL keys must find a parent."""
     parent_keys = parent.select(
         *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
     ).distinct()
+    non_null = None
     cond = None
     for c in child_cols:
-        term = child[c].eqNullSafe(parent_keys[c])
+        term = child[c] == parent_keys[c]
         cond = term if cond is None else cond & term
-    return child.join(parent_keys, on=cond, how="left_anti")
+        nn = child[c].isNotNull()
+        non_null = nn if non_null is None else non_null & nn
+    return child.where(non_null).join(parent_keys, on=cond, how="left_anti")
 
 
 #: Declared constraints for the driver star schema (what a reference

@@ -46,22 +46,35 @@ def group_aggregate(
     return out
 
 
-def decimal_sum(col: str | Column, alias: str, scale: int = 6) -> Column:
-    """Exact SUM over a double column: cast each value to DECIMAL(18, scale)
-    (compact long-backed representation — measurably faster than 38-digit)
-    then sum; Spark widens the accumulator (+10 digits) so a 100 TB-scale
-    row count still can't overflow.  Returned as double; bit-identical to
-    the DuckDB oracle because both sums are exact."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+def decimal_sum(
+    col: str | Column, alias: str, scale: int = 6, precision: int = 18
+) -> Column:
+    """Exact SUM over a double column: cast each value to
+    DECIMAL(precision, scale) then sum; Spark widens the accumulator
+    (+10 digits) so a 100 TB-scale row count still can't overflow.
+    Returned as double; bit-identical to the DuckDB oracle because both
+    sums are exact.
 
-
-def decimal_avg(col: str | Column, alias: str, scale: int = 6) -> Column:
-    """Exact-numerator AVG: decimal sum divided by non-null count, in double.
-    Deterministic across engines because both operands are exact."""
+    The default precision 18 is the compact long-backed representation
+    (measurably faster than Int128) and bounds each VALUE to
+    |v| < 10^(18-scale) — ample for money columns (TPC-H declares
+    DECIMAL(15,2)).  Under ANSI mode a wider value fails the cast
+    loudly; pass ``precision=38`` for unbounded-domain doubles."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+        F.sum(c.cast(f"decimal({precision},{scale})")).cast("double").alias(alias)
+    )
+
+
+def decimal_avg(
+    col: str | Column, alias: str, scale: int = 6, precision: int = 18
+) -> Column:
+    """Exact-numerator AVG: decimal sum divided by non-null count, in double.
+    Deterministic across engines because both operands are exact.  Same
+    per-value domain bound as :func:`decimal_sum`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal({precision},{scale})")).cast("double") / F.count(c)
     ).alias(alias)
 
 

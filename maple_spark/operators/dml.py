@@ -42,15 +42,21 @@ def update_where(
 ) -> DataFrame:
     """UPDATE ... SET ... WHERE as a pure transformation: rows matching
     ``cond`` get each assignment applied; others pass through unchanged.
-    Caller persists with ``overwrite_table``."""
+    Caller persists with ``overwrite_table``.
+
+    All assignments evaluate against the PRE-update row (one projection),
+    per SQL semantics: ``SET a = b, b = a`` swaps — chained withColumn
+    would feed the already-updated ``a`` into ``b``'s expression."""
     from pyspark.sql import functions as F
 
-    out = df
-    for col_name, expr in assignments.items():
-        out = out.withColumn(
-            col_name, F.when(cond, expr).otherwise(F.col(col_name))
-        )
-    return out
+    return df.select(
+        *[
+            F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def delete_where(df: DataFrame, cond: Column) -> DataFrame:
@@ -76,27 +82,34 @@ def merge_into(
     values for ``update_cols`` (default: all non-key columns); unmatched
     source rows are inserted; other target rows pass through.
 
-    Implemented as full-outer join on the key + coalesce — one shuffle on
-    the key for each side, no driver round-trips.  On Delta/Iceberg this
-    maps 1:1 to ``MERGE INTO`` with file-level pruning.
+    Implemented as full-outer join on the key + a source-presence marker —
+    one shuffle on the key for each side, no driver round-trips.  The
+    marker (not ``coalesce(s.c, t.c)``) decides per ROW which side wins:
+    a matched source row with a NULL value APPLIES the NULL, as MERGE
+    requires — coalesce could not distinguish "matched with NULL" from
+    "no source row".  On Delta/Iceberg this maps 1:1 to ``MERGE INTO``
+    with file-level pruning.
     """
     from pyspark.sql import functions as F
 
     cols = target.columns
     update_cols = update_cols or [c for c in cols if c not in key]
     t = target.alias("t")
-    s = source.alias("s")
+    s = source.withColumn("__src", F.lit(1)).alias("s")
     cond = None
     for k in key:
         term = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = term if cond is None else cond & term
     joined = t.join(s, on=cond, how="full_outer")
+    matched = F.col("s.__src").isNotNull()
     out_cols = []
     for c in cols:
         if c in key:
             out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
         elif c in update_cols and c in source.columns:
-            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            out_cols.append(
+                F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return joined.select(*out_cols)

@@ -32,6 +32,8 @@ def _encode_batch(texts: pd.Series, dim: int) -> np.ndarray:
     the (n_rows, dim) float32 contract is what matters."""
     out = np.empty((len(texts), dim), dtype=np.float32)
     for i, t in enumerate(texts):
+        if t is None:  # NULL text (sparse jsonl ingest): embed as empty
+            t = ""
         seed = int.from_bytes(
             hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()[:8], "big"
         )

@@ -139,9 +139,17 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
                 [int(sum(v.as_py())) if v.is_valid else 0 for v in content],
                 pa.int64(),
             )
-            n_frames = pc.add(
-                pc.subtract(n_bytes, pc.multiply(pc.divide(n_bytes, 10), 10)),
-                pa.scalar(1, pa.int64()),
+            # NULL content → 0 frames, matching the pandas kernel (the
+            # coalesced n_bytes=0 would otherwise compute 0%10+1 = 1)
+            n_frames = pc.if_else(
+                content.is_valid(),
+                pc.add(
+                    pc.subtract(
+                        n_bytes, pc.multiply(pc.divide(n_bytes, 10), 10)
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+                pa.scalar(0, pa.int64()),
             ).cast(pa.int32())
             yield pa.RecordBatch.from_arrays(
                 [

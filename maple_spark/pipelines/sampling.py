@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def md5_draw16(seed_col) -> "F.Column":
+    """The engine-portable uniform draw: first 4 hex digits of
+    md5(seed_col) as a 16-bit integer in [0, 65536).  ONE definition —
+    ``hash_split`` and ``domain_mix`` both build on it, and the DuckDB
+    oracles reproduce it verbatim (conv/substring/md5 agree
+    byte-for-byte across engines)."""
+    return F.conv(F.substring(F.md5(seed_col), 1, 4), 16, 10).cast("bigint")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -29,15 +38,15 @@ def hash_split(
 ) -> DataFrame:
     """Assign each row to train/valid/test by md5(id) bucket in [0, 100).
 
-    The bucket is the first 4 hex digits of md5(cast(id as string)) mod
-    100 — uniform, deterministic, engine-portable.  Adding data never
-    reshuffles existing assignments (unlike ``rand(seed)`` which depends
-    on partitioning)."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    The bucket is the 16-bit md5 draw mod 100 — deterministic and
+    engine-portable; adding data never reshuffles existing assignments
+    (unlike ``rand(seed)`` which depends on partitioning).  The mod-100
+    quantization is part of the public contract (bucket IS an output
+    column); its residue bias is 1/655 ≈ 0.15% relative on bucket
+    frequencies — ±0.012 points on an 80% split (``domain_mix``, whose
+    weights need 4-digit precision, compares the raw 16-bit draw
+    instead)."""
+    bucket = md5_draw16(F.col(id_col).cast("string")) % 100
     split = (
         F.when(F.col("bucket") < train_pct, "train")
         .when(F.col("bucket") < train_pct + valid_pct, "valid")
@@ -88,15 +97,9 @@ def domain_mix(
     Weights > 1 mean "keep everything" (upsampling/repetition is the
     sequence-packing layer's job, not the filter's).
     """
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col(domain_col), F.col(id_col).cast("string"))),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    draw = md5_draw16(
+        F.concat_ws("|", F.col(domain_col), F.col(id_col).cast("string"))
+    )
     weight = F.lit(default_weight)
     for dom, w in sorted(weights.items()):
         weight = F.when(F.col(domain_col) == dom, F.lit(w)).otherwise(weight)

@@ -70,7 +70,11 @@ def jsonl_to_parquet(
 
             schema = _parse_datatype_string(schema)
         if corrupt_col not in schema.fieldNames():
-            schema = schema.add(corrupt_col, "string")
+            # copy before extending: StructType.add mutates in place, and
+            # the caller's schema object must not grow a corrupt column
+            from pyspark.sql.types import StructType as _ST
+
+            schema = _ST(list(schema.fields)).add(corrupt_col, "string")
         reader = reader.schema(schema)
     df = reader.json(jsonl_path)
     clean = df

@@ -70,6 +70,8 @@ class _BatchReader(DataSourceReader):
         self.n_parts = int(options.get("partitions", 8))
 
     def partitions(self):
+        if self.n_rows <= 0:  # empty source: zero partitions, not range(0,0,0)
+            return [_RangePartition(0, 0)]
         step = -(-self.n_rows // self.n_parts)
         return [
             _RangePartition(i, min(i + step, self.n_rows))
@@ -92,12 +94,16 @@ class _StreamReader(DataSourceStreamReader):
         self.max_rows = int(options.get("max_rows", 500))
         self.n_users = int(options.get("n_users", 50))
         self.seed = int(options.get("seed", 42))
+        self._offset = 0
 
     def initialOffset(self):
         return {"offset": 0}
 
     def latestOffset(self):
-        return {"offset": self.max_rows}
+        # advance by one batch per trigger (rate limiting): returning
+        # max_rows outright would serve the whole stream as ONE micro-batch
+        self._offset = min(self._offset + self.rows_per_batch, self.max_rows)
+        return {"offset": self._offset}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["offset"], end["offset"]

@@ -59,3 +59,15 @@ def test_ivf_recall_against_exact(spark):
     # random (unclustered) embeddings are the worst case for IVF — on
     # real clustered data recall is far higher at the same probe ratio
     assert recall >= 0.3
+
+
+def test_merge_into_null_update_applies(spark):
+    """A matched source row with a NULL value APPLIES the NULL — the
+    coalesce formulation silently kept the stale target value (review
+    finding, round 4)."""
+    from maple_spark.operators.dml import merge_into
+
+    target = spark.createDataFrame([(1, "active")], "id int, status string")
+    source = spark.createDataFrame([(1, None)], "id int, status string")
+    got = rows(merge_into(target, source, key=["id"]))
+    assert got == [(1, None)]

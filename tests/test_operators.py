@@ -298,3 +298,28 @@ def test_like_rlike_work(spark):
     df = spark.createDataFrame([("hello",), ("world",)], "s string")
     assert rows(df.where(mf.LIKE(F.col("s"), "he%"))) == [("hello",)]
     assert rows(df.where(mf.SIMILAR_TO(F.col("s"), "^w.*d$"))) == [("world",)]
+
+
+def test_update_where_assignments_see_pre_update_row(spark):
+    """SQL UPDATE semantics: SET a = b, b = a swaps — every assignment
+    evaluates against the PRE-update row (review finding, round 4)."""
+    from maple_spark.operators.dml import update_where
+
+    df = spark.createDataFrame([(1, 10, 20)], "id int, a int, b int")
+    got = rows(
+        update_where(df, F.col("id") == 1, {"a": F.col("b"), "b": F.col("a")})
+    )
+    assert got == [(1, 20, 10)]
+
+
+def test_fk_violations_null_fk_is_satisfied(spark):
+    """ANSI MATCH SIMPLE: a NULL FK satisfies the constraint — only
+    non-NULL keys must find a parent (review finding, round 4)."""
+    from maple_spark.constraints import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,)], "pk int")
+    got = rows(fk_violations(child, ["fk"], parent, ["pk"]).select("id"))
+    assert got == [(3,)]

@@ -205,9 +205,12 @@ def test_python_datasource_batch_deterministic(spark):
 
 def test_python_datasource_stream_drains_offsets(spark):
     """The streaming side of the custom source (Kafka-shaped offsets):
-    availableNow drains initialOffset→latestOffset in micro-batches and
-    the union of batches is exactly the offset range, no dups/gaps —
-    replayable ranges are what make it exactly-once under recovery."""
+    latestOffset advances by rows_per_batch per trigger (rate limiting —
+    the whole stream must NOT arrive as one micro-batch), the union of
+    batches is exactly the offset range with no dups/gaps, and replayable
+    ranges are what make it exactly-once under recovery."""
+    import time
+
     from maple_spark.sources.pyds import SyntheticEventsDataSource
 
     spark.dataSource.register(SyntheticEventsDataSource)
@@ -221,14 +224,23 @@ def test_python_datasource_stream_drains_offsets(spark):
         stream.writeStream.format("memory")
         .queryName("pyds_stream")
         .outputMode("append")
-        .trigger(availableNow=True)
+        .trigger(processingTime="200 milliseconds")
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) n FROM pyds_stream").collect()[0]["n"] >= 250:
+            break
+        time.sleep(0.5)
     q.stop()
     got = spark.sql("SELECT event_id FROM pyds_stream").collect()
     ids = sorted(r["event_id"] for r in got)
     assert ids == list(range(250))
+    # rate limiting really happened: no micro-batch exceeded rows_per_batch
+    batch_sizes = [
+        p["numInputRows"] for p in (q.recentProgress or []) if p["numInputRows"]
+    ]
+    assert batch_sizes and max(batch_sizes) <= 100 and len(batch_sizes) >= 3
 
 
 def test_analyze_encoding_partition_parallel_equals_global(spark):
