@@ -72,7 +72,10 @@ def natural_join(left: DataFrame, right: DataFrame, how: str = "INNER") -> DataF
     with left columns first (reference ``FromClause.buildJoinSchema:798``)."""
     common = [c for c in left.columns if c in set(right.columns)]
     if not common:
-        return left.crossJoin(right)
+        # NATURAL <how> JOIN with no common columns degenerates to
+        # <how> JOIN ON TRUE — the outer modes must still null-pad
+        # (a bare crossJoin would drop `how` and lose unmatched rows)
+        return join(left, right, on=F.lit(True), how=how)
     return using_join(left, right, common, how)
 
 

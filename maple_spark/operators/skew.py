@@ -29,10 +29,15 @@ def salted_join(
     """Equi-join on ``key`` with the left side salted and the right side
     replicated ``n_salts`` ways.
 
-    Deterministic salt (hash of the full row via xxhash64 mod n) rather
-    than rand() so results are reproducible and retries/speculative tasks
-    agree.  Use when one side has heavy hitters AND the other side is too
-    big to broadcast; cost = n_salts× replication of the right side.
+    Deterministic salt rather than rand() so retries/speculative tasks
+    agree: a round-robin over ``monotonically_increasing_id`` — NOT a
+    hash of the row content, which would collapse to ONE salt when the
+    hot key's rows are identical (projected fact tables, dedup-shaped
+    data: exactly the skew scenario this operator exists for).  The salt
+    only steers placement, never the join result, so its dependence on
+    physical row order is harmless.  Use when one side has heavy hitters
+    AND the other side is too big to broadcast; cost = n_salts×
+    replication of the right side.
 
     Only inner/left-shaped joins are legal: an unmatched RIGHT row exists
     once per replica, so right/full outer would emit n_salts null-padded
@@ -45,7 +50,7 @@ def salted_join(
             "sides (salt the right table) and use a left-shaped join"
         )
     salt = (
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     ).alias("__salt")
     salted_left = left.select("*", salt)
     replicated_right = right.select(

@@ -24,16 +24,23 @@ from pyspark.sql import functions as F
 from maple_spark.pipelines.util import spread as _spread
 
 
+def shingle_expr(text_col: str, k: int = 8):
+    """Array of k-character shingles of ``text_col`` (the ONE definition —
+    every shingling op builds on it): a substring per start position,
+    short texts yield their whole text as the single shingle."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+
+
 def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """(id, shingle) pairs: distinct k-character shingles per document.
     Character shingles (vs word) are robust to whitespace edits and need no
     tokenizer; ``explode`` keeps this a narrow map-side op."""
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
-    )
     return _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_expr(text_col, k))).alias("shingle"),
     )
 
 
@@ -83,10 +90,7 @@ def _minhash_signatures_fast(
     groupBy.  Everything stays in whole-stage codegen (higher-order array
     lambdas are interpreted in Spark and measure ~7× slower); the shuffle
     carries one num_perm-wide row per doc per partition."""
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
-    )
+    shingles = shingle_expr(text_col, k)
     sh = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col), F.explode(shingles).alias("__s"))
@@ -123,10 +127,7 @@ def _minhash_signatures_oph(
     bands over raw OPH bins collide 7× more on low-similarity pairs
     (measured; see ``minhash_lsh_pairs``).  Use for similarity
     estimation / dedup scoring, not candidate generation."""
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
-    )
+    shingles = shingle_expr(text_col, k)
     sh = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col), F.explode(shingles).alias("__s"))
@@ -189,10 +190,7 @@ def minhash_lsh_pairs(
     # than the assembled signature array: same band hashes (signature[i]
     # IS h{i}), two fewer 64-wide projections for Catalyst to analyze —
     # the signature→array→extract round-trip was pure plan bloat here.
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
-    )
+    shingles = shingle_expr(text_col, k)
     sh = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col), F.explode(shingles).alias("__s"))
@@ -477,6 +475,16 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if new_labels.where("changed").limit(1).count() == 0:
             break
+    else:
+        # min-label propagation needs one round per hop: exhausting
+        # max_iter on a long chain would silently return FRAGMENTED
+        # clusters that diverge from the transitive-closure oracle
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star (O(log n) rounds) for long-chain "
+            "graphs"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
@@ -542,13 +550,21 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
-        ):
+        # one action per round: the symmetric difference unions both
+        # exceptAll directions into a single job (both inputs are
+        # checkpointed, so neither subtree recomputes)
+        sym_diff = new_edges.exceptAll(edges).unionByName(
+            edges.exceptAll(new_edges)
+        )
+        if sym_diff.limit(1).count() == 0:
             edges = new_edges
             break
         edges = new_edges
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter (rounds needed ~ log2(component size))"
+        )
     return edges.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("cluster_id")
     ).select(F.col("u").alias("node"), "cluster_id")
@@ -602,13 +618,16 @@ def simhash_near_pairs(
     nblocks = max_hamming + 1
     width = -(-64 // nblocks)  # ceil: blocks must cover all 64 bits or the
     # pigeonhole guarantee fails for diffs in the uncovered high bits
+    # width=64 (max_hamming=0, exact match): the mask is all 64 bits —
+    # (1<<64)-1 overflows a JVM long, but -1 IS that bit pattern signed
+    mask = -1 if width >= 64 else (1 << width) - 1
     sh = simhash(df, id_col, text_col)
     blocks = sh.select(
         F.col(id_col),
         F.col("simhash"),
         *[
             F.shiftrightunsigned(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            .bitwiseAND(F.lit(mask))
             .alias(f"blk{i}")
             for i in range(nblocks)
         ],

@@ -50,39 +50,21 @@ def with_cosine(
     )
 
 
-def cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
-
-    ``queries`` is broadcast (small side); the corpus is scanned once,
-    scored map-side, and ranked with a per-query window — Spark plans the
-    rank filter as a partial top-k before the shuffle.  Ties break on
-    neighbor id for full determinism.  Self-matches excluded.
-    Output: (query_id, neighbor_id, cosine_r) — cosine rounded to 6 for
-    cross-engine hash stability.
-    """
+def _score_and_rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail for every top-k searcher (sim1/sim3/sim4):
+    score (query_id, qvec, neighbor_id, embedding) candidate rows with
+    exact cosine, keep each query's top-k (ties on neighbor id for full
+    determinism; the rank filter plans as a partial top-k before the
+    shuffle).  Self-matches excluded.  Output: (query_id, neighbor_id,
+    cosine_r) — rounded to 6 for cross-engine hash stability.  One
+    definition so a tie-break or rounding change can't drift between the
+    search paths."""
     from pyspark.sql.window import Window
 
-    from maple_spark.pipelines.util import spread
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = spread(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
-        )
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("qvec"), F.col("embedding")) / (_norm(F.col("qvec")) * _norm(F.col("embedding"))))
+    scored = cand.where(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine",
+        _dot(F.col("qvec"), F.col("embedding"))
+        / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -96,6 +78,29 @@ def cosine_topk(
             F.round(F.col("cosine"), 6).alias("cosine_r"),
         )
     )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector: ``queries``
+    broadcast (small side), the corpus scanned once and scored map-side,
+    then the shared exact rerank (see :func:`_score_and_rerank`)."""
+    from maple_spark.pipelines.util import spread
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        )
+    )
+    return _score_and_rerank(F.broadcast(q).crossJoin(c), k)
 
 
 def srp_signature(
@@ -164,7 +169,7 @@ def lsh_topk(
     query-side fan-out for recall, the same lever as LSH forests but
     without extra tables (Lv et al., "Multi-Probe LSH", VLDB 2007).
     """
-    from pyspark.sql.window import Window
+    from maple_spark.pipelines.util import spread
 
     qs = srp_signature(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
@@ -186,35 +191,17 @@ def lsh_topk(
             "query_id", "qvec", F.explode(probes).alias("srp_sig")
         )
     cs = srp_signature(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("embedding"),
+            )
         ),
         "neighbor_id",
         "embedding",
         num_planes,
     )
-    cand = (
-        F.broadcast(qs)
-        .join(cs, on="srp_sig")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qvec"), F.col("embedding"))
-            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine_r"),
-        )
-    )
+    return _score_and_rerank(F.broadcast(qs).join(cs, on="srp_sig"), k)
 
 
 def ivf_topk(
@@ -253,8 +240,6 @@ def ivf_topk(
     does the same); the search join touches ~n_probe/n_cells of the
     corpus per query.  Recall rises with n_probe (= n_cells ⇒ exact).
     """
-    from pyspark.sql.window import Window
-
     from maple_spark.pipelines.util import spread
 
     lloyd_iters = 2
@@ -315,54 +300,21 @@ def ivf_topk(
         centroids = new_cents
 
     assigned = assign(centroids).select("neighbor_id", "embedding", "cell")
-    cent_lit = cent_array(centroids)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("__cents", cent_lit)
-    # distance query→each centroid, take n_probe nearest cells
-    dists = F.transform(
-        F.col("__cents"),
-        lambda ctr, i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"),
-                    ctr,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dist"),
-            i.alias("cell"),
-        ),
     )
+    # distance query→each centroid (the SAME dist_structs fold as the
+    # assignment path — one definition keeps the oracle bit-parity),
+    # take the n_probe nearest cells
     probed = q.select(
         "query_id",
         "qvec",
-        F.explode(F.slice(F.array_sort(dists), 1, n_probe)).alias("pc"),
+        F.explode(
+            F.slice(F.array_sort(dist_structs(F.col("qvec"), centroids)), 1, n_probe)
+        ).alias("pc"),
     ).select("query_id", "qvec", F.col("pc.cell").alias("cell"))
 
-    cand = (
-        F.broadcast(probed)
-        .join(assigned, on="cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qvec"), F.col("embedding"))
-            / (_norm(F.col("qvec")) * _norm(F.col("embedding"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine_r"),
-        )
-    )
+    return _score_and_rerank(F.broadcast(probed).join(assigned, on="cell"), k)
 
 
 def embedding_near_dup(

@@ -96,11 +96,10 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       winnowing/rolling-hash family).  Spark-specific hash → verified
       rows-only, no SQL oracle.
     """
+    from maple_spark.pipelines.dedup import shingle_expr
+
     t = F.col(text_col)
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})-7, 1)),"
-        f" i -> substring({text_col}, i, 8))"
-    )
+    shingles = shingle_expr(text_col, 8)
     return df.withColumn("fp_md5", F.md5(t)).withColumn(
         "fp_rolling",
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),

@@ -323,3 +323,15 @@ def test_fk_violations_null_fk_is_satisfied(spark):
     parent = spark.createDataFrame([(10,)], "pk int")
     got = rows(fk_violations(child, ["fk"], parent, ["pk"]).select("id"))
     assert got == [(3,)]
+
+
+def test_natural_join_disjoint_schemas_keeps_outer_semantics(spark):
+    """NATURAL LEFT JOIN with no common columns degenerates to LEFT JOIN
+    ON TRUE: every left row survives even against an empty right side
+    (review finding, round 4)."""
+    from maple_spark.operators.joins import natural_join
+
+    left = spark.createDataFrame([(1,), (2,)], "a int")
+    right = spark.createDataFrame([], "b string")
+    got = rows(natural_join(left, right, how="LEFT_OUTER"))
+    assert got == [(1, None), (2, None)]

@@ -571,3 +571,31 @@ def test_domain_mix_deterministic_and_proportional(spark):
     )
     kept3 = {r["doc_id"] for r in domain_mix(grown, "source", "doc_id", weights).collect()}
     assert {i for i in kept3 if i < 2000} == kept1
+
+
+def test_simhash_exact_match_config(spark):
+    """max_hamming=0 (exact-fingerprint pairs) must work: width=64 needs
+    the all-ones mask as signed -1, not (1<<64)-1 (review finding,
+    round 4)."""
+    from maple_spark.pipelines.dedup import simhash_near_pairs
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(d, "doc_id", "text", max_hamming=0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter must raise, not silently return fragmented
+    clusters (review finding, round 4)."""
+    import pytest as _pytest
+
+    from maple_spark.pipelines.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
