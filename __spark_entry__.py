@@ -939,6 +939,16 @@ def sim4_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3)
 
 
+def sim5_semdedup(spark, sf_dir):
+    """SemDeDup cluster-then-prune semantic dedup (Abbas et al. 2023):
+    deterministic-Lloyd cells (the sim4 quantizer) + per-cell gram-matrix
+    pruning — drop any doc whose cell has a lower-id neighbor with cosine
+    ≥ 0.4, report the smallest such shadow as dup_of.  The SQL oracle
+    unrolls the same two Lloyd rounds and the same pairwise rule."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(e, threshold=0.4, n_cells=8, lloyd_iters=2)
+
+
 def mm1_media_features(spark, sf_dir):
     """Multimodal plumbing: binary content column + mapInPandas feature
     extraction (decode stubbed deterministically — container has no codecs).
@@ -2589,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
         "sim4_ivf_topk": sim4_ivf_topk,
+        "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
         "mm2_frame_stats": mm2_frame_stats,
         "mm3_embed_stub": mm3_embed_stub,
@@ -2750,8 +2761,33 @@ def oracle_sql() -> dict[str, str]:
                        AS rk
               FROM cand) WHERE rk <= 5
         """
+    # --- sim5: same quantizer CTE chain, pairwise shadowing rule --------
+    sim5_oracle = f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), init AS (
+              SELECT list(v ORDER BY vec_id) AS cents
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+            ),
+            {_ivf_assign("a1", "e, init", "init.cents")},
+            {_ivf_update("a1", "init", "cents1")},
+            {_ivf_assign("a2", "e, cents1", "cents1.cents")},
+            {_ivf_update("a2", "cents1", "cents2")},
+            {_ivf_assign("a3", "e, cents2", "cents2.cents")},
+            dup AS (
+              SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+              FROM a3 a JOIN a3 b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+              GROUP BY b.vec_id
+            )
+            SELECT a3.vec_id, CAST(a3.cell AS INTEGER) AS cell,
+                   dup.dup_of IS NULL AS keep, dup.dup_of AS dup_of
+            FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vec_id
+        """
     return {
         "sim4_ivf_topk": sim4_oracle,
+        "sim5_semdedup": sim5_oracle,
         "flagship_join_topk": FLAGSHIP_ORACLE,
         "s1_scan_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity,

@@ -204,6 +204,91 @@ def lsh_topk(
     return _score_and_rerank(F.broadcast(qs).join(cs, on="srp_sig"), k)
 
 
+def _cent_array(cents: list[list[float]]) -> Column:
+    """Centroid list as a literal array-of-arrays column (broadcast by
+    value into the plan — k×d doubles, driver metadata)."""
+    return F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in cents])
+
+
+def _dist_structs(vec: Column, cents: list[list[float]]) -> Column:
+    """(squared-L2 distance, cell) struct per centroid.  Left-to-right
+    fold so DuckDB's ``list_reduce`` reproduces it bit-exactly; struct
+    sort then orders by (dist, cell) — ties go to the lowest cell."""
+    return F.transform(
+        _cent_array(cents),
+        lambda ctr, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    ctr,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            i.alias("cell"),
+        ),
+    )
+
+
+def _lloyd_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic-Lloyd coarse quantizer shared by :func:`ivf_topk`
+    (sim4) and :func:`semdedup` (sim5).  Returns (assignment, centroids):
+    assignment has columns (neighbor_id, embedding, cell).
+
+    Fully deterministic — and therefore SQL-oracle-reproducible:
+    min-id init, argmin squared-L2 with left-to-right fold and ties to
+    the lowest cell, per-cell means summed in DECIMAL(38,12) (exact,
+    order-independent), a fixed number of rounds.  Each round is one
+    map-only assignment pass plus one (cell, dim)-grouped partial agg;
+    centroids are k×d values round-tripped through the driver (the
+    standard k-means dataflow)."""
+    from maple_spark.pipelines.util import spread
+
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+        )
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in c.orderBy("neighbor_id").limit(n_cells).collect()
+    ]
+
+    def assign(cents):
+        # struct sort orders by (dist, cell): ties to the lowest cell
+        return c.withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(_dist_structs(F.col("embedding"), cents)), 1
+            )["cell"],
+        )
+
+    for _ in range(lloyd_iters):
+        stats = (
+            assign(centroids)
+            .select("cell", F.posexplode(F.col("embedding").cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("col").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(ctr) for ctr in centroids]  # empty cells keep old
+        for r in stats:
+            new_cents[r["cell"]][r["pos"]] = float(r["s"]) / r["n"]
+        centroids = new_cents
+
+    return assign(centroids).select("neighbor_id", "embedding", "cell"), centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,66 +325,9 @@ def ivf_topk(
     does the same); the search join touches ~n_probe/n_cells of the
     corpus per query.  Recall rises with n_probe (= n_cells ⇒ exact).
     """
-    from maple_spark.pipelines.util import spread
-
-    lloyd_iters = 2
-    c = spread(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
-        )
+    assigned, centroids = _lloyd_cells(
+        corpus, id_col, vec_col, n_cells, lloyd_iters=2
     )
-    centroids = [
-        [float(x) for x in r["embedding"]]
-        for r in c.orderBy("neighbor_id").limit(n_cells).collect()
-    ]
-
-    def cent_array(cents):
-        return F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in cents])
-
-    def dist_structs(vec, cents):
-        # squared L2 to each centroid, left-to-right fold (oracle-parity)
-        return F.transform(
-            cent_array(cents),
-            lambda ctr, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        ctr,
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-                i.alias("cell"),
-            ),
-        )
-
-    def assign(cents):
-        # struct sort orders by (dist, cell): ties to the lowest cell
-        return c.withColumn(
-            "cell",
-            F.element_at(
-                F.array_sort(dist_structs(F.col("embedding"), cents)), 1
-            )["cell"],
-        )
-
-    for _ in range(lloyd_iters):
-        stats = (
-            assign(centroids)
-            .select("cell", F.posexplode(F.col("embedding").cast("array<double>")))
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum(F.col("col").cast("decimal(38,12)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        new_cents = [list(ctr) for ctr in centroids]  # empty cells keep old
-        for r in stats:
-            new_cents[r["cell"]][r["pos"]] = float(r["s"]) / r["n"]
-        centroids = new_cents
-
-    assigned = assign(centroids).select("neighbor_id", "embedding", "cell")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -310,11 +338,80 @@ def ivf_topk(
         "query_id",
         "qvec",
         F.explode(
-            F.slice(F.array_sort(dist_structs(F.col("qvec"), centroids)), 1, n_probe)
+            F.slice(F.array_sort(_dist_structs(F.col("qvec"), centroids)), 1, n_probe)
         ).alias("pc"),
     ).select("query_id", "qvec", F.col("pc.cell").alias("cell"))
 
     return _score_and_rerank(F.broadcast(probed).join(assigned, on="cell"), k)
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a cheap coarse quantizer,
+    then prune near-duplicates WITHIN each cluster only — the scalable
+    middle ground between exact all-pairs (:func:`embedding_near_dup`,
+    Θ(n²·d)) and pure ANN recall tiers (sim3/sim4).
+
+    Semantics (deterministic, SQL-expressible): a document is dropped
+    when its cell contains a lower-id document with cosine ≥ threshold;
+    ``dup_of`` is the smallest such id, NULL for keepers.  This is the
+    pairwise shadowing rule, not transitive clustering — for connected-
+    component dedup groups see ``dedup_clusters`` (d5).  Output: one row
+    per input, (vec_id, cell, keep, dup_of).
+
+    Dataflow: the shared deterministic-Lloyd quantizer
+    (:func:`_lloyd_cells` — identical init/assignment/update to sim4, so
+    one SQL CTE chain oracles both), then ONE shuffle on cell and a
+    per-cell Arrow-batched gram-matrix kernel (A·Aᵀ at BLAS speed, the
+    same numpy cosine as :func:`embedding_near_dup` whose threshold
+    comparison is oracle-parity-proven by sim2).
+
+    100 TB shape: within-cell work is Θ(Σ c_i²·d) — n_cells scales with
+    the corpus to bound cell sizes (the paper runs ~100k clusters), each
+    cell is one independent task, and the only data motion is the one
+    hash shuffle on cell.  The quantizer itself is map-only passes +
+    a (cell, dim) partial agg.  Oversized cells can recurse (re-cluster
+    within the cell) without changing the rule's semantics."""
+    import numpy as np
+    import pandas as pd
+
+    assigned, _ = _lloyd_cells(df, id_col, vec_col, n_cells, lloyd_iters)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(A, axis=1)
+        G = (A @ A.T) / np.outer(nrm, nrm)
+        # strict lower triangle: candidate shadows are lower-id rows only
+        hit = np.tril(G >= threshold, -1)
+        has = hit.any(axis=1)
+        # ids ascending ⇒ first True column IS the smallest shadowing id
+        first = hit.argmax(axis=1)
+        dup = pd.array(
+            [ids[j] if h else None for h, j in zip(has, first)], dtype="Int64"
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "keep": ~has,
+                "dup_of": dup,
+            }
+        )
+
+    out_schema = (
+        f"vec_id {df.schema[id_col].dataType.simpleString()}, cell int, "
+        "keep boolean, dup_of bigint"
+    )
+    return assigned.groupBy("cell").applyInPandas(prune, schema=out_schema)
 
 
 def embedding_near_dup(

@@ -599,3 +599,69 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_semdedup_matches_brute_force_rule(spark):
+    """sim5 SemDeDup: re-derive keep/dup_of with a driver-side brute
+    force over the SAME cell assignment — every dropped doc's dup_of is
+    the smallest lower-id in-cell neighbor with cosine ≥ t; keepers have
+    none.  Exercises the shared Lloyd quantizer + the pandas kernel."""
+    import math
+
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.similarity import _lloyd_cells, semdedup
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    t = 0.4
+    got = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in semdedup(
+        e, threshold=t, n_cells=8, lloyd_iters=2
+    ).collect()}
+
+    assigned, _ = _lloyd_cells(e, "vec_id", "embedding", 8, 2)
+    by_cell: dict[int, list] = {}
+    for r in assigned.collect():
+        by_cell.setdefault(r["cell"], []).append(
+            (r["neighbor_id"], [float(x) for x in r["embedding"]])
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    n_dropped = 0
+    for members in by_cell.values():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            shadows = [
+                mid for mid, mv in members[:i] if cos(mv, v) >= t
+            ]
+            want = (not shadows, min(shadows) if shadows else None)
+            assert got[vid] == want, (vid, got[vid], want)
+            n_dropped += 0 if want[0] else 1
+    assert n_dropped > 0          # the rule actually fires on this data
+    assert len(got) == e.count()  # one verdict per input row
+
+
+def test_semdedup_keeps_min_id_of_identical_pair(spark):
+    """Two identical vectors always land in the same cell (distance ties
+    break identically) — the lower id survives, the higher id points at
+    it."""
+    from maple_spark.pipelines.similarity import semdedup
+
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (20, [1.0, 0.0, 0.0, 0.0]),
+            (30, [0.0, 1.0, 0.0, 0.0]),
+            (40, [-1.0, 0.5, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(
+        vecs, threshold=0.95, n_cells=2, lloyd_iters=1
+    ).collect()}
+    assert out[10]["keep"] and out[10]["dup_of"] is None
+    assert not out[20]["keep"] and out[20]["dup_of"] == 10
+    assert out[30]["keep"] and out[40]["keep"]
