@@ -904,6 +904,31 @@ def st4_quota_admit(spark, sf_dir):
     ).select("event_id", "event_type")
 
 
+def st5_stream_join(spark, sf_dir):
+    """Batch dual of the stream-stream event-time interval join
+    (streaming/events.join_streams; stream/batch equality and outer-mode
+    null-padding are equality-tested in test_streaming): each view event
+    joined to the same user's purchases within the following 30 minutes.
+    The streaming plan differs only by watermarks — identical condition,
+    so this oracle also pins the streaming semantics."""
+    from maple_spark.streaming.events import join_streams
+
+    e = _t(spark, sf_dir, "events")
+    out = join_streams(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "purchase"),
+        key="user_id",
+        within="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("l_ts", TS_FMT).alias("l_ts"),
+        F.date_format("r_ts", TS_FMT).alias("r_ts"),
+        "l_value",
+        "r_value",
+    )
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1912,9 +1937,11 @@ def ts3_hierarchical_rollup(spark, sf_dir):
     ).agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
 
     def leveled(df, tag):
+        # bucket rendered via TS_FMT like st1/st5: timestamp columns
+        # otherwise reach pandas as datetime64[ns] vs the oracle's [us]
         return df.select(
             F.lit(tag).alias("granularity"),
-            F.col("bucket").alias("bucket_start"),
+            F.date_format("bucket", TS_FMT).alias("bucket_start"),
             "event_type",
             F.col("n_events").cast("bigint").alias("n_events"),
             F.col("s").cast("double").alias("sum_value"),
@@ -2036,9 +2063,9 @@ def a14_countmin_sketch(spark, sf_dir):
     (functions/sketch.py): one explode+groupBy builds the counter table,
     estimates join it broadcast — no driver round-trip.  Estimates sit
     next to exact counts so the CMS guarantee (estimate ≥ exact,
-    ≤ exact + εN) is visible in the output.  Rows-only check (xxhash64
-    bucketing is Spark-specific); the bound and mergeability are
-    pytest-asserted."""
+    ≤ exact + εN) is visible in the output.  Exact DuckDB twin in
+    ``oracle_sql_extended`` (xxhash64 UDFs registered by selfcheck);
+    the bound and mergeability are pytest-asserted."""
     from maple_spark.functions.sketch import countmin_estimate, countmin_table
 
     o = _t(spark, sf_dir, "orders")
@@ -2070,6 +2097,27 @@ def a11_hll_sketch(spark, sf_dir):
             F.hll_sketch_estimate("sk").alias("approx_customers"),
         )
     )
+
+
+def a15_hll_dataflow(spark, sf_dir):
+    """HyperLogLog built as a dataflow (functions/sketch.py:
+    hll_registers/hll_estimate) — the distinct-count companion to a14's
+    Count-Min: per-priority distinct-customer estimates plus the merged
+    global estimate (register-wise max — HLL's lossless union).  Unlike
+    a11 (Spark's DataSketches binding, engine-internal bytes, rows-only),
+    every register here is plain bitwise codegen over xxhash64, so the
+    extended DuckDB oracle reproduces the whole sketch and estimate
+    exactly.  One map-only pass + two small groupBys; ≤ 2^p rows per
+    group ever shuffle."""
+    from maple_spark.functions.sketch import hll_estimate, hll_registers
+
+    o = _t(spark, sf_dir, "orders")
+    regs = hll_registers(o, ["o_orderpriority"], "o_custkey", p=12)
+    per_group = hll_estimate(regs, ["o_orderpriority"], p=12)
+    merged = hll_estimate(
+        regs.groupBy("reg").agg(F.max("rho").alias("rho")), [], p=12
+    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_n")
+    return per_group.unionByName(merged)
 
 
 def arr1_posexplode(spark, sf_dir):
@@ -2672,8 +2720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_domain_mix": t14_domain_mix,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "st4_quota_admit": st4_quota_admit,
+        "st5_stream_join": st5_stream_join,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
         "a14_countmin_sketch": a14_countmin_sketch,
+        "a15_hll_dataflow": a15_hll_dataflow,
     }
 
 
@@ -3459,6 +3509,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS frame_len
             FROM m, unnest(generate_series(0, nf - 1, 2)) AS t(fi)
         """,
+        "st5_stream_join": """
+            SELECT l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS l_ts,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS r_ts,
+                   l.value AS l_value, r.value AS r_value
+            FROM events l JOIN events r ON l.user_id = r.user_id
+             AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 30 MINUTE
+            WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+        """,
         "st1_hourly_agg": f"""
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour, event_type,
                    COUNT(*) AS n_events,
@@ -4123,15 +4182,19 @@ def oracle_sql() -> dict[str, str]:
                      SUM(n_events) AS n_events, SUM(s) AS s
               FROM daily GROUP BY 1, 2
             )
-            SELECT 'hour' AS granularity, bucket AS bucket_start, event_type,
+            SELECT 'hour' AS granularity,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S.%f') AS bucket_start,
+                   event_type,
                    CAST(n_events AS BIGINT) AS n_events,
                    CAST(s AS DOUBLE) AS sum_value
             FROM hourly
             UNION ALL
-            SELECT 'day', bucket, event_type, CAST(n_events AS BIGINT),
+            SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S.%f'),
+                   event_type, CAST(n_events AS BIGINT),
                    CAST(s AS DOUBLE) FROM daily
             UNION ALL
-            SELECT 'month', bucket, event_type, CAST(n_events AS BIGINT),
+            SELECT 'month', strftime(bucket, '%Y-%m-%d %H:%M:%S.%f'),
+                   event_type, CAST(n_events AS BIGINT),
                    CAST(s AS DOUBLE) FROM monthly
         """,
         "st4_quota_admit": """
@@ -4238,6 +4301,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+
+
+def _a15_hll_oracle() -> str:
+    """Extended oracle for the dataflow HLL (a15): rebuilds every register
+    with the same bitwise pipeline (xxh_l hash → high-12-bit register →
+    6-step smear + bit_count rank) and the same estimator, with the
+    2^(−rho) sum done in exact DECIMAL integers so only the final
+    division/ln touch floating point — see functions/sketch.py."""
+    p, m = 12, 4096
+    q = 64 - p + 1
+    a_lit = repr(0.7213 / (1 + 1.079 / m) * m * m * float(2**q))
+    est = f"""
+              SELECT grp,
+                     CAST(round(CASE WHEN raw <= {2.5 * m!r} AND v0 > 0
+                                THEN {float(m)!r} * ln({float(m)!r} / v0)
+                                ELSE raw END) AS BIGINT) AS approx_n
+              FROM (SELECT grp, {m} - v_ne AS v0,
+                           {a_lit} / CAST(s_ne
+                             + CAST({m} - v_ne AS DECIMAL(38,0))
+                               * CAST({2**q} AS DECIMAL(38,0)) AS DOUBLE)
+                             AS raw
+                    FROM (SELECT grp,
+                                 SUM(CAST((CAST(1 AS BIGINT) << ({q} - rho))
+                                     AS DECIMAL(38,0))) AS s_ne,
+                                 COUNT(*) AS v_ne
+                          FROM __SRC__ GROUP BY grp) t) t2"""
+    return f"""
+            WITH rr AS (
+              SELECT o_orderpriority AS grp,
+                     (h >> {64 - p}) & {m - 1} AS reg,
+                     h & ((CAST(1 AS BIGINT) << {64 - p}) - 1) AS w
+              FROM (SELECT o_orderpriority, xxh_l(o_custkey) AS h
+                    FROM orders WHERE o_custkey IS NOT NULL)
+            ), s1 AS (SELECT grp, reg, w | (w >> 1) AS s FROM rr),
+            s2 AS (SELECT grp, reg, s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT grp, reg, s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT grp, reg, s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT grp, reg, s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT grp, reg, s | (s >> 32) AS s FROM s5),
+            regs AS (
+              SELECT grp, reg, MAX({q} - bit_count(s)) AS rho
+              FROM s6 GROUP BY grp, reg
+            ), regs_all AS (
+              SELECT 'ALL' AS grp, reg, MAX(rho) AS rho FROM regs GROUP BY reg
+            ), per_grp AS ({est.replace('__SRC__', 'regs')}
+            ), merged AS ({est.replace('__SRC__', 'regs_all')})
+            SELECT grp AS o_orderpriority, approx_n FROM per_grp
+            UNION ALL
+            SELECT grp AS o_orderpriority, approx_n FROM merged
+        """
+
+
+_A15_HLL_ORACLE = _a15_hll_oracle()
 
 
 def oracle_sql_extended() -> dict[str, str]:
@@ -4378,6 +4494,7 @@ def oracle_sql_extended() -> dict[str, str]:
                        AS rk
               FROM cand) WHERE rk <= 5
         """,
+        "a15_hll_dataflow": _A15_HLL_ORACLE,
         "a14_countmin_sketch": """
             WITH exact AS (
               SELECT o_orderpriority, COUNT(*) AS exact_n

@@ -1,7 +1,11 @@
 """Mergeable sketches expressed in DataFrame algebra.
 
-The HLL surface binds Spark's DataSketches functions (`hll_sketch_agg` /
-`hll_union_agg`, used by a11).  Count-Min has no PySpark binding, so it
+The HLL surface comes in two tiers: Spark's DataSketches binding
+(`hll_sketch_agg` / `hll_union_agg`, used by a11 — production-grade but
+engine-internal bytes, so no SQL oracle) and :func:`hll_registers` /
+:func:`hll_estimate` (used by a15) — the same algorithm as a pure
+bitwise dataflow whose every register a DuckDB oracle reproduces
+exactly.  Count-Min has no PySpark binding, so it
 is built here from first principles as a dataflow — which is also the
 honest 100 TB story: the sketch IS a (depth × width) counter table, i.e.
 a tiny DataFrame, and building it is one explode + one groupBy with
@@ -83,3 +87,87 @@ def merge_countmin(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("h", "bucket")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 12
+) -> DataFrame:
+    """HyperLogLog register table as a dataflow: one row per non-empty
+    (group, register) with the max rank observed (Flajolet et al. 2007,
+    "HyperLogLog: the analysis of a near-optimal cardinality estimation
+    algorithm").  ``reg`` = high ``p`` bits of xxhash64(col); ``rho`` =
+    leading-zero count of the remaining 64−p bits + 1 (an all-zero tail
+    gives the max rank 65−p).  The leading-zero count is pure bitwise
+    codegen — 6-step smear then ``bit_count`` — so a DuckDB oracle with
+    the Spark-compatible hash UDF reproduces every register exactly.
+
+    Register tables built on different partitions/days/groups merge by
+    ``max(rho)`` per register (:func:`merge_hll`) — the same
+    mergeability story as Spark's DataSketches binding (a11), but with
+    nothing engine-internal: the sketch IS this ≤ 2^p-row DataFrame.
+    The build is one map-only pass + one groupBy with map-side partial
+    max; NULLs are skipped like COUNT(DISTINCT)."""
+    h = F.xxhash64(F.col(col))
+    reg = F.shiftright(h, 64 - p).bitwiseAND(F.lit((1 << p) - 1))
+    w = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
+    # smear the highest set bit of w downward; popcount of the smear is
+    # bit_length(w), so rho = (64-p) - bit_length(w) + 1 — one formula,
+    # no branch: w == 0 smears to 0 and yields the max rank 65-p
+    s = w
+    for k in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftrightunsigned(s, k))
+    rho = F.lit(64 - p + 1) - F.bit_count(s)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    E = α_m·m²/Σ 2^(−M_j), with linear counting (m·ln(m/V)) in the
+    small range E ≤ 2.5m when empty registers remain — the standard
+    HLL estimator.
+
+    Determinism across engines: 2^(−rho) terms are summed as the exact
+    integers 2^(Q−rho) (Q = 65−p = max rank, so every term is a long)
+    in DECIMAL(38,0) — exact and order-independent, unlike a double
+    sum — and floating point enters only in the final one-rounding
+    division.  Output rounds to a whole count, so the ≤1-ulp libm
+    difference in ``ln`` between engines cannot surface."""
+    m = 1 << p
+    q = 64 - p + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # α_m·m²·2^Q as one repr-exact literal: both engines compute A/S
+    a_lit = alpha * m * m * float(2**q)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {q} - rho)").cast(
+                "decimal(38,0)"
+            )
+        ).alias("s_ne"),
+        F.count(F.lit(1)).alias("v_ne"),
+    )
+    # empty registers contribute 2^0 = 2^Q/2^Q each, added exactly
+    s_all = F.col("s_ne") + (F.lit(m) - F.col("v_ne")).cast(
+        "decimal(38,0)"
+    ) * F.lit(2**q).cast("decimal(38,0)")
+    raw = F.lit(a_lit) / s_all.cast("double")
+    v_zero = F.lit(m) - F.col("v_ne")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, 0).cast("bigint").alias("approx_n")
+    )
+
+
+def merge_hll(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables built with the same ``p``: register-wise
+    max — HLL's lossless union."""
+    return a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho"))

@@ -144,6 +144,7 @@ def register_duckdb_udfs(con) -> None:
     ``__spark_entry__`` and ``scripts/selfcheck.py``.
 
     - ``xxh_s(s)``          = Spark ``xxhash64(string_col)``
+    - ``xxh_l(h)``          = Spark ``xxhash64(long_col)`` (HLL registers)
     - ``xxh_is(i, s)``      = Spark ``xxhash64(lit(i), string_col)``
     - ``xxh_il(i, h)``      = Spark ``xxhash64(lit(i), long_col)`` —
       vectorized (arrow) since the minhash oracle calls it
@@ -172,7 +173,11 @@ def register_duckdb_udfs(con) -> None:
     def xxh_il4(b: int, h0: int, h1: int, h2: int, h3: int) -> int:
         return spark_xxhash64(("i32", b), h0, h1, h2, h3)
 
+    def xxh_l(h: int) -> int:
+        return spark_xxhash64(h)
+
     con.create_function("xxh_s", xxh_s, [dt.VARCHAR], dt.BIGINT)
+    con.create_function("xxh_l", xxh_l, [dt.BIGINT], dt.BIGINT)
     con.create_function("xxh_is", xxh_is, [dt.INTEGER, dt.VARCHAR], dt.BIGINT)
     con.create_function(
         "xxh_il", xxh_il, [dt.INTEGER, dt.BIGINT], dt.BIGINT, type="arrow"

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from conftest import SF_DIR, SF_MED
+from conftest import SF_DIR, SF_MED, rows
 
 
 def test_approx_count_distinct_within_rsd(spark):
@@ -111,3 +111,45 @@ def test_countmin_sketch_error_bound_and_merge(spark):
     est2 = {r["o_orderpriority"]: r["cms_estimate"]
             for r in countmin_estimate(merged, keys, "o_orderpriority", width=width).collect()}
     assert est2 == est
+
+
+def test_hll_dataflow_accuracy_and_merge(spark):
+    """a15 (HLL as a dataflow): per-group estimates land within ~5% of
+    exact (p=12 → ~1.6% RSE, small groups ride the linear-counting
+    branch); merging the per-group register tables register-wise equals
+    building one sketch over the whole column — bit-identical registers,
+    hence identical estimates (lossless union, unlike a11's HIP caveat)."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+    from maple_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+        merge_hll,
+    )
+
+    o = load_table(spark, SF_MED, "orders")
+    regs = hll_registers(o, ["o_orderpriority"], "o_custkey", p=12)
+    got = {
+        r["o_orderpriority"]: r["approx_n"]
+        for r in hll_estimate(regs, ["o_orderpriority"], p=12).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+    # lossless union: merged per-group registers == direct whole-column
+    # registers, row for row
+    merged = regs.groupBy("reg").agg(F.max("rho").alias("rho"))
+    direct = hll_registers(o, [], "o_custkey", p=12)
+    assert rows(merged) == rows(direct)
+    # and merge_hll over a value split reproduces the same table
+    lo = hll_registers(o.where(F.col("o_custkey") % 2 == 0), [], "o_custkey")
+    hi = hll_registers(o.where(F.col("o_custkey") % 2 == 1), [], "o_custkey")
+    assert rows(merge_hll(lo, hi)) == rows(direct)

@@ -17,7 +17,7 @@ def test_oracle_keys_subset_of_queries():
 def test_rows_only_set_is_intentional():
     """Queries WITHOUT a driver-runnable oracle must be exactly the
     documented hash/clustering-dependent ones.  The xxhash64-dependent
-    four (d3/d4/sim3/a14) additionally carry EXTENDED oracles that run on
+    five (d3/d4/sim3/a14/a15) additionally carry EXTENDED oracles that run on
     a UDF-equipped DuckDB (selfcheck) — see the next test."""
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert qs - os_ == {
@@ -28,11 +28,12 @@ def test_rows_only_set_is_intentional():
         "mm3_embed_stub",
         "a11_hll_sketch",
         "a14_countmin_sketch",
+        "a15_hll_dataflow",
     }
 
 
 def test_extended_oracles_cover_hash_dependent_queries():
-    """The extended (UDF-equipped DuckDB) oracles cover exactly the four
+    """The extended (UDF-equipped DuckDB) oracles cover exactly the five
     xxhash64-dependent queries, are disjoint from the driver oracles, and
     leave only engine-internal ops (MLlib k-means, DataSketches HLL,
     encoding report, stub inference) as true rows-only."""
@@ -42,6 +43,7 @@ def test_extended_oracles_cover_hash_dependent_queries():
         "d4_simhash_pairs",
         "sim3_lsh_topk",
         "a14_countmin_sketch",
+        "a15_hll_dataflow",
     }
     assert not (ext & set(e.oracle_sql()))
     # sim4's deterministic-Lloyd IVF has a PURE-SQL oracle (no UDF) and
