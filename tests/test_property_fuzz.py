@@ -322,3 +322,116 @@ def test_random_string_exprs_agree(engines, expr):
     sres = [(r["p_partkey"], r["v"]) for r in spark.sql(sql).collect()]
     ores = con.execute(sql).fetchall()
     assert sres == [tuple(r) for r in ores], expr
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+asof_key = st.integers(min_value=1, max_value=3)
+asof_time = st.integers(min_value=0, max_value=20)
+asof_left = st.lists(st.tuples(asof_key, asof_time), max_size=10)
+# right side keyed by (key, time): duplicate right rows at the same
+# (key, time) are ASOF-ambiguous in BOTH engines, so the generator never
+# produces them (the operator's docstring documents the tie convention
+# only across sides, not within the right side)
+asof_right = st.dictionaries(
+    st.tuples(asof_key, asof_time),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_left, right=asof_right)
+def test_random_asof_joins_agree(spark, left, right):
+    """Custom-operator fuzz: as_of_join (union-and-carry window
+    formulation) must agree with DuckDB's native ASOF LEFT JOIN on random
+    keyed event sets — duplicate left rows, NULL payloads (carried row
+    must stay NULL — no stale fill), keys with no right rows, empty
+    sides."""
+    from maple_spark.operators.asof import as_of_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    rrows = [(k, t, v) for (k, t), v in right.items()]
+    ldf = spark.createDataFrame(
+        lrows, "lid int, k int, lt int"
+    ) if lrows else spark.createDataFrame([], "lid int, k int, lt int")
+    rdf = spark.createDataFrame(
+        rrows, "k int, rt int, v int"
+    ) if rrows else spark.createDataFrame([], "k int, rt int, v int")
+
+    got = sorted(
+        (r["lid"], r["v"])
+        for r in as_of_join(
+            ldf, rdf, key="k", left_time="lt", right_time="rt",
+            payload_cols=["v"],
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (lid INT, k INT, lt INT)")
+    con.execute("CREATE TABLE r (k INT, rt INT, v INT)")
+    if lrows:
+        con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    if rrows:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    want = sorted(
+        (lid, v)
+        for lid, v in con.execute(
+            "SELECT l.lid, r.v FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.lt >= r.rt"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+bag_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        st.integers(min_value=0, max_value=2),
+    ),
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=bag_rows, b=bag_rows, op=st.sampled_from(["INTERSECT ALL", "EXCEPT ALL", "INTERSECT", "EXCEPT"]))
+def test_random_set_ops_agree(spark, a, b, op):
+    """Multiset set-op fuzz: INTERSECT/EXCEPT (ALL) over small random
+    bags with NULL keys and duplicate rows — bag semantics
+    (min/difference of multiplicities) and NULL-equality grouping must
+    match DuckDB row for row."""
+    schema = "x int, y int"
+    adf = spark.createDataFrame(a, schema) if a else spark.createDataFrame([], schema)
+    bdf = spark.createDataFrame(b, schema) if b else spark.createDataFrame([], schema)
+    adf.createOrReplaceTempView("fuzz_bag_a")
+    bdf.createOrReplaceTempView("fuzz_bag_b")
+    sql = f"SELECT x, y FROM fuzz_bag_a {op} SELECT x, y FROM fuzz_bag_b"
+    got = sorted(
+        ((r["x"] is not None, r["x"] or 0), r["y"])
+        for r in spark.sql(sql).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_bag_a (x INT, y INT)")
+    con.execute("CREATE TABLE fuzz_bag_b (x INT, y INT)")
+    if a:
+        con.executemany("INSERT INTO fuzz_bag_a VALUES (?, ?)", a)
+    if b:
+        con.executemany("INSERT INTO fuzz_bag_b VALUES (?, ?)", b)
+    want = sorted(
+        ((x is not None, x or 0), y) for x, y in con.execute(sql).fetchall()
+    )
+    assert got == want
