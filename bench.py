@@ -83,7 +83,10 @@ def main() -> None:
 
     # one untimed warmup run per query (plan compilation + whole-stage
     # codegen JIT — one-time costs that don't scale with data volume),
-    # then min of 2 timed runs = steady-state execution cost.
+    # then min of 3 timed runs = steady-state execution cost (measured
+    # run-to-run noise at these ~100 ms-stage sizes is ±25-50% under
+    # transient host contention; min-of-3 keeps one bad run from
+    # polluting a query's number where min-of-2 did not).
     #
     # Every DataFrame is kept referenced until exit: releasing one lets the
     # ContextCleaner unregister its SQL-metric accumulators, and a straggler
@@ -97,7 +100,7 @@ def main() -> None:
         keep_alive.append(df)
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = qs[name](spark, SF_DIR)
             keep_alive.append(df)
             t0 = time.time()
