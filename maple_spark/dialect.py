@@ -98,7 +98,9 @@ _INSERT = re.compile(
     r"(?:VALUES\s*(?P<values>\(.+\))|(?P<select>\(?\s*SELECT\b.+?\)?))\s*$",
     re.I | re.S,
 )
-_EXPLAIN_DML = re.compile(r"^\s*EXPLAIN\s+(?P<inner>(?:UPDATE|DELETE)\b.+)$", re.I | re.S)
+_EXPLAIN_DML = re.compile(
+    r"^\s*EXPLAIN\s+(?P<inner>(?:UPDATE|DELETE|INSERT)\b.+)$", re.I | re.S
+)
 _TXN = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(\s+WORK)?\s*$", re.I)
 _CRASH = re.compile(r"^\s*CRASH\s*$", re.I)
 _EXIT = re.compile(r"^\s*(EXIT|QUIT)\s*$", re.I)
@@ -328,9 +330,10 @@ def route_statement(engine, stmt: str):
             _reload_store(engine, t, path)
         return None
 
-    # EXPLAIN UPDATE/DELETE (nanosql.g:711-719 allows DML under EXPLAIN;
-    # Spark's parser doesn't): build the rewrite plan without executing it
-    # and return its formatted physical plan as a one-column result set.
+    # EXPLAIN UPDATE/DELETE/INSERT (nanosql.g:711-719 allows DML under
+    # EXPLAIN; Spark's parser doesn't for view-backed stores): build the
+    # rewrite/append plan without executing it and return its formatted
+    # physical plan as a one-column result set.
     m = _EXPLAIN_DML.match(stmt)
     if m:
         return _explain_dml(engine, m.group("inner"))
@@ -384,8 +387,9 @@ def _spark_handles_dml(engine, name: str) -> bool:
 
 
 def _build_dml_frame(engine, inner: str) -> DataFrame:
-    """Build (don't execute) the read-transform frame for an UPDATE or
-    DELETE statement — shared by EXPLAIN DML."""
+    """Build (don't execute) the read-transform frame for an UPDATE,
+    DELETE, or INSERT statement — shared by EXPLAIN DML
+    (nanosql.g:716-717 allows all three under EXPLAIN)."""
     from maple_spark.operators.dml import delete_where, update_where
 
     parsed = _parse_update(inner)
@@ -396,6 +400,15 @@ def _build_dml_frame(engine, inner: str) -> DataFrame:
     if parsed:
         name, cond = parsed
         return delete_where(engine.table(name), cond)
+    m = _INSERT.match(inner)
+    if m:
+        return _insert_frame(
+            engine,
+            m.group("name"),
+            _table_list(m.group("cols")) if m.group("cols") else None,
+            m.group("values"),
+            m.group("select"),
+        )
     raise ValueError(f"EXPLAIN: unparseable DML statement: {inner!r}")
 
 
@@ -523,11 +536,34 @@ def _insert(
 ) -> None:
     """INSERT INTO t [(cols)] VALUES (...), ... | SELECT ...
     (nanosql.g:613-642; InsertCommand.java:41,160-185 — the reference
-    accepts the column list and the SELECT form).  Values/query columns
-    map positionally onto ``cols`` (default: the full schema), every
-    expression is parsed/cast by Spark SQL itself, unlisted columns fill
-    with NULL, and the result lands as a parquet append (stores) or a
-    unioned view (view-backed tables)."""
+    accepts the column list and the SELECT form).  The rows-to-append
+    frame comes from :func:`_insert_frame`; the result lands as a parquet
+    append (stores) or a unioned view (view-backed tables)."""
+    full = _insert_frame(engine, name, cols, values, select)
+    path = engine.store_path(name)
+    if path is not None:
+        # staging break: INSERT ... SELECT may read the very store it
+        # appends to — materialize before touching the target path
+        materialized = full.localCheckpoint(eager=True)
+        materialized.write.mode("append").parquet(path)
+        _reload_store(engine, name, path)
+    else:
+        engine.replace_view(name, engine.table(name).unionByName(full))
+    return None
+
+
+def _insert_frame(
+    engine,
+    name: str,
+    cols: list[str] | None,
+    values: str | None,
+    select: str | None,
+) -> DataFrame:
+    """Build (don't write) the rows-to-append frame for an INSERT:
+    values/query columns map positionally onto ``cols`` (default: the
+    full schema), every expression is parsed/cast by Spark SQL itself,
+    unlisted columns fill with NULL, output order follows the table
+    schema.  Shared by :func:`_insert` and EXPLAIN INSERT."""
     spark = engine.spark
     target = engine.table(name)
     tcols = target.columns
@@ -576,19 +612,9 @@ def _insert(
             ]
         )
     # unlisted columns fill with NULL; order follows the table schema
-    full = new_rows.select(
+    return new_rows.select(
         *[
             F.col(c) if c in cols else F.lit(None).cast(target.schema[c].dataType).alias(c)
             for c in tcols
         ]
     )
-    path = engine.store_path(name)
-    if path is not None:
-        # staging break: INSERT ... SELECT may read the very store it
-        # appends to — materialize before touching the target path
-        materialized = full.localCheckpoint(eager=True)
-        materialized.write.mode("append").parquet(path)
-        _reload_store(engine, name, path)
-    else:
-        engine.replace_view(name, engine.table(name).unionByName(full))
-    return None

@@ -319,6 +319,25 @@ def test_explain_dml(engine, states_csv):
     assert res[-1][0]["n"] == 5            # nothing executed
 
 
+def test_explain_insert(engine, states_csv):
+    """EXPLAIN INSERT (nanosql.g:716-717 puts insert_stmt under EXPLAIN
+    too): shows the append-rows plan for both the VALUES and the SELECT
+    form without touching the store."""
+    res = engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        EXPLAIN INSERT INTO states VALUES (99, 'Nowhere');
+        EXPLAIN INSERT INTO states (id) SELECT id + 100 FROM states;
+        SELECT count(*) AS n FROM states;
+        """
+    )
+    val_plan = "\n".join(r["plan"] for r in res[1])
+    sel_plan = "\n".join(r["plan"] for r in res[2])
+    assert "Physical Plan" in val_plan
+    assert "Physical Plan" in sel_plan and "Scan" in sel_plan
+    assert res[-1][0]["n"] == 5            # nothing executed
+
+
 def test_spark_native_analyze_table_falls_through(engine):
     """Spark's own ANALYZE TABLE syntax must reach spark.sql untouched,
     not be mis-parsed as the reference's bare-table ANALYZE."""
