@@ -929,6 +929,27 @@ def st5_stream_join(spark, sf_dir):
     )
 
 
+def st6_hll_stream(spark, sf_dir):
+    """Batch dual of the streaming windowed-HLL register maintenance
+    (streaming/events.hll_registers_stream; stream/batch register
+    equality tested in test_streaming): per-hour distinct-user estimates
+    read off the (window, register) table with the a15 estimator.  The
+    mergeable-sketch firehose pattern — state ≤ 2^p rows per live
+    window, estimate is a read-time projection.  Extended oracle replays
+    registers + estimator exactly (xxh_l UDF)."""
+    from maple_spark.functions.sketch import hll_estimate
+    from maple_spark.streaming.events import hll_registers_stream
+
+    e = _t(spark, sf_dir, "events")
+    regs = hll_registers_stream(
+        e, col="user_id", p=12, window_duration="1 hour", watermark=None
+    )
+    return hll_estimate(regs, ["window_start"], p=12).select(
+        F.date_format("window_start", TS_FMT).alias("hour"),
+        F.col("approx_n").alias("approx_users"),
+    )
+
+
 def sim1_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
     e = _t(spark, sf_dir, "embeddings")
@@ -2721,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
+        "st6_hll_stream": st6_hll_stream,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
         "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
@@ -4303,12 +4325,14 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _a15_hll_oracle() -> str:
-    """Extended oracle for the dataflow HLL (a15): rebuilds every register
-    with the same bitwise pipeline (xxh_l hash → high-12-bit register →
-    6-step smear + bit_count rank) and the same estimator, with the
-    2^(−rho) sum done in exact DECIMAL integers so only the final
-    division/ln touch floating point — see functions/sketch.py."""
+def _hll_oracle(src: str, out_col: str, est_col: str, with_all: bool) -> str:
+    """Extended-oracle builder for the dataflow HLL (a15, st6): rebuilds
+    every register with the same bitwise pipeline (xxh_l hash →
+    high-12-bit register → 6-step smear + bit_count rank) and the same
+    estimator, with the 2^(−rho) sum done in exact DECIMAL integers so
+    only the final division/ln touch floating point — see
+    functions/sketch.py.  ``src`` must select (grp, h); ``with_all``
+    appends the merged-registers 'ALL' row (a15's lossless union)."""
     p, m = 12, 4096
     q = 64 - p + 1
     a_lit = repr(0.7213 / (1 + 1.079 / m) * m * m * float(2**q))
@@ -4327,13 +4351,23 @@ def _a15_hll_oracle() -> str:
                                      AS DECIMAL(38,0))) AS s_ne,
                                  COUNT(*) AS v_ne
                           FROM __SRC__ GROUP BY grp) t) t2"""
+    if with_all:
+        tail = f"""regs_all AS (
+              SELECT 'ALL' AS grp, reg, MAX(rho) AS rho FROM regs GROUP BY reg
+            ), per_grp AS ({est.replace('__SRC__', 'regs')}
+            ), merged AS ({est.replace('__SRC__', 'regs_all')})
+            SELECT grp AS {out_col}, approx_n AS {est_col} FROM per_grp
+            UNION ALL
+            SELECT grp AS {out_col}, approx_n AS {est_col} FROM merged"""
+    else:
+        tail = f"""per_grp AS ({est.replace('__SRC__', 'regs')})
+            SELECT grp AS {out_col}, approx_n AS {est_col} FROM per_grp"""
     return f"""
             WITH rr AS (
-              SELECT o_orderpriority AS grp,
+              SELECT grp,
                      (h >> {64 - p}) & {m - 1} AS reg,
                      h & ((CAST(1 AS BIGINT) << {64 - p}) - 1) AS w
-              FROM (SELECT o_orderpriority, xxh_l(o_custkey) AS h
-                    FROM orders WHERE o_custkey IS NOT NULL)
+              FROM ({src})
             ), s1 AS (SELECT grp, reg, w | (w >> 1) AS s FROM rr),
             s2 AS (SELECT grp, reg, s | (s >> 2) AS s FROM s1),
             s3 AS (SELECT grp, reg, s | (s >> 4) AS s FROM s2),
@@ -4343,17 +4377,25 @@ def _a15_hll_oracle() -> str:
             regs AS (
               SELECT grp, reg, MAX({q} - bit_count(s)) AS rho
               FROM s6 GROUP BY grp, reg
-            ), regs_all AS (
-              SELECT 'ALL' AS grp, reg, MAX(rho) AS rho FROM regs GROUP BY reg
-            ), per_grp AS ({est.replace('__SRC__', 'regs')}
-            ), merged AS ({est.replace('__SRC__', 'regs_all')})
-            SELECT grp AS o_orderpriority, approx_n FROM per_grp
-            UNION ALL
-            SELECT grp AS o_orderpriority, approx_n FROM merged
+            ), {tail}
         """
 
 
-_A15_HLL_ORACLE = _a15_hll_oracle()
+_A15_HLL_ORACLE = _hll_oracle(
+    "SELECT o_orderpriority AS grp, xxh_l(o_custkey) AS h"
+    " FROM orders WHERE o_custkey IS NOT NULL",
+    out_col="o_orderpriority",
+    est_col="approx_n",
+    with_all=True,
+)
+
+_ST6_HLL_ORACLE = _hll_oracle(
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS grp,"
+    " xxh_l(user_id) AS h FROM events WHERE user_id IS NOT NULL",
+    out_col="hour",
+    est_col="approx_users",
+    with_all=False,
+)
 
 
 def oracle_sql_extended() -> dict[str, str]:
@@ -4495,6 +4537,7 @@ def oracle_sql_extended() -> dict[str, str]:
               FROM cand) WHERE rk <= 5
         """,
         "a15_hll_dataflow": _A15_HLL_ORACLE,
+        "st6_hll_stream": _ST6_HLL_ORACLE,
         "a14_countmin_sketch": """
             WITH exact AS (
               SELECT o_orderpriority, COUNT(*) AS exact_n

@@ -89,6 +89,27 @@ def merge_countmin(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def hll_reg_rho(col: Column, p: int = 12) -> tuple[Column, Column]:
+    """The HLL register math as reusable (reg, rho) column expressions —
+    one definition shared by the batch register build
+    (:func:`hll_registers`) and the streaming one
+    (``streaming/events.hll_registers_stream``), so the two can never
+    drift.  ``reg`` = high ``p`` bits of xxhash64(col); ``rho`` =
+    leading-zero count of the remaining 64−p bits + 1, via a 6-step
+    bit-smear + ``bit_count`` (pure codegen, no branch: an all-zero tail
+    smears to 0 and lands on the max rank 65−p)."""
+    h = F.xxhash64(col)
+    reg = F.shiftright(h, 64 - p).bitwiseAND(F.lit((1 << p) - 1))
+    w = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
+    # smear the highest set bit of w downward; popcount of the smear is
+    # bit_length(w), so rho = (64-p) - bit_length(w) + 1
+    s = w
+    for k in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftrightunsigned(s, k))
+    rho = (F.lit(64 - p + 1) - F.bit_count(s)).cast("int")
+    return reg, rho
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], col: str, p: int = 12
 ) -> DataFrame:
@@ -107,19 +128,10 @@ def hll_registers(
     nothing engine-internal: the sketch IS this ≤ 2^p-row DataFrame.
     The build is one map-only pass + one groupBy with map-side partial
     max; NULLs are skipped like COUNT(DISTINCT)."""
-    h = F.xxhash64(F.col(col))
-    reg = F.shiftright(h, 64 - p).bitwiseAND(F.lit((1 << p) - 1))
-    w = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
-    # smear the highest set bit of w downward; popcount of the smear is
-    # bit_length(w), so rho = (64-p) - bit_length(w) + 1 — one formula,
-    # no branch: w == 0 smears to 0 and yields the max rank 65-p
-    s = w
-    for k in (1, 2, 4, 8, 16, 32):
-        s = s.bitwiseOR(F.shiftrightunsigned(s, k))
-    rho = F.lit(64 - p + 1) - F.bit_count(s)
+    reg, rho = hll_reg_rho(F.col(col), p)
     return (
         df.where(F.col(col).isNotNull())
-        .select(*group_cols, reg.alias("reg"), rho.cast("int").alias("rho"))
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )

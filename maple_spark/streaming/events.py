@@ -105,6 +105,47 @@ def windowed_agg(
     )
 
 
+def hll_registers_stream(
+    events: DataFrame,
+    col: str = "user_id",
+    p: int = 12,
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Windowed HyperLogLog register maintenance on a stream: one row per
+    (window, register) carrying the max rank — the streaming half of the
+    a15 dataflow sketch (``functions/sketch.hll_reg_rho`` supplies the
+    identical register math, so stream and batch registers are
+    bit-equal; equality-tested in test_streaming).
+
+    This is the mergeable-sketch firehose pattern: per-window distinct
+    counts on unbounded input with state ≤ 2^p rows per live window —
+    ``max`` is the one aggregate HLL needs, and it is streaming-native
+    (partial max map-side, final max in the state store; watermark
+    evicts closed windows).  The cardinality ESTIMATE is a read-time
+    projection over the tiny register table
+    (``functions/sketch.hll_estimate``) — keeping the stateful op to a
+    single aggregation, which Structured Streaming supports everywhere
+    (chained stateful aggs are mode-restricted).
+    """
+    from maple_spark.functions.sketch import hll_reg_rho
+
+    e = events.where(F.col(col).isNotNull())
+    if watermark and e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    reg, rho = hll_reg_rho(F.col(col), p)
+    return (
+        e.select(F.window("ts", window_duration).alias("w"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("w", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "reg",
+            "rho",
+        )
+    )
+
+
 def hourly_agg_batch(events: DataFrame) -> DataFrame:
     """date_trunc formulation of the hourly rollup — semantically the
     tumbling window above (epoch-aligned 1h buckets), expressed so the

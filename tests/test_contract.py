@@ -17,7 +17,7 @@ def test_oracle_keys_subset_of_queries():
 def test_rows_only_set_is_intentional():
     """Queries WITHOUT a driver-runnable oracle must be exactly the
     documented hash/clustering-dependent ones.  The xxhash64-dependent
-    five (d3/d4/sim3/a14/a15) additionally carry EXTENDED oracles that run on
+    six (d3/d4/sim3/a14/a15/st6) additionally carry EXTENDED oracles that run on
     a UDF-equipped DuckDB (selfcheck) — see the next test."""
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert qs - os_ == {
@@ -29,11 +29,12 @@ def test_rows_only_set_is_intentional():
         "a11_hll_sketch",
         "a14_countmin_sketch",
         "a15_hll_dataflow",
+        "st6_hll_stream",
     }
 
 
 def test_extended_oracles_cover_hash_dependent_queries():
-    """The extended (UDF-equipped DuckDB) oracles cover exactly the five
+    """The extended (UDF-equipped DuckDB) oracles cover exactly the six
     xxhash64-dependent queries, are disjoint from the driver oracles, and
     leave only engine-internal ops (MLlib k-means, DataSketches HLL,
     encoding report, stub inference) as true rows-only."""
@@ -44,6 +45,7 @@ def test_extended_oracles_cover_hash_dependent_queries():
         "sim3_lsh_topk",
         "a14_countmin_sketch",
         "a15_hll_dataflow",
+        "st6_hll_stream",
     }
     assert not (ext & set(e.oracle_sql()))
     # sim4's deterministic-Lloyd IVF has a PURE-SQL oracle (no UDF) and

@@ -587,3 +587,29 @@ def test_join_streams_outer_key_coalesced(spark):
         ).collect()
     }
     assert got == {(1, 1.0, 10.0), (2, None, 20.0)}
+
+
+def test_hll_registers_stream_equals_batch(spark):
+    """Windowed-HLL register maintenance (st6): the streaming register
+    table is bit-identical to the batch one — max(rho) per (window,
+    register) commutes with micro-batching, which is exactly HLL's
+    mergeability, and the shared hll_reg_rho expressions make the hash
+    math identical by construction."""
+    from maple_spark.catalog import load_table
+    from maple_spark.streaming.events import (
+        hll_registers_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    batch = hll_registers_stream(
+        load_table(spark, SF_DIR, "events"), col="user_id", p=8
+    )
+    stream = hll_registers_stream(
+        read_events_stream(spark, SF_DIR), col="user_id", p=8
+    )
+    q = run_stream_to_memory(stream, "hll_regs_test", timeout_sec=120)
+    got = rows(spark.sql("SELECT * FROM hll_regs_test"))
+    want = rows(batch)
+    q.stop()
+    assert got == want and len(want) > 0
