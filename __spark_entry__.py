@@ -1310,6 +1310,55 @@ def rj1_range_join(spark, sf_dir):
     return out.select("c_custkey", "c_acctbal", "tier")
 
 
+def rj2_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (J8 family): concurrent-session
+    pairs across users.  Sessions come from the gap-break window
+    formulation (30-minute gap, RANGE-cumulative break sum so timestamp
+    ties are order-independent); overlapping pairs come from the BINNED
+    equi-join (operators/asof.interval_overlap_join) — never a theta
+    join.  Output: one row per overlapping (session_a, session_b) pair
+    with user_a < user_b and the overlap length in seconds."""
+    from maple_spark.operators.asof import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wu)
+    g = e.select("user_id", "ts").withColumn(
+        "brk", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sess = (
+        g.withColumn("sid", F.sum("brk").over(wu).cast("int"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("t0").alias("a0"),
+        F.col("t1").alias("a1"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("t0").alias("b0"),
+        F.col("t1").alias("b1"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a0", "a1", "b0", "b1",
+        extra_cond=F.col("user_a") < F.col("user_b"),
+    )
+    return pairs.select(
+        "user_a",
+        "sid_a",
+        "user_b",
+        "sid_b",
+        (
+            F.unix_micros(F.least(F.col("a1"), F.col("b1")))
+            - F.unix_micros(F.greatest(F.col("a0"), F.col("b0")))
+        ).alias("overlap_us"),
+    )
+
+
 def enc1_encoding_report(spark, sf_dir):
     """FileAnalyzer parity (storage/FileAnalyzer.java:48-238): per-column
     cardinality/run/sortedness report + encoding choice over lineitem's
@@ -1904,6 +1953,26 @@ def w3_range_frame(spark, sf_dir):
         .cast("double")
         .alias("spend_90d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("orders_90d"),
+    )
+
+
+def w4_rank_distribution(spark, sf_dir):
+    """Distribution window functions completing the §2.5 surface:
+    percent_rank / cume_dist / ntile per nation over customer balances.
+    One shuffle on the partition key; every function is rank-arithmetic
+    over the partition-local sort, so the plan is identical in shape to
+    w1.  Ties: ntile is only deterministic under a total order, so the
+    sort key is (balance, custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 
 
@@ -2686,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn1_funnel": fn1_funnel,
         "aj1_asof_join": aj1_asof_join,
         "rj1_range_join": rj1_range_join,
+        "rj2_interval_overlap": rj2_interval_overlap,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,
@@ -2699,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc1_coercion_ladder": tc1_coercion_ladder,
         "tm1_time_of_day": tm1_time_of_day,
         "w3_range_frame": w3_range_frame,
+        "w4_rank_distribution": w4_rank_distribution,
         "t8_tfidf_topterms": t8_tfidf_topterms,
         "a12_stats_moments": a12_stats_moments,
         "a13_histogram": a13_histogram,
@@ -3501,6 +3572,32 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') p
             ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
+        "rj2_interval_overlap": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), g AS (
+              SELECT user_id, ts,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts)
+                          AS INTEGER) AS sid
+              FROM s
+            ), sess AS (
+              SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+              FROM g GROUP BY user_id, sid
+            )
+            SELECT a.user_id AS user_a, a.sid AS sid_a,
+                   b.user_id AS user_b, b.sid AS sid_b,
+                   epoch_us(least(a.t1, b.t1)) - epoch_us(greatest(a.t0, b.t0))
+                     AS overlap_us
+            FROM sess a JOIN sess b
+              ON a.user_id < b.user_id
+             AND a.t0 <= b.t1 AND b.t0 <= a.t1
+        """,
         "rj1_range_join": """
             SELECT c_custkey, c_acctbal, tier
             FROM customer LEFT JOIN (
@@ -3812,6 +3909,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-p_size AS BIGINT) AS neg_size,
                    CAST(p_size % 7 AS BIGINT) AS mod7
             FROM part WHERE p_partkey <= 400
+        """,
+        "w4_rank_distribution": """
+            SELECT c_custkey, c_nationkey,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
         "w3_range_frame": """
             SELECT o_orderkey, o_custkey,

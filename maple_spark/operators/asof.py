@@ -103,6 +103,56 @@ def as_of_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    extra_cond: Column | None = None,
+    bin_width_sec: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join: every (left, right) pair whose
+    time ranges intersect (``l_start ≤ r_end AND r_start ≤ l_end``,
+    closed intervals) — the log-span/session-concurrency primitive.
+
+    The naive formulation is a theta join (BroadcastNestedLoop at best,
+    CartesianProduct at worst — quadratic).  The scale path bins: each
+    interval explodes to the ``bin_width_sec`` buckets it covers, the
+    join becomes an EQUI-join on bucket (+ the exact overlap predicate,
+    so binning only generates candidates — never false positives), and
+    a pair that shares k buckets is deduped by ``distinct``.
+
+    Cost: replication factor = interval_length/bin_width + 1 per row
+    (pick bin_width ≈ typical interval length); one hash shuffle on
+    bucket; per-bucket work bounded by bucket population (time-skewed
+    data → AQE skew split).  No CartesianProduct (plan-shape-tested).
+    Both inputs must carry disjoint column names; timestamps compare as
+    epoch seconds."""
+    def bins(t0: str, t1: str) -> Column:
+        e0 = F.col(t0).cast("long")
+        e1 = F.col(t1).cast("long")
+        return F.explode(
+            F.sequence(
+                F.floor(e0 / bin_width_sec), F.floor(e1 / bin_width_sec)
+            )
+        )
+
+    lb = left.withColumn("__bin", bins(l_start, l_end))
+    rb = right.withColumn("__bin", bins(r_start, r_end))
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    cond = overlap if extra_cond is None else (overlap & extra_cond)
+    return (
+        lb.join(rb, on="__bin")
+        .where(cond)
+        .drop("__bin")
+        .distinct()
+    )
+
+
 def range_join(
     fact: DataFrame,
     bands: DataFrame,

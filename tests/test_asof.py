@@ -138,3 +138,51 @@ def test_asof_latest_row_wins_even_with_null_payload(spark):
     assert len(got) == 1
     r = got[0]
     assert r["a"] is None and r["b"] == 3.0
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Binned interval-overlap join equals the naive theta-join
+    formulation on crafted intervals: nested, disjoint, touching at a
+    single instant (closed-interval semantics), spanning many bins, and
+    zero-length instants."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.operators.asof import interval_overlap_join
+
+    def ts(h, m=0, s=0):
+        return f"2024-03-01 {h:02d}:{m:02d}:{s:02d}"
+
+    rows_a = [
+        (1, ts(0), ts(5)),          # spans 6 hourly bins
+        (2, ts(6), ts(6)),          # instant
+        (3, ts(7), ts(8)),
+        (4, ts(10, 30), ts(11, 30)),
+    ]
+    rows_b = [
+        (10, ts(1), ts(2)),         # nested in a1
+        (20, ts(5), ts(6)),         # touches a1 at 05:00, a2 at 06:00
+        (30, ts(8), ts(9)),         # touches a3 at 08:00
+        (40, ts(12), ts(13)),       # disjoint from everything
+    ]
+    a = spark.createDataFrame(rows_a, "aid int, a0s string, a1s string").select(
+        "aid", F.col("a0s").cast("timestamp").alias("a0"),
+        F.col("a1s").cast("timestamp").alias("a1"),
+    )
+    b = spark.createDataFrame(rows_b, "bid int, b0s string, b1s string").select(
+        "bid", F.col("b0s").cast("timestamp").alias("b0"),
+        F.col("b1s").cast("timestamp").alias("b1"),
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(a, b, "a0", "a1", "b0", "b1").collect()
+    )
+    want = sorted(
+        (r["aid"], r["bid"])
+        for r in a.crossJoin(b)
+        .where((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .collect()
+    )
+    assert got == want
+    assert (1, 10) in got and (1, 20) in got      # nested + touching
+    assert (2, 20) in got and (3, 30) in got      # instant + boundary
+    assert all(bid != 40 for _, bid in got)        # disjoint excluded
