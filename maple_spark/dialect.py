@@ -333,10 +333,28 @@ def route_statement(engine, stmt: str):
     # EXPLAIN UPDATE/DELETE/INSERT (nanosql.g:711-719 allows DML under
     # EXPLAIN; Spark's parser doesn't for view-backed stores): build the
     # rewrite/append plan without executing it and return its formatted
-    # physical plan as a one-column result set.
+    # physical plan as a one-column result set.  INSERT only takes this
+    # path when the INSERT itself would (dialect-store / view-backed
+    # target in the reference grammar's shape) — EXPLAIN INSERT on a real
+    # catalog table, or any Spark-only form (INSERT OVERWRITE, qualified
+    # names, TABLE source), falls through to spark.sql, mirroring the
+    # execution routing so the explained plan is the plan that runs.
     m = _EXPLAIN_DML.match(stmt)
     if m:
-        return _explain_dml(engine, m.group("inner"))
+        inner = m.group("inner")
+        mi = _INSERT.match(inner)
+        if not inner.upper().lstrip().startswith("INSERT"):
+            return _explain_dml(engine, inner)
+        if (
+            mi
+            and not _is_spark_catalog_table(spark, mi.group("name"))
+            and (
+                engine.store_path(mi.group("name")) is not None
+                or engine.is_view_table(mi.group("name"))
+            )
+        ):
+            return _explain_dml(engine, inner)
+        return spark.sql(stmt)
 
     # UPDATE/DELETE: only when Spark SQL can't (plain parquet/temp-view
     # tables).  The WHERE/SET bodies are parsed by Spark via F.expr.

@@ -179,7 +179,23 @@ def hll_estimate(
     )
 
 
-def merge_hll(a: DataFrame, b: DataFrame) -> DataFrame:
+def merge_hll(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Merge two register tables built with the same ``p``: register-wise
-    max — HLL's lossless union."""
-    return a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho"))
+    max — HLL's lossless union.  ``group_cols`` must name the grouping
+    columns the tables were built with (:func:`hll_registers`'s
+    ``group_cols``): merging grouped tables without them would silently
+    union registers ACROSS groups into one global sketch."""
+    group_cols = group_cols or []
+    extra = set(a.columns) - {*group_cols, "reg", "rho"}
+    if extra:
+        raise ValueError(
+            f"merge_hll: register table carries grouping columns {sorted(extra)};"
+            " pass them via group_cols to merge per group"
+        )
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )

