@@ -421,3 +421,51 @@ def test_insert_select_set_operation_parens(engine, states_csv):
     )
     res = engine.execute_script("SELECT id, name FROM states WHERE id >= 90 ORDER BY id;")
     assert [tuple(r) for r in res[0]] == [(90, "aa"), (91, "bb")]
+
+
+def test_dml_literal_fuzz(engine, states_csv):
+    """Randomized keyword/quote-bearing string literals through the full
+    UPDATE/INSERT/DELETE router: values containing WHERE/SET/VALUES/
+    SELECT keywords, doubled-quote escapes, commas, parens, and
+    semicolon-free clause soup must land byte-exact — the quote-aware
+    statement parsing end-to-end."""
+    import random
+
+    rnd = random.Random(4242)
+    frags = [
+        "WHERE x", "SET y = 'z'", "VALUES (1)", "SELECT * FROM t",
+        "a, b", "(nested)", "it's", " WHERE ", "AND OR NOT", "--dash",
+    ]
+    engine.execute_script(
+        f"CREATE STORE states FROM '{states_csv}' (id int, name varchar(80))"
+    )
+    expect = {1: "Alabama", 2: "Alaska", 3: "Arizona", 4: "Arkansas",
+              5: "California"}
+    nxt = 100
+    for _ in range(12):
+        lit = " ".join(rnd.sample(frags, rnd.randint(1, 3)))
+        esc = lit.replace("'", "''")           # SQL single-quote escape
+        op = rnd.choice(["update", "insert", "insert_cols"])
+        if op == "update":
+            tid = rnd.choice(sorted(expect))
+            engine.execute_script(
+                f"UPDATE states SET name = '{esc}' WHERE id = {tid}"
+            )
+            expect[tid] = lit
+        elif op == "insert":
+            engine.execute_script(
+                f"INSERT INTO states VALUES ({nxt}, '{esc}')"
+            )
+            expect[nxt] = lit
+            nxt += 1
+        else:
+            engine.execute_script(
+                f"INSERT INTO states (name, id) VALUES ('{esc}', {nxt})"
+            )
+            expect[nxt] = lit
+            nxt += 1
+    got = {
+        r["id"]: r["name"]
+        for r in engine.sql("SELECT id, name FROM states").collect()
+    }
+    assert got == expect
