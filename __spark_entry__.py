@@ -779,6 +779,20 @@ def t6_quota_sample(spark, sf_dir):
     )
 
 
+def t15_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis A-Res weighted sampling (content-stable,
+    distributable as a rank-filtered top-k — WindowGroupLimit partial
+    top-k, no global sort): 100 documents drawn with probability
+    proportional to length.  Extended oracle replays the hash-derived
+    uniform and score exactly (xxh_il UDF)."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.weighted_reservoir(
+        d.select("doc_id", "n_chars"), "n_chars", k=100, id_col="doc_id"
+    )
+
+
 def cp1_corpus_pipeline(spark, sf_dir):
     """Capstone composition — the full curation pass a training corpus
     gets, as ONE oracle-checked dataflow: quality-score filter (t3) →
@@ -2810,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_repetition_stats": t12_repetition_stats,
         "t13_pii_scrub": t13_pii_scrub,
         "t14_domain_mix": t14_domain_mix,
+        "t15_weighted_sample": t15_weighted_sample,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
@@ -4644,6 +4659,17 @@ def oracle_sql_extended() -> dict[str, str]:
         """,
         "a15_hll_dataflow": _A15_HLL_ORACLE,
         "st6_hll_stream": _ST6_HLL_ORACLE,
+        "t15_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (
+                       ORDER BY ln((((xxh_il(0, doc_id) >> 11)
+                                     & 9007199254740991) + 0.5)
+                                   / 9007199254740992.0)
+                                / CAST(n_chars AS DOUBLE) DESC) AS rk
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) WHERE rk <= 100
+        """,
         "a14_countmin_sketch": """
             WITH exact AS (
               SELECT o_orderpriority, COUNT(*) AS exact_n

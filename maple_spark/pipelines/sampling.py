@@ -109,3 +109,42 @@ def domain_mix(
         .where(F.col("mix_draw") < F.col("mix_weight") * 65536)
         .drop("mix_draw", "mix_weight")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling without replacement
+    ("Weighted random sampling with a reservoir", IPL 2006): each row
+    draws a uniform u and scores ln(u)/w; the k LARGEST scores are the
+    sample — inclusion probability proportional to weight, exactly the
+    reservoir algorithm's distribution, but expressed as a top-k so it
+    distributes: per-partition partial top-k (WindowGroupLimit /
+    TakeOrdered shape), no global sort, no sequential reservoir state.
+
+    Content-stable like everything in this module: u derives from
+    xxhash64(salt, id) — re-runs and repartitionings return the SAME
+    sample; vary ``salt`` to draw independent samples.  u is the hash's
+    top 53 bits shifted into (0, 1) with a half-ulp offset so u is never
+    0 or 1 (ln stays finite).  Rows with NULL or non-positive weight are
+    excluded (a zero-weight row must never be sampled; A-Res is defined
+    for w > 0).  Ties cannot occur (u is continuous and injective in
+    the hash), so the sample is deterministic without a tiebreaker.
+    """
+    h = F.xxhash64(F.lit(salt), F.col(id_col))
+    u = (F.shiftrightunsigned(h, 11).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 53)
+    )
+    score = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.orderBy(F.col("__score").desc())
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__score", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__score", "__rk")
+    )

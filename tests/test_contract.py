@@ -17,7 +17,7 @@ def test_oracle_keys_subset_of_queries():
 def test_rows_only_set_is_intentional():
     """Queries WITHOUT a driver-runnable oracle must be exactly the
     documented hash/clustering-dependent ones.  The xxhash64-dependent
-    six (d3/d4/sim3/a14/a15/st6) additionally carry EXTENDED oracles that run on
+    seven (d3/d4/sim3/a14/a15/st6/t15) additionally carry EXTENDED oracles that run on
     a UDF-equipped DuckDB (selfcheck) — see the next test."""
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert qs - os_ == {
@@ -30,11 +30,12 @@ def test_rows_only_set_is_intentional():
         "a14_countmin_sketch",
         "a15_hll_dataflow",
         "st6_hll_stream",
+        "t15_weighted_sample",
     }
 
 
 def test_extended_oracles_cover_hash_dependent_queries():
-    """The extended (UDF-equipped DuckDB) oracles cover exactly the six
+    """The extended (UDF-equipped DuckDB) oracles cover exactly the seven
     xxhash64-dependent queries, are disjoint from the driver oracles, and
     leave only engine-internal ops (MLlib k-means, DataSketches HLL,
     encoding report, stub inference) as true rows-only."""
@@ -46,6 +47,7 @@ def test_extended_oracles_cover_hash_dependent_queries():
         "a14_countmin_sketch",
         "a15_hll_dataflow",
         "st6_hll_stream",
+        "t15_weighted_sample",
     }
     assert not (ext & set(e.oracle_sql()))
     # sim4's deterministic-Lloyd IVF has a PURE-SQL oracle (no UDF) and
@@ -108,8 +110,8 @@ def test_queries_are_lazy(spark):
     - ck1/fn1 build a summary row from counts;
     - d5's label-propagation loop must run to a fixpoint to know its plan;
     - o1 runs one approx-percentile pass to place its rank buckets;
-    - sim4 runs its (fixed, two-round) Lloyd iterations — k×d centroid
-      rows through the driver per round.
+    - sim4/sim5 run their (fixed, two-round) Lloyd iterations — k×d
+      centroid rows through the driver per round.
 
     (sim2/t10 size their blocks/shards from file metadata — no job.)
     Everything else must build in the budget below, which catches a new
@@ -122,6 +124,7 @@ def test_queries_are_lazy(spark):
         "d5_dedup_clusters",
         "o1_sort_rownum",
         "sim4_ivf_topk",
+        "sim5_semdedup",
     }
     lazy_budget_sec = 45.0
     t0 = time.time()

@@ -665,3 +665,33 @@ def test_semdedup_keeps_min_id_of_identical_pair(spark):
     assert out[10]["keep"] and out[10]["dup_of"] is None
     assert not out[20]["keep"] and out[20]["dup_of"] == 10
     assert out[30]["keep"] and out[40]["keep"]
+
+
+def test_weighted_reservoir_properties(spark):
+    """A-Res weighted sampling (t15): deterministic under repartitioning,
+    exactly k rows, zero/NULL weights never sampled, and inclusion
+    frequency tracks weight across independent salts (a 1000x-weight
+    item is drawn in every one of 20 independent samples of size 5/40;
+    weight-1 items are not)."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.pipelines.sampling import weighted_reservoir
+
+    rows = [(i, 1.0) for i in range(39)] + [(99, 1000.0), (100, 0.0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    s1 = sorted(r["doc_id"] for r in weighted_reservoir(df, "w", 5).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in weighted_reservoir(df.repartition(7), "w", 5).collect()
+    )
+    assert s1 == s2 and len(s1) == 5
+    assert 100 not in s1 and 101 not in s1
+
+    heavy_hits = 0
+    for salt in range(20):
+        got = {r["doc_id"] for r in weighted_reservoir(df, "w", 5, salt=salt).collect()}
+        heavy_hits += 99 in got
+        assert 100 not in got and 101 not in got
+    # P(heavy excluded per draw) ≈ (1 - 1000/1039)^5 ≈ 5e-8
+    assert heavy_hits == 20
