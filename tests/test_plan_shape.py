@@ -375,3 +375,26 @@ def test_single_partition_exchanges_are_audited(spark):
         for k in set(got) | set(audited)
         if got.get(k) != audited.get(k)
     }
+
+
+def test_weighted_sample_plans_partial_topk(spark):
+    """t15's rank filter must plan as WindowGroupLimit partial top-k —
+    the A-Res sample is a top-k, never a global sort of the corpus."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t15_weighted_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """rj2's overlap join must be the binned EQUI-join — a
+    BroadcastNestedLoopJoin over the session relation would be the
+    quadratic theta join the operator exists to avoid.  (AQE may choose
+    broadcast-HASH for the small fixture side; that is still keyed on
+    __bin.)"""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.rj2_interval_overlap(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
