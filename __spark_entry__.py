@@ -1973,6 +1973,9 @@ def w3_range_frame(spark, sf_dir):
 def w4_rank_distribution(spark, sf_dir):
     """Distribution window functions completing the §2.5 surface:
     percent_rank / cume_dist / ntile per nation over customer balances.
+    Ratios ship unrounded: (rank-1)/(n-1) over exact ints is IEEE-
+    identical across engines, while round-to-6 hits exact halves where
+    Spark (HALF_UP) and DuckDB (half-even) disagree.
     One shuffle on the partition key; every function is rank-arithmetic
     over the partition-local sort, so the plan is identical in shape to
     w1.  Ties: ntile is only deterministic under a total order, so the
@@ -1984,8 +1987,8 @@ def w4_rank_distribution(spark, sf_dir):
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 
@@ -3927,8 +3930,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w4_rank_distribution": """
             SELECT c_custkey, c_nationkey,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
                    CAST(ntile(4) OVER w AS INTEGER) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey
