@@ -9,6 +9,14 @@ Usage: python scripts/selfcheck.py [sf_dir] [query ...] [-excluded_query ...]
        SELFCHECK_JSON=out.json python scripts/selfcheck.py ...   # also write
        a machine-readable per-query record (committed per round as
        SELFCHECK_r{N}.json so the full-registry claim is reproducible)
+
+Scale note: the gate SF is 0.01.  At sf0.1 exclude the five dedup
+oracles whose DUCKDB formulations are deliberately naive-quadratic
+(-d2_ngram_jaccard -d3_minhash_lsh -d4_simhash_pairs -d5_dedup_clusters
+-sim2_embedding_near_dup): the synthetic corpus has a ~50-word
+vocabulary, so the oracle's shingle self-join explodes (observed 63 GB
+of DuckDB spill) while the SPARK sides stay bucketed/bounded — that
+asymmetry is the point of the scalable formulations.
 """
 
 from __future__ import annotations
