@@ -4669,7 +4669,8 @@ def oracle_sql_extended() -> dict[str, str]:
                        ORDER BY ln((((xxh_il(0, doc_id) >> 11)
                                      & 9007199254740991) + 0.5)
                                    / 9007199254740992.0)
-                                / CAST(n_chars AS DOUBLE) DESC) AS rk
+                                / CAST(n_chars AS DOUBLE) DESC,
+                                doc_id ASC) AS rk
               FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
             ) WHERE rk <= 100
         """,

@@ -342,17 +342,10 @@ def route_statement(engine, stmt: str):
     m = _EXPLAIN_DML.match(stmt)
     if m:
         inner = m.group("inner")
-        mi = _INSERT.match(inner)
         if not inner.upper().lstrip().startswith("INSERT"):
             return _explain_dml(engine, inner)
-        if (
-            mi
-            and not _is_spark_catalog_table(spark, mi.group("name"))
-            and (
-                engine.store_path(mi.group("name")) is not None
-                or engine.is_view_table(mi.group("name"))
-            )
-        ):
+        mi = _INSERT.match(inner)
+        if mi and _dialect_handles_insert(engine, mi.group("name")):
             return _explain_dml(engine, inner)
         return spark.sql(stmt)
 
@@ -373,26 +366,34 @@ def route_statement(engine, stmt: str):
         return _mutate(engine, name, lambda df: delete_where(df, cond))
 
     m = _INSERT.match(stmt)
-    if m and not _is_spark_catalog_table(spark, m.group("name")):
+    if m and _dialect_handles_insert(engine, m.group("name")):
         # dialect stores append parquet; view-backed tables re-register a
         # unioned view.  Real session-catalog tables fall through to
         # spark.sql, whose INSERT already handles every form natively.
-        if engine.store_path(m.group("name")) is not None or engine.is_view_table(
-            m.group("name")
-        ):
-            return _insert(
-                engine,
-                m.group("name"),
-                _table_list(m.group("cols")) if m.group("cols") else None,
-                m.group("values"),
-                m.group("select"),
-            )
+        return _insert(
+            engine,
+            m.group("name"),
+            _table_list(m.group("cols")) if m.group("cols") else None,
+            m.group("values"),
+            m.group("select"),
+        )
 
     return spark.sql(stmt)
 
 
 def _table_list(raw: str) -> list[str]:
     return [t.strip() for t in raw.split(",") if t.strip()]
+
+
+def _dialect_handles_insert(engine, name: str) -> bool:
+    """True when an INSERT targeting ``name`` takes the dialect path
+    (parquet-append store or view-backed table, never a real session-
+    catalog table).  ONE definition shared by the INSERT execution route
+    and EXPLAIN INSERT, so the explained plan is always the plan that
+    runs."""
+    return not _is_spark_catalog_table(engine.spark, name) and (
+        engine.store_path(name) is not None or engine.is_view_table(name)
+    )
 
 
 def _spark_handles_dml(engine, name: str) -> bool:

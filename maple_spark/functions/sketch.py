@@ -188,7 +188,7 @@ def merge_hll(
     ``group_cols``): merging grouped tables without them would silently
     union registers ACROSS groups into one global sketch."""
     group_cols = group_cols or []
-    extra = set(a.columns) - {*group_cols, "reg", "rho"}
+    extra = (set(a.columns) | set(b.columns)) - {*group_cols, "reg", "rho"}
     if extra:
         raise ValueError(
             f"merge_hll: register table carries grouping columns {sorted(extra)};"

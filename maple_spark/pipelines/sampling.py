@@ -130,19 +130,24 @@ def weighted_reservoir(
     xxhash64(salt, id) — re-runs and repartitionings return the SAME
     sample; vary ``salt`` to draw independent samples.  u is the hash's
     top 53 bits shifted into (0, 1) with a half-ulp offset so u is never
-    0 or 1 (ln stays finite).  Rows with NULL or non-positive weight are
-    excluded (a zero-weight row must never be sampled; A-Res is defined
-    for w > 0).  Ties cannot occur (u is continuous and injective in
-    the hash), so the sample is deterministic without a tiebreaker.
+    0 or 1 (ln stays finite).  Rows with NULL, NaN, or non-positive
+    weight are excluded (a zero-weight row must never be sampled; A-Res
+    is defined for finite w > 0 — and Spark orders NaN above every
+    number, so an unfiltered NaN weight would both pass ``> 0`` and
+    rank first).  Scores tie only when ids collide (duplicate id rows,
+    or two ids sharing their hash's top 53 bits); the rank breaks such
+    ties on ``id_col`` so the sample stays deterministic and
+    oracle-parity holds even then.
     """
     h = F.xxhash64(F.lit(salt), F.col(id_col))
     u = (F.shiftrightunsigned(h, 11).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 53)
     )
     score = F.log(u) / F.col(weight_col).cast("double")
-    w = Window.orderBy(F.col("__score").desc())
+    w = Window.orderBy(F.col("__score").desc(), F.col(id_col).asc())
+    wcol = F.col(weight_col).cast("double")
     return (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.where(wcol.isNotNull() & ~F.isnan(wcol) & (wcol > 0))
         .withColumn("__score", score)
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
