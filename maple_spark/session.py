@@ -40,9 +40,20 @@ def get_spark(
     Idempotent: Spark returns the active session if one exists; confs are
     applied only on first creation.
     """
+    builder = SparkSession.builder.appName(app_name)
+    # Master resolution: an explicit argument wins; otherwise defer to a
+    # cluster manager configured externally (spark-submit --master /
+    # SPARK_MASTER set spark.master as a system property — forcing
+    # local[] here would silently demote a 1000-executor submission to
+    # the driver machine); only a truly unconfigured run defaults local.
+    from pyspark import SparkConf
+
+    if master:
+        builder = builder.master(master)
+    elif not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{DEFAULT_CPUS}]")
+        builder
         # --- planner / optimizer ---------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
