@@ -424,10 +424,14 @@ def connected_components(
     to a (node, label) table.  Rounds needed = graph diameter; dup
     clusters are short chains (diameter ≪ 10 in practice).  Each round
     ``localCheckpoint``s the label table — without it the plan doubles
-    per iteration and the job dies on lineage, not data.  For adversarial
-    long-chain graphs swap in the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce"), same join
-    primitive.
+    per iteration and the job dies on lineage, not data.  (localCheckpoint
+    blocks store on executors: an executor loss mid-run fails the job and
+    restarts the loop.  On a long-running 1000-executor cluster, set
+    ``spark.sparkContext.setCheckpointDir`` and swap in reliable
+    ``checkpoint()`` — same call shape, survives executor loss at the
+    cost of a DFS write per round.)  For adversarial long-chain graphs
+    swap in the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce"), same join primitive.
     """
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("src"),
