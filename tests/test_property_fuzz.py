@@ -435,3 +435,48 @@ def test_random_set_ops_agree(spark, a, b, op):
         ((x is not None, x or 0), y) for x, y in con.execute(sql).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distributed two-pass rank vs the naive global window
+# ---------------------------------------------------------------------------
+
+rank_rows = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ks=rank_rows, n_buckets=st.sampled_from([1, 2, 3, 8]))
+def test_random_distributed_rank_agrees(spark, ks, n_buckets):
+    """o1's two-pass bucketed rank must equal the single-partition global
+    row_number on arbitrary small NULL/duplicate-heavy inputs at any
+    bucket count — including n_buckets=1 (degenerate: one bucket) and
+    all-NULL keys (no cut points)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from maple_spark.operators.sort import distributed_row_number
+
+    data = [(i, k) for i, k in enumerate(ks)]
+    df = spark.createDataFrame(data, "id int, k int")
+    keys = [F.col("k").asc_nulls_first(), F.col("id").asc()]
+    got = sorted(
+        tuple(r)
+        for r in distributed_row_number(
+            df, "k", keys, rn_name="rn", n_buckets=n_buckets
+        ).select("id", "rn").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*keys)).cast("bigint")
+        ).select("id", "rn").collect()
+    )
+    assert got == want
