@@ -1,0 +1,135 @@
+"""Measured scaling evidence: replicate the sf0.1 fixtures 10x and time
+the headline plans at both sizes.
+
+The correctness fixtures stop at sf0.1, and each table there is ONE
+parquet file with ONE row group — so every scan is single-core and
+absolute bench numbers carry that floor (see bench.py).  This experiment
+answers the question the fixtures can't: do the PLANS scale?  It derives
+a 10x corpus from the committed sf0.1 data (no new synthetic
+distributions — fact tables are unioned with key shifts, dimensions stay
+fixed, document text gets a per-copy suffix so the near-dup structure is
+preserved rather than degenerating into 10-way exact duplicates), writes
+it as 16-file parquet (a realistic splittable layout), and times a
+representative query subset at sf0.1 vs 10x with bench.py's
+execution-only min-of-3 method.
+
+A scale-correct plan should show wall-time ratios ~<= 10 on 32 cores
+(sub-linear where the single-file floor disappears, ~linear where the
+work is genuinely 10x); a scale-broken plan (quadratic candidate
+generation, single-partition stage) shows >> 10.
+
+Usage: python scripts/scale_experiment.py [out_dir]   # default /tmp/maple_sfx10
+Writes one JSON line: {"queries": {name: {"sf01": s, "x10": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+N_FILES = 16
+
+#: representative plan families: scan+agg, multi-join star, window,
+#: exact dedup, minhash dedup, text stats, event rollup, corpus pipeline
+QUERIES = [
+    "a2_groupby_q1",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "w1_window_rank",
+    "d1_dedup_exact",
+    "d3_minhash_lsh",
+    "t1_text_stats",
+    "st1_hourly_agg",
+    "cp1_corpus_pipeline",
+    "o3_topk",
+    "t15_weighted_sample",
+]
+
+# (table, key columns to shift per copy) — dimensions replicate once
+FACT_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        df = load_table(spark, SRC, t)
+        df.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t, keys in FACT_SHIFTS.items():
+        base = load_table(spark, SRC, t)
+        span = {k: base.agg(F.max(k)).first()[0] + 1 for k in keys}
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * span[k]))
+            if t == "documents":
+                # keep the near-dup structure: a per-copy suffix makes
+                # copies distinct-but-similar instead of exact duplicates
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copy{i}"))
+                )
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        out.repartition(N_FILES).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+
+def timeit(df) -> float:
+    df.write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from maple_spark.session import get_spark
+
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/maple_sfx10"
+    spark = get_spark(app_name="scale_experiment")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        build(spark, out_dir)
+
+    qs = entrymod.queries()
+    qs["s1_scan_filter"](spark, SRC).write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name in QUERIES:
+        small = timeit(qs[name](spark, SRC))
+        big = timeit(qs[name](spark, out_dir))
+        results[name] = {
+            "sf01": round(small, 3),
+            "x10": round(big, 3),
+            "ratio": round(big / small, 2) if small > 0 else None,
+        }
+        print(f"{name:24s} sf0.1 {small:6.3f}s  x10 {big:7.3f}s  ratio {big/small:5.2f}", file=sys.stderr)
+    print(json.dumps({"copies": COPIES, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
