@@ -51,6 +51,12 @@ QUERIES = [
     "cp1_corpus_pipeline",
     "o3_topk",
     "t15_weighted_sample",
+    "j3_sort_merge_join",
+    "q18_large_volume_customer",
+    "aj1_asof_join",
+    "sim1_cosine_topk",
+    "a4_count_distinct",
+    "set_union",
 ]
 
 # (table, key columns to shift per copy) — dimensions replicate once
