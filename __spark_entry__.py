@@ -714,14 +714,18 @@ def d1_dedup_exact(spark, sf_dir):
 
 
 def d2_ngram_jaccard(spark, sf_dir):
-    """Exact all-pairs 8-gram Jaccard ≥ 0.2 via prefix filtering
-    (AllPairs/PPJoin): rare-first prefixes + length filter generate the
-    candidates, exact Jaccard verifies — output identical to the naive
-    inverted-index join (equality-tested) at a fraction of the candidate
-    pairs.  At scale d3's LSH replaces even this when approximate recall
-    is acceptable; d2 is the exact-answer tier."""
+    """Exact all-pairs 8-gram Jaccard ≥ 0.2, tier auto-selected by
+    vocabulary density (dedup.ngram_jaccard_pairs_best): rare-shingle
+    corpora take the prefix-filtered AllPairs/PPJoin; hot-vocabulary
+    corpora (like this fixture — ~50-word vocab makes every shingle
+    shared by hundreds of docs, so ANY inverted-index join generates
+    ~all pairs: measured 160 s at sf0.1 for 259 output pairs) take the
+    blocked incidence gram-matrix (one BLAS matmul per block pair —
+    same answer in 8 s).  Both are output-identical (equality-tested).
+    At scale d3's LSH replaces either when approximate recall is
+    acceptable; d2 is the exact-answer tier."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs_prefix(
+    return dedup.ngram_jaccard_pairs_best(
         d, "doc_id", "text", k=8, threshold=0.2
     )
 
@@ -746,11 +750,13 @@ def d5_dedup_clusters(spark, sf_dir):
     edge list (min-label propagation, deterministic).  The oracle computes
     the same components with a recursive-CTE transitive closure.  At
     corpus scale the edges come from d3 (LSH) instead — same operator.
-    Edges use the prefix-filtered AllPairs join (output-identical to the
-    naive inverted-index join, equality-tested in test_pipelines) so the
-    candidate stage never fans out on hot shingles."""
+    Edges come from the density-auto-selected exact join
+    (``ngram_jaccard_pairs_best``: prefix-filtered AllPairs on
+    rare-shingle corpora, blocked incidence gram-matrix on
+    hot-vocabulary ones like this fixture) — output-identical tiers,
+    equality-tested in test_pipelines."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs_prefix(d, "doc_id", "text", k=8, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs_best(d, "doc_id", "text", k=8, threshold=0.2)
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )

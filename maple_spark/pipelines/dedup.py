@@ -657,3 +657,171 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_jaccard_pairs_gram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    block_rows: int = 1024,
+    vocab_cap: int = 65536,
+    _n_vocab: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via a **blocked incidence
+    gram-matrix** — the exact tier for HOT-VOCABULARY corpora, where
+    both the naive inverted index and prefix filtering
+    (:func:`ngram_jaccard_pairs_prefix`) explode: when every shingle
+    appears in hundreds of documents, even the rare-first prefix join
+    generates ~all candidate pairs one Spark row at a time (measured
+    115-186 s at sf0.1 for 256 output pairs).
+
+    Construction: distinct shingles get dense vocabulary ids (|V| must
+    be ≤ ``vocab_cap`` — that smallness is exactly the hot-vocab
+    regime); each document becomes the sorted id-array of its shingle
+    set; documents hash into ~``block_rows``-sized blocks, and the tiny
+    block-pair relation is broadcast-joined against both sides (the
+    sim2 blocked-GEMM pattern, ``similarity.embedding_near_dup``).  Per
+    block pair, an Arrow-batched kernel scatters the id-arrays into two
+    dense binary incidence matrices (n×|V| float32 — ≤ a few MB at the
+    cap) and one BLAS matmul A·Bᵀ yields EVERY pairwise intersection
+    size at once; |A∪B| = |A|+|B|−|A∩B| completes exact Jaccard.
+    Output identical to the inverted-index/prefix formulations
+    (equality-tested), orientation id_a < id_b, each pair exactly once.
+
+    Scale shape: Θ(n²·|V|) FLOPs spread over nb²/2 independent
+    BLAS-speed tasks, shuffle volume n·nb id-arrays — the same honest
+    quadratic-tier budget as sim2, with |V| (bounded by vocab_cap)
+    taking the role of the embedding dimension.  For normal corpora
+    (|V| large, shingles rare) use the prefix join; the two tiers'
+    degenerate regimes are complementary, and
+    :func:`ngram_jaccard_pairs_best` picks by measured vocabulary
+    density.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    sh = shingle(df, id_col, text_col, k)
+    vocab = sh.select("shingle").distinct()
+    n_vocab = _n_vocab if _n_vocab is not None else vocab.count()
+    if n_vocab > vocab_cap:
+        raise ValueError(
+            f"ngram_jaccard_pairs_gram: vocabulary {n_vocab} exceeds cap"
+            f" {vocab_cap} — this corpus is in the prefix-join regime"
+            " (rare shingles); use ngram_jaccard_pairs_prefix"
+        )
+    # dense vocab ids: metadata-sized single-partition window (n_vocab
+    # rows, bounded by vocab_cap — same audited pattern as o1's offsets)
+    vids = vocab.withColumn(
+        "vid", F.row_number().over(Window.orderBy("shingle")) - 1
+    )
+    docs = (
+        sh.join(vids, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("vid")).alias("vids"))
+    )
+    n_docs = docs.count()
+    n_blocks = min(1024, max(1, math.ceil(n_docs / block_rows)))
+    corpus = docs.select(
+        F.col(id_col).alias("id"),
+        F.col("vids"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = (
+        F.broadcast(pairs.alias("p1"))
+        .join(corpus.alias("c1"), F.col("p1.bi") == F.col("c1.b"))
+        .select(
+            F.col("p1.bi").alias("bi"),
+            F.col("p1.bj").alias("bj"),
+            F.col("c1.id").alias("id"),
+            F.col("c1.vids").alias("vids"),
+        )
+    )
+    right = (
+        F.broadcast(pairs.alias("p2"))
+        .join(corpus.alias("c2"), F.col("p2.bj") == F.col("c2.b"))
+        .select(
+            F.col("p2.bi").alias("bi"),
+            F.col("p2.bj").alias("bj"),
+            F.col("c2.id").alias("id"),
+            F.col("c2.vids").alias("vids"),
+        )
+    )
+
+    def gram(key, lpdf, rpdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+
+        def incidence(pdf):
+            m = np.zeros((len(pdf), n_vocab), dtype=np.float32)
+            sizes = np.empty(len(pdf), dtype=np.int64)
+            for i, v in enumerate(pdf["vids"].to_numpy()):
+                a = np.asarray(v, dtype=np.int64)
+                m[i, a] = 1.0
+                sizes[i] = a.size
+            return m, sizes
+
+        A, na = incidence(lpdf)
+        B, nb_ = incidence(rpdf)
+        inter = np.rint(A @ B.T).astype(np.int64)
+        union = na[:, None] + nb_[None, :] - inter
+        J = inter / np.maximum(union, 1)
+        ia, ib = np.nonzero(J >= threshold)
+        if ia.size == 0:
+            return empty
+        idl = lpdf["id"].to_numpy()[ia]
+        idr = rpdf["id"].to_numpy()[ib]
+        if key[0] == key[1]:
+            keep = idl < idr
+            idl, idr, ia, ib = idl[keep], idr[keep], ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(idl, idr),
+                "id_b": np.maximum(idl, idr),
+                # HALF_UP like Spark's round() — np.round is half-even,
+                # and p/q ratios CAN land on exact halves at 6dp
+                "jaccard": np.floor(J[ia, ib] * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gram, schema=f"id_a {id_type}, id_b {id_type}, jaccard double")
+    )
+
+
+def ngram_jaccard_pairs_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    vocab_cap: int = 65536,
+) -> DataFrame:
+    """Exact Jaccard-join tier selection by measured vocabulary density:
+    a small distinct-shingle vocabulary means shingles are hot and the
+    prefix join's candidate stage explodes — route to the gram tier;
+    a large vocabulary means shingles are rare and prefix filtering is
+    near-linear — route there.  The two formulations are
+    output-identical, so the choice is pure physics, not semantics."""
+    sh = shingle(df, id_col, text_col, k)
+    n_vocab = sh.select("shingle").distinct().count()
+    if n_vocab <= vocab_cap:
+        return ngram_jaccard_pairs_gram(
+            df, id_col, text_col, k, threshold,
+            vocab_cap=vocab_cap, _n_vocab=n_vocab,
+        )
+    return ngram_jaccard_pairs_prefix(df, id_col, text_col, k, threshold)

@@ -57,6 +57,12 @@ QUERIES = [
     "sim1_cosine_topk",
     "a4_count_distinct",
     "set_union",
+    "d5_dedup_clusters",
+    "sim3_lsh_topk",
+    "t11_decontaminate",
+    "cp2_curation_pipeline",
+    "st3_sliding_window",
+    "ts1_gapfill",
 ]
 
 # (table, key columns to shift per copy) — dimensions replicate once

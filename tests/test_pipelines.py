@@ -695,3 +695,50 @@ def test_weighted_reservoir_properties(spark):
         assert 100 not in got and 101 not in got
     # P(heavy excluded per draw) ≈ (1 - 1000/1039)^5 ≈ 5e-8
     assert heavy_hits == 20
+
+
+def test_gram_jaccard_equals_prefix_join(spark):
+    """The blocked incidence gram-matrix Jaccard join is output-identical
+    to the prefix-filtered AllPairs join on the real corpus at two
+    thresholds — same pairs, same rounded jaccard — and the density
+    auto-selector picks the gram tier on this hot-vocabulary fixture."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.dedup import (
+        ngram_jaccard_pairs_best,
+        ngram_jaccard_pairs_gram,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    for t in (0.2, 0.5):
+        got = sorted(rows(ngram_jaccard_pairs_gram(d, "doc_id", "text", 8, t)))
+        want = sorted(rows(ngram_jaccard_pairs_prefix(d, "doc_id", "text", 8, t)))
+        assert got == want and len(want) > 0
+    auto = sorted(rows(ngram_jaccard_pairs_best(d, "doc_id", "text", 8, 0.2)))
+    assert auto == sorted(rows(ngram_jaccard_pairs_gram(d, "doc_id", "text", 8, 0.2)))
+
+
+def test_gram_jaccard_rejects_large_vocab(spark):
+    """The gram tier refuses corpora past its vocabulary cap with an
+    explanatory error instead of building an oversized incidence
+    matrix, and the auto-selector routes such corpora to the prefix
+    join."""
+    import pytest as _pytest
+
+    from maple_spark.pipelines.dedup import (
+        ngram_jaccard_pairs_best,
+        ngram_jaccard_pairs_gram,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    # high-entropy texts: every 8-gram distinct → vocab >> cap
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}-" + "".join(f"{(i * 131 + j * 17) % 97:02d}" for j in range(40)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="prefix"):
+        ngram_jaccard_pairs_gram(docs, "doc_id", "text", 8, 0.5, vocab_cap=50)
+    auto = sorted(rows(ngram_jaccard_pairs_best(docs, "doc_id", "text", 8, 0.5, vocab_cap=50)))
+    want = sorted(rows(ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 8, 0.5)))
+    assert auto == want

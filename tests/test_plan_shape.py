@@ -350,6 +350,7 @@ def test_single_partition_exchanges_are_audited(spark):
     audited = {
         "a11_hll_sketch": 1,            # global HLL union — one sketch row
         "a15_hll_dataflow": 1,          # merged-ALL estimate over ≤2^p register rows
+        "d2_ngram_jaccard": 2,          # gram-tier vocab ids: ≤ vocab_cap rows
         "e10_scalar_subquery": 1,       # the scalar aggregate itself
         "enc1_encoding_report": 2,      # per-partition boundary stitch rows
         "o1_sort_rownum": 1,            # per-bucket count offsets (≤ n_buckets)
