@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from maple_spark.catalog import load_table
+from maple_spark.functions import phash as _phash
 from maple_spark.operators.aggregate import decimal_avg, decimal_sum, group_aggregate
 from maple_spark.operators.joins import join as mjoin
 from maple_spark.operators import subquery as sq
@@ -2176,9 +2177,10 @@ def a14_countmin_sketch(spark, sf_dir):
     (functions/sketch.py): one explode+groupBy builds the counter table,
     estimates join it broadcast — no driver round-trip.  Estimates sit
     next to exact counts so the CMS guarantee (estimate ≥ exact,
-    ≤ exact + εN) is visible in the output.  Exact DuckDB twin in
-    ``oracle_sql_extended`` (xxhash64 UDFs registered by selfcheck);
-    the bound and mergeability are pytest-asserted."""
+    ≤ exact + εN) is visible in the output.  Exact vanilla-DuckDB twin
+    in ``oracle_sql`` (the buckets are portable md5-fingerprint
+    arithmetic, functions/phash.py); the bound and mergeability are
+    pytest-asserted."""
     from maple_spark.functions.sketch import countmin_estimate, countmin_table
 
     o = _t(spark, sf_dir, "orders")
@@ -2845,6 +2847,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from maple_spark.functions import phash as _ph
+
+    # --- d3/d4: engine-portable md5 fingerprints (functions/phash.py) ---
+    # The hash is the builder's free choice, so it was chosen to be
+    # computable natively by BOTH engines: md5-hex → BIGINT, then plain
+    # arithmetic.  These twins replay the Spark pipeline exactly — no
+    # UDF tier, the driver's vanilla DuckDB runs them as-is.
+    _mh_vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_ph.perm_consts(64))
+    )
+    _mh_bucket = _ph.sql_poly_bucket(
+        [f"hs[CAST(b * 4 + {j + 1} AS INTEGER)]" for j in range(4)]
+    )
+    _sh_fp = _ph.sql_fp60("substr(text, CAST(i AS INTEGER), 8)")
+    d3_oracle = f"""
+            WITH consts(perm, a, b) AS (VALUES {_mh_vals}),
+            baseh AS (
+              -- min over the shingle multiset == min over the distinct set
+              SELECT DISTINCT doc_id, ({_sh_fp} % {_ph.P31}) AS r
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), sig AS (
+              SELECT doc_id, perm, MIN((a * r + b) % {_ph.P31}) AS mh
+              FROM baseh CROSS JOIN consts
+              GROUP BY doc_id, perm
+            ), sigl AS (
+              SELECT doc_id, list(mh ORDER BY perm) AS hs FROM sig GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, CAST(b AS INTEGER) AS band, {_mh_bucket} AS bucket
+              FROM sigl, unnest(generate_series(0, 15)) AS g(b)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.doc_id < b.doc_id
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE) /
+                         (ca.n_shingles + cb.n_shingles - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE round(CAST(n_inter AS DOUBLE) /
+                        (ca.n_shingles + cb.n_shingles - n_inter), 6) >= 0.2
+        """
+    _tok_h1 = _ph.sql_fp60("t.tok")
+    _tok_h2 = _ph.sql_fp_nib("t.tok")
+    d4_oracle = f"""
+            WITH tok AS (
+              SELECT doc_id, {_tok_h1} AS h1, {_tok_h2} AS h2
+              FROM documents,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+              WHERE length(t.tok) > 0
+            ), bits AS (
+              SELECT doc_id, CAST(b AS INTEGER) AS b,
+                     SUM(CASE WHEN (CASE WHEN b < 60 THEN (h1 >> b) & 1
+                                    ELSE (h2 >> (b - 60)) & 1 END) = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM tok, unnest(generate_series(0, 63)) AS g(b)
+              GROUP BY doc_id, b
+            ), fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 THEN
+                       CASE WHEN b = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << b) END
+                       ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """
+
     dsum = lambda col, alias, s=2: (
         f"CAST(SUM(CAST({col} AS DECIMAL(38,{s}))) AS DOUBLE) AS {alias}"
     )
@@ -3312,6 +3402,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_inter AS DOUBLE) /
                   (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
         """,
+        "d3_minhash_lsh": d3_oracle,
+        "d4_simhash_pairs": d4_oracle,
         "d5_dedup_clusters": """
             WITH RECURSIVE sh AS (
               SELECT DISTINCT doc_id,
@@ -4452,19 +4544,21 @@ def oracle_sql() -> dict[str, str]:
                      '<PHONE>', 'g')) AS scrub_md5
             FROM documents
         """,
+        **_hash_defined_oracles(),
     }
 
 
 def _hll_oracle(src: str, out_col: str, est_col: str, with_all: bool) -> str:
-    """Extended-oracle builder for the dataflow HLL (a15, st6): rebuilds
-    every register with the same bitwise pipeline (xxh_l hash →
-    high-12-bit register → 6-step smear + bit_count rank) and the same
-    estimator, with the 2^(−rho) sum done in exact DECIMAL integers so
-    only the final division/ln touch floating point — see
+    """Oracle builder for the dataflow HLL (a15, st6): rebuilds every
+    register with the same bitwise pipeline (portable 60-bit md5
+    fingerprint → high-12-bit register → 6-step smear + bit_count rank)
+    and the same estimator, with the 2^(−rho) sum done in exact DECIMAL
+    integers so only the final division/ln touch floating point — see
     functions/sketch.py.  ``src`` must select (grp, h); ``with_all``
-    appends the merged-registers 'ALL' row (a15's lossless union)."""
+    appends the merged-registers 'ALL' row (a15's lossless union).
+    Vanilla DuckDB SQL throughout — the driver gate runs it directly."""
     p, m = 12, 4096
-    q = 64 - p + 1
+    q = 60 - p + 1
     a_lit = repr(0.7213 / (1 + 1.079 / m) * m * m * float(2**q))
     est = f"""
               SELECT grp,
@@ -4495,8 +4589,8 @@ def _hll_oracle(src: str, out_col: str, est_col: str, with_all: bool) -> str:
     return f"""
             WITH rr AS (
               SELECT grp,
-                     (h >> {64 - p}) & {m - 1} AS reg,
-                     h & ((CAST(1 AS BIGINT) << {64 - p}) - 1) AS w
+                     (h >> {60 - p}) & {m - 1} AS reg,
+                     h & ((CAST(1 AS BIGINT) << {60 - p}) - 1) AS w
               FROM ({src})
             ), s1 AS (SELECT grp, reg, w | (w >> 1) AS s FROM rr),
             s2 AS (SELECT grp, reg, s | (s >> 2) AS s FROM s1),
@@ -4512,7 +4606,8 @@ def _hll_oracle(src: str, out_col: str, est_col: str, with_all: bool) -> str:
 
 
 _A15_HLL_ORACLE = _hll_oracle(
-    "SELECT o_orderpriority AS grp, xxh_l(o_custkey) AS h"
+    "SELECT o_orderpriority AS grp,"
+    f" {_phash.sql_fp60('CAST(o_custkey AS VARCHAR)')} AS h"
     " FROM orders WHERE o_custkey IS NOT NULL",
     out_col="o_orderpriority",
     est_col="approx_n",
@@ -4521,30 +4616,26 @@ _A15_HLL_ORACLE = _hll_oracle(
 
 _ST6_HLL_ORACLE = _hll_oracle(
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS grp,"
-    " xxh_l(user_id) AS h FROM events WHERE user_id IS NOT NULL",
+    f" {_phash.sql_fp60('CAST(user_id AS VARCHAR)')} AS h"
+    " FROM events WHERE user_id IS NOT NULL",
     out_col="hour",
     est_col="approx_users",
     with_all=False,
 )
 
 
-def oracle_sql_extended() -> dict[str, str]:
-    """Oracle SQL for the Spark-hash-dependent queries, runnable only on a
-    DuckDB connection with the Spark-compatible xxhash64 UDFs registered
-    (``maple_spark.functions.xxh.register_duckdb_udfs``; scripts/selfcheck.py
-    does this).  Kept OUT of :func:`oracle_sql` because the driver's gate
-    runs oracles on a vanilla DuckDB where ``xxh_s``/``xxh_il``/... don't
-    exist — these entries would error there, which is worse than the
-    documented rows-only check.  The selfcheck (and the judge re-running
-    it) get exact value-compares for d3/d4/sim3/a14; sim4 (MLlib k-means
-    internals), a11 (Spark DataSketches HLL), enc1 (engine-internal
-    encoding report) and mm3 (stub inference) remain rows-only by design.
+def _hash_defined_oracles() -> dict[str, str]:
+    """Oracle SQL for the hash-defined queries (sim3/a15/st6/t15/a14) —
+    all vanilla DuckDB since round 5: the builder-chosen hash is the
+    engine-portable md5 fingerprint (functions/phash.py), so the
+    driver's plain-DuckDB gate replays every value exactly.  Merged into
+    :func:`oracle_sql`.
 
     sim3's SRP hyperplane signs depend only on (plane, dim) — data-free —
     so they are precomputed here with the pure-Python Spark-exact XXH64
-    and inlined as literal ±1 lists; the fold order of every dot product
-    matches Spark's ``aggregate`` left fold bit-for-bit via
-    ``list_reduce``.
+    and inlined as literal ±1 lists (the SQL itself contains no UDF);
+    the fold order of every dot product matches Spark's ``aggregate``
+    left fold bit-for-bit via ``list_reduce``.
     """
     from maple_spark.functions.xxh import spark_xxhash64
 
@@ -4568,82 +4659,6 @@ def oracle_sql_extended() -> dict[str, str]:
         f"xor(CAST(sig AS BIGINT), {1 << p})" for p in range(num_planes)
     ) + "]"
     return {
-        "d3_minhash_lsh": """
-            WITH baseh AS (
-              -- min over the shingle multiset == min over the distinct set
-              SELECT DISTINCT doc_id,
-                     xxh_s(substr(text, CAST(i AS INTEGER), 8)) AS h
-              FROM documents,
-                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
-            ), sig AS (
-              SELECT doc_id, CAST(p AS INTEGER) AS perm,
-                     MIN(xxh_il(CAST(p AS INTEGER), h)) AS mh
-              FROM baseh, unnest(generate_series(0, 63)) AS g(p)
-              GROUP BY doc_id, perm
-            ), sigl AS (
-              SELECT doc_id, list(mh ORDER BY perm) AS hs FROM sig GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, CAST(b AS INTEGER) AS band,
-                     xxh_il4(CAST(b AS INTEGER),
-                             hs[CAST(b * 4 + 1 AS INTEGER)],
-                             hs[CAST(b * 4 + 2 AS INTEGER)],
-                             hs[CAST(b * 4 + 3 AS INTEGER)],
-                             hs[CAST(b * 4 + 4 AS INTEGER)]) AS bucket
-              FROM sigl, unnest(generate_series(0, 15)) AS g(b)
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a
-              JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                          AND a.doc_id < b.doc_id
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     substr(text, CAST(i AS INTEGER), 8) AS shingle
-              FROM documents,
-                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
-            ), counts AS (
-              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-              GROUP BY c.id_a, c.id_b
-            )
-            SELECT id_a, id_b,
-                   round(CAST(n_inter AS DOUBLE) /
-                         (ca.n_shingles + cb.n_shingles - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN counts ca ON ca.doc_id = id_a
-            JOIN counts cb ON cb.doc_id = id_b
-            WHERE round(CAST(n_inter AS DOUBLE) /
-                        (ca.n_shingles + cb.n_shingles - n_inter), 6) >= 0.2
-        """,
-        "d4_simhash_pairs": """
-            WITH tok AS (
-              SELECT doc_id, xxh_s(t.tok) AS h
-              FROM documents,
-                   unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
-              WHERE length(t.tok) > 0
-            ), bits AS (
-              SELECT doc_id, CAST(b AS INTEGER) AS b,
-                     SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
-                              THEN 1 ELSE -1 END) AS s
-              FROM tok, unnest(generate_series(0, 63)) AS g(b)
-              GROUP BY doc_id, b
-            ), fp AS (
-              SELECT doc_id,
-                     CAST(SUM(CASE WHEN s > 0 THEN
-                       CASE WHEN b = 63 THEN -9223372036854775808
-                            ELSE (CAST(1 AS BIGINT) << b) END
-                       ELSE 0 END) AS BIGINT) AS simhash
-              FROM bits GROUP BY doc_id
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
-                     AS hamming
-            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        """,
         "sim3_lsh_topk": f"""
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4668,19 +4683,19 @@ def oracle_sql_extended() -> dict[str, str]:
         """,
         "a15_hll_dataflow": _A15_HLL_ORACLE,
         "st6_hll_stream": _ST6_HLL_ORACLE,
-        "t15_weighted_sample": """
+        "t15_weighted_sample": f"""
             SELECT doc_id, n_chars FROM (
               SELECT doc_id, n_chars,
                      row_number() OVER (
-                       ORDER BY ln((((xxh_il(0, doc_id) >> 11)
-                                     & 9007199254740991) + 0.5)
+                       ORDER BY ln((({_phash.sql_fp60(
+                           "'es0|' || CAST(doc_id AS VARCHAR)")} >> 7) + 0.5)
                                    / 9007199254740992.0)
                                 / CAST(n_chars AS DOUBLE) DESC,
                                 doc_id ASC) AS rk
               FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
             ) WHERE rk <= 100
         """,
-        "a14_countmin_sketch": """
+        "a14_countmin_sketch": f"""
             WITH exact AS (
               SELECT o_orderpriority, COUNT(*) AS exact_n
               FROM orders GROUP BY o_orderpriority
@@ -4688,8 +4703,9 @@ def oracle_sql_extended() -> dict[str, str]:
               -- counters collapse by key: bucket depends only on the value,
               -- so cell count = sum of exact counts of keys mapping there
               SELECT CAST(i AS INTEGER) AS h,
-                     ((xxh_is(CAST(i AS INTEGER), o_orderpriority) % 4096)
-                       + 4096) % 4096 AS bucket,
+                     {_phash.sql_fp60(
+                         "'cm' || CAST(i AS VARCHAR) || '|' || o_orderpriority"
+                     )} % 4096 AS bucket,
                      CAST(SUM(exact_n) AS BIGINT) AS n
               FROM exact, unnest(generate_series(0, 4)) AS g(i)
               GROUP BY 1, 2
@@ -4698,8 +4714,9 @@ def oracle_sql_extended() -> dict[str, str]:
               FROM exact e, unnest(generate_series(0, 4)) AS g(i)
               JOIN cells c
                 ON c.h = CAST(g.i AS INTEGER)
-               AND c.bucket = ((xxh_is(CAST(g.i AS INTEGER), e.o_orderpriority)
-                                % 4096) + 4096) % 4096
+               AND c.bucket = {_phash.sql_fp60(
+                   "'cm' || CAST(g.i AS VARCHAR) || '|' || e.o_orderpriority"
+               )} % 4096
               GROUP BY e.o_orderpriority
             )
             SELECT e.o_orderpriority, e.exact_n, est.cms_estimate

@@ -13,6 +13,9 @@ building + eager Catalyst analysis) BEFORE the clock starts, because that
 driver-side cost is fixed per query, independent of data volume — at 100 TB
 it is noise, at sf0.1 it would dominate wide plans (e.g. the 64-permutation
 MinHash projection) and mis-rank optimizations that matter at scale.
+Exception: CONSTRUCT_TIMED queries (sim4/sim5) run Spark jobs — the
+deterministic-Lloyd quantizer — during construction, so for them the clock
+covers construction too (that cost DOES scale with data volume).
 
 Two harness-side floors on the numbers (measured, round 4):
 
@@ -68,7 +71,16 @@ HEADLINE = [
     "sim2_embedding_near_dup",
     "t11_decontaminate",
     "cp2_curation_pipeline",
+    "sim4_ivf_topk",
+    "sim5_semdedup",
 ]
+
+#: Queries whose REAL cost partly runs at DataFrame-construction time
+#: (sim4/sim5's deterministic-Lloyd quantizer collects centroid metadata
+#: while the plan is being built).  For these the clock starts BEFORE
+#: construction so the bench reports honest end-to-end cost instead of
+#: hiding the quantizer outside the timed region.
+CONSTRUCT_TIMED = {"sim4_ivf_topk", "sim5_semdedup"}
 
 
 def main() -> None:
@@ -101,9 +113,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
-            df = qs[name](spark, SF_DIR)
-            keep_alive.append(df)
             t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            if name not in CONSTRUCT_TIMED:
+                t0 = time.time()  # restart clock: construction untimed
+            keep_alive.append(df)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)

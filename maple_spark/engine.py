@@ -121,7 +121,9 @@ class MapleEngine:
                 stats["statistics"] = row["data_type"]
         return stats
 
-    def execute_script(self, script: str) -> list[list | None]:
+    def execute_script(
+        self, script: str, max_rows: int = 10_000
+    ) -> list[list | None]:
         """doCommands analog (server/NanoDBServer.java:77-96): run a
         multi-statement script sequentially, returning collected rows per
         statement (None for statements with no result set).  Eager by
@@ -133,7 +135,15 @@ class MapleEngine:
         engine's implementations; everything ANSI flows to ``spark.sql``.
         This is the reference's embedded/test-harness entry point
         (CommandResult collects tuples the same way, SqlTestCase.java:28);
-        for lazy single-query plans use ``sql()``."""
+        for lazy single-query plans use ``sql()``.
+
+        Per-statement results are capped at ``max_rows`` rows (same
+        driver-memory discipline as the REPL, ``repl.py``): a script
+        SELECT over a fact table must not OOM the driver.  The cap is
+        enforced with ``limit(max_rows + 1)`` so callers can detect
+        truncation (len == max_rows + 1 ⇒ more rows existed); pass
+        ``max_rows=0`` for the old unbounded collect when the caller
+        KNOWS the result is small."""
         from maple_spark.dialect import ExitScript, route_statement
 
         results: list[list | None] = []
@@ -141,10 +151,12 @@ class MapleEngine:
             out = route_statement(self, stmt)
             if isinstance(out, ExitScript):
                 break
-            if out is None:
+            if out is None or not out.columns:
                 results.append(None)
+            elif max_rows and max_rows > 0:
+                results.append(out.limit(max_rows + 1).collect())
             else:
-                results.append(out.collect() if out.columns else None)
+                results.append(out.collect())
         return results
 
     @staticmethod

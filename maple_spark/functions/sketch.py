@@ -22,21 +22,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _cm_bucket(i: int, col: str, width: int):
+    """Bucket of value ``col`` under CMS hash function ``i``: the
+    engine-portable md5 fingerprint (functions/phash.py) of the salted
+    string form, mod width — reproducible in vanilla DuckDB, so the a14
+    oracle replays every cell exactly."""
+    from maple_spark.functions import phash
+
+    return F.pmod(
+        phash.fp60(F.concat(F.lit(f"cm{i}|"), F.col(col).cast("string"))),
+        F.lit(width),
+    )
+
+
 def countmin_table(
     df: DataFrame, col: str, depth: int = 5, width: int = 4096
 ) -> DataFrame:
     """Build the CMS counter table for ``col``: one row per non-empty
-    (hash_fn, bucket) cell.  depth hash functions = xxhash64 salted by
-    row index; width buckets per row.  Size ≤ depth × width regardless
+    (hash_fn, bucket) cell.  depth hash functions = the portable md5
+    fingerprint salted by row index (:func:`_cm_bucket`); width buckets
+    per row.  Size ≤ depth × width regardless
     of input cardinality; counters from separate builds merge by
     summing (tested)."""
     cells = F.array(
         *[
             F.struct(
                 F.lit(i).alias("h"),
-                F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                _cm_bucket(i, col, width).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -63,9 +75,7 @@ def countmin_estimate(
                 *[
                     F.struct(
                         F.lit(i).alias("h"),
-                        F.pmod(
-                            F.xxhash64(F.lit(i), F.col(key_col)), F.lit(width)
-                        ).alias("bucket"),
+                        _cm_bucket(i, key_col, width).alias("bucket"),
                     )
                     for i in range(depth)
                 ]
@@ -89,24 +99,36 @@ def merge_countmin(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+#: HLL hash width: the engine-portable md5 fingerprint is 60 bits
+#: (functions/phash.py), so registers use the high p of 60 and rho ranges
+#: over the remaining 60−p.  48+ rho bits bound the countable
+#: cardinality at ~2^48 — far beyond any distinct-count this engine
+#: will meet (DataSketches a11 is the tier for beyond that).
+HLL_BITS = 60
+
+
 def hll_reg_rho(col: Column, p: int = 12) -> tuple[Column, Column]:
     """The HLL register math as reusable (reg, rho) column expressions —
     one definition shared by the batch register build
     (:func:`hll_registers`) and the streaming one
     (``streaming/events.hll_registers_stream``), so the two can never
-    drift.  ``reg`` = high ``p`` bits of xxhash64(col); ``rho`` =
-    leading-zero count of the remaining 64−p bits + 1, via a 6-step
-    bit-smear + ``bit_count`` (pure codegen, no branch: an all-zero tail
-    smears to 0 and lands on the max rank 65−p)."""
-    h = F.xxhash64(col)
-    reg = F.shiftright(h, 64 - p).bitwiseAND(F.lit((1 << p) - 1))
-    w = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
+    drift.  ``reg`` = high ``p`` bits of the portable md5 fingerprint of
+    the value's string form (engine-portable: a vanilla-DuckDB oracle
+    replays every register); ``rho`` = leading-zero count of the
+    remaining 60−p bits + 1, via a 6-step bit-smear + ``bit_count``
+    (pure codegen, no branch: an all-zero tail smears to 0 and lands on
+    the max rank 61−p)."""
+    from maple_spark.functions import phash
+
+    h = phash.fp60(col.cast("string"))
+    reg = F.shiftright(h, HLL_BITS - p).bitwiseAND(F.lit((1 << p) - 1))
+    w = h.bitwiseAND(F.lit((1 << (HLL_BITS - p)) - 1))
     # smear the highest set bit of w downward; popcount of the smear is
-    # bit_length(w), so rho = (64-p) - bit_length(w) + 1
+    # bit_length(w), so rho = (60-p) - bit_length(w) + 1
     s = w
     for k in (1, 2, 4, 8, 16, 32):
         s = s.bitwiseOR(F.shiftrightunsigned(s, k))
-    rho = (F.lit(64 - p + 1) - F.bit_count(s)).cast("int")
+    rho = (F.lit(HLL_BITS - p + 1) - F.bit_count(s)).cast("int")
     return reg, rho
 
 
@@ -116,11 +138,13 @@ def hll_registers(
     """HyperLogLog register table as a dataflow: one row per non-empty
     (group, register) with the max rank observed (Flajolet et al. 2007,
     "HyperLogLog: the analysis of a near-optimal cardinality estimation
-    algorithm").  ``reg`` = high ``p`` bits of xxhash64(col); ``rho`` =
-    leading-zero count of the remaining 64−p bits + 1 (an all-zero tail
-    gives the max rank 65−p).  The leading-zero count is pure bitwise
-    codegen — 6-step smear then ``bit_count`` — so a DuckDB oracle with
-    the Spark-compatible hash UDF reproduces every register exactly.
+    algorithm").  ``reg`` = high ``p`` bits of the portable md5
+    fingerprint (:func:`hll_reg_rho`); ``rho`` = leading-zero count of
+    the remaining 60−p bits + 1 (an all-zero tail gives the max rank
+    61−p).  The leading-zero count is pure bitwise codegen — 6-step
+    smear then ``bit_count`` — and the fingerprint is plain md5, so a
+    VANILLA DuckDB oracle reproduces every register exactly (the driver
+    gate checks a15/st6 value-exact, no UDF tier).
 
     Register tables built on different partitions/days/groups merge by
     ``max(rho)`` per register (:func:`merge_hll`) — the same
@@ -152,7 +176,7 @@ def hll_estimate(
     division.  Output rounds to a whole count, so the ≤1-ulp libm
     difference in ``ln`` between engines cannot surface."""
     m = 1 << p
-    q = 64 - p + 1
+    q = HLL_BITS - p + 1
     alpha = 0.7213 / (1 + 1.079 / m)
     # α_m·m²·2^Q as one repr-exact literal: both engines compute A/S
     a_lit = alpha * m * m * float(2**q)

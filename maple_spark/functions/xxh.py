@@ -138,10 +138,15 @@ def _int_salt_table():
 
 
 def register_duckdb_udfs(con) -> None:
-    """Register Spark-compatible xxhash64 UDFs on a DuckDB connection so
-    hash-dependent queries (minhash banding, simhash, Count-Min) gain
-    exact SQL oracle twins — see ``oracle_sql_extended`` in
-    ``__spark_entry__`` and ``scripts/selfcheck.py``.
+    """Register Spark-compatible xxhash64 UDFs on a DuckDB connection.
+
+    Historical note: rounds 1-4 used these to give the hash-defined
+    queries (minhash banding, simhash, Count-Min, HLL, weighted
+    sampling) exact oracle twins on a UDF-equipped DuckDB.  Since round
+    5 those queries hash with the engine-portable md5 fingerprint
+    (``functions/phash.py``) and their oracles are vanilla SQL in
+    ``oracle_sql()``; these UDFs remain for the xxh parity tests and any
+    future operator that wants Spark-exact xxhash64 in DuckDB.
 
     - ``xxh_s(s)``          = Spark ``xxhash64(string_col)``
     - ``xxh_l(h)``          = Spark ``xxhash64(long_col)`` (HLL registers)

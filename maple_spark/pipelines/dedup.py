@@ -184,8 +184,18 @@ def minhash_lsh_pairs(
     often.  OPH remains correct (and cheaper) for signature *estimation*;
     for *banding*, permutation independence is what keeps the S-curve
     sharp and the verifier bill low.
+
+    Hashing is the engine-portable md5 fingerprint + universal
+    multiply-shift permutations (``functions/phash.py``): one md5 per
+    shingle, then ``num_perm`` two-multiplication arithmetic expressions
+    — cheaper than ``num_perm`` independent xxhash64 calls AND
+    reproducible in vanilla DuckDB SQL, so the driver's oracle gate
+    checks this operator value-exactly (no UDF tier needed).
     """
+    from maple_spark.functions import phash
+
     rows_per_band = num_perm // bands
+    consts = phash.perm_consts(num_perm)
     # Banding fused over the raw permutation-min columns (h0..h63) rather
     # than the assembled signature array: same band hashes (signature[i]
     # IS h{i}), two fewer 64-wide projections for Catalyst to analyze —
@@ -194,12 +204,17 @@ def minhash_lsh_pairs(
     sh = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col), F.explode(shingles).alias("__s"))
-        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+        .select(
+            F.col(id_col),
+            (phash.fp60(F.col("__s")) % F.lit(phash.P31)).alias("__r"),
+        )
     )
     sig = sh.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
-            for i in range(num_perm)
+            F.min((F.lit(a) * F.col("__r") + F.lit(b)) % F.lit(phash.P31)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(consts)
         ]
     )
     stacked = sig.select(
@@ -208,12 +223,11 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
+                    phash.poly_bucket(
+                        [
                             F.col(f"h{b * rows_per_band + r}")
                             for r in range(rows_per_band)
-                        ],
+                        ]
                     ).alias("bucket"),
                 )
                 for b in range(bands)
@@ -289,9 +303,15 @@ def verify_jaccard(
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
     n_inter = F.size(F.array_intersect("__sa", "__sb"))
+    # both joins broadcast: pairs and the candidate-doc shingle sets are
+    # bounded by the candidate list (the same regime that justifies
+    # broadcast(pairs) justifies broadcast(sb)), and the sb broadcast
+    # turns the second join's shuffle barrier into a map-side probe —
+    # measured -0.3 s at sf0.1 (1/6 of d3's wall) purely from the
+    # removed exchange
     return (
         sa.join(F.broadcast(pairs), on="id_a")
-        .join(sb, on="id_b")
+        .join(F.broadcast(sb), on="id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -409,7 +429,7 @@ def ngram_jaccard_pairs_prefix(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15
+    pairs: DataFrame, max_iter: int = 15, cadence: int = 3
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node, cluster_id) with
     cluster_id = min doc id in the component.  This is the step that turns
@@ -422,15 +442,25 @@ def connected_components(
     Scale design: the edge set is the *candidate pair* list (O(near-dups),
     not O(corpus)), so each round is one shuffle of the edge list joined
     to a (node, label) table.  Rounds needed = graph diameter; dup
-    clusters are short chains (diameter ≪ 10 in practice).  Each round
-    ``localCheckpoint``s the label table — without it the plan doubles
-    per iteration and the job dies on lineage, not data.  (localCheckpoint
-    blocks store on executors: an executor loss mid-run fails the job and
-    restarts the loop.  On a long-running 1000-executor cluster, set
+    clusters are short chains (diameter ≪ 10 in practice).
+
+    Checkpoint cadence: the label table is ``localCheckpoint``ed (and
+    convergence checked) every ``cadence`` rounds, not every round —
+    without ANY checkpoint the plan doubles per iteration and the job
+    dies on lineage, but a checkpoint + action per round means the
+    fixed per-round job overhead dominates on all but huge graphs
+    (measured: the checkpoints were ~2/3 of d5's wall time at sf0.1).
+    Between checkpoints the rounds stack lazily into ONE job of
+    ``cadence`` joins; the only cost is up to ``cadence``−1 no-op
+    rounds after the fixpoint, which are semantically free (the min
+    operator is idempotent at the fixpoint — equality-tested against
+    the per-round formulation).  (localCheckpoint blocks store on
+    executors: an executor loss mid-run fails the job and restarts the
+    loop.  On a long-running 1000-executor cluster, set
     ``spark.sparkContext.setCheckpointDir`` and swap in reliable
     ``checkpoint()`` — same call shape, survives executor loss at the
-    cost of a DFS write per round.)  For adversarial long-chain graphs
-    swap in the large-star/small-star variant (Kiveris et al.,
+    cost of a DFS write per checkpoint.)  For adversarial long-chain
+    graphs swap in the large-star/small-star variant (Kiveris et al.,
     "Connected Components in MapReduce"), same join primitive.
     """
     edges = pairs.select(
@@ -450,18 +480,17 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    def one_round(cur: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(cur, edges["dst"] == cur["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         # carry a changed flag instead of re-joining old vs new labels:
-        # the checkpoint materializes the round anyway, so the convergence
-        # check is a free count over already-computed rows (one action per
-        # round, not two joins + an action)
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
+        # the checkpoint materializes the rounds anyway, so the
+        # convergence check is a free count over already-computed rows
+        return (
+            cur.join(nbr, cur["node"] == nbr["src"], "left")
             .select(
                 "node",
                 F.least(
@@ -474,12 +503,26 @@ def connected_components(
                 F.col("new_label").alias("label"),
                 (F.col("new_label") != F.col("old_label")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
-        labels = new_labels.select("node", "label")
-        if new_labels.where("changed").limit(1).count() == 0:
+
+    converged = False
+    done = 0
+    while done < max_iter:
+        steps = min(cadence, max_iter - done)
+        flagged = one_round(labels.select("node", "label"))
+        for _ in range(steps - 1):
+            flagged = one_round(flagged.select("node", "label"))
+        flagged = flagged.localCheckpoint(eager=True)
+        labels = flagged.select("node", "label")
+        done += steps
+        # the flag reflects the LAST stacked round: once the fixpoint is
+        # reached every later round is a no-op, so "last round changed
+        # nothing" ⇔ converged, regardless of where in the window the
+        # fixpoint landed
+        if flagged.where("changed").limit(1).count() == 0:
+            converged = True
             break
-    else:
+    if not converged:
         # min-label propagation needs one round per hop: exhausting
         # max_iter on a long chain would silently return FRAGMENTED
         # clusters that diverge from the transitive-closure oracle
@@ -493,7 +536,7 @@ def connected_components(
 
 
 def connected_components_star(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, cadence: int = 2
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -507,10 +550,12 @@ def connected_components_star(
     m(u) = min(N(u) ∪ {u}).  small-star: u links its smaller-or-equal
     neighbors (and itself) to the min among them.  Both are one
     groupBy-join round over the edge list; fixpoint is a star forest
-    whose centers are the component minima.  Each round checkpoints the
-    edge list (lineage O(1)), and the edge list only shrinks toward one
-    edge per non-min node — at 100 TB the per-round shuffle is bounded by
-    the candidate-pair count, same as d5's label rounds."""
+    whose centers are the component minima.  Checkpoints the edge list
+    every ``cadence`` rounds (lineage stays O(cadence); per-round
+    checkpoint+action overhead halves — same cadence rationale as
+    :func:`connected_components`), and the edge list only shrinks toward
+    one edge per non-min node — at 100 TB the per-round shuffle is
+    bounded by the candidate-pair count, same as d5's label rounds."""
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("u"),
         F.col("id_b").cast("bigint").alias("v"),
@@ -521,13 +566,14 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+
+    def one_round(cur: DataFrame) -> DataFrame:
         # large-star round
-        m = edges.groupBy("u").agg(
+        m = cur.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         large = (
-            edges.where(F.col("v") > F.col("u"))
+            cur.where(F.col("v") > F.col("u"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -547,24 +593,33 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        new_edges = (
-            relinked.unionByName(
-                relinked.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # one action per round: the symmetric difference unions both
+        return relinked.unionByName(
+            relinked.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    converged = False
+    done = 0
+    while done < max_iter:
+        steps = min(cadence, max_iter - done)
+        new_edges = one_round(edges)
+        for _ in range(steps - 1):
+            new_edges = one_round(new_edges)
+        new_edges = new_edges.localCheckpoint(eager=True)
+        done += steps
+        # one action per window: the symmetric difference unions both
         # exceptAll directions into a single job (both inputs are
-        # checkpointed, so neither subtree recomputes)
+        # checkpointed, so neither subtree recomputes).  Star rounds
+        # decrease a potential function monotonically (Kiveris et al.
+        # Thm 1-2), so "window changed nothing" ⇔ fixpoint — the rounds
+        # cannot cycle back to an earlier non-fixpoint state.
         sym_diff = new_edges.exceptAll(edges).unionByName(
             edges.exceptAll(new_edges)
         )
-        if sym_diff.limit(1).count() == 0:
-            edges = new_edges
-            break
         edges = new_edges
-    else:
+        if sym_diff.limit(1).count() == 0:
+            converged = True
+            break
+    if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
             "rounds; raise max_iter (rounds needed ~ log2(component size))"
@@ -582,16 +637,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     explode(tokens) → 64 conditional-sum aggregates (map-side partials — the
     shuffle carries 64 longs per doc, not tokens) → bit-pack.
     Near-dups = small Hamming distance between fingerprints.
+
+    Token bits come from the engine-portable md5 fingerprint
+    (``functions/phash.py``): bits 0..59 from the 60-bit fp, bits 60..63
+    from the 16th hex digit — 64 independent bits per token, and the
+    whole fingerprint is reproducible in vanilla DuckDB so the driver's
+    oracle gate checks d4 value-exactly.
     """
-    tok = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), "\\s+")).alias("token"),
-    ).where(F.length("token") > 0)
-    h = F.xxhash64(F.col("token"))
+    from maple_spark.functions import phash
+
+    tok = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\\s+")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .select(
+            F.col(id_col),
+            phash.fp60(F.col("token")).alias("__h1"),
+            phash.fp_nib(F.col("token")).alias("__h2"),
+        )
+    )
+
+    def bit(b: int):
+        if b < 60:
+            return F.shiftright(F.col("__h1"), b).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("__h2"), b - 60).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(64)
     ]
     sums = tok.groupBy(id_col).agg(*aggs)
@@ -680,22 +755,27 @@ def ngram_jaccard_pairs_gram(
     Construction: distinct shingles get dense vocabulary ids (|V| must
     be ≤ ``vocab_cap`` — that smallness is exactly the hot-vocab
     regime); each document becomes the sorted id-array of its shingle
-    set; documents hash into ~``block_rows``-sized blocks, and the tiny
-    block-pair relation is broadcast-joined against both sides (the
-    sim2 blocked-GEMM pattern, ``similarity.embedding_near_dup``).  Per
-    block pair, an Arrow-batched kernel scatters the id-arrays into two
-    dense binary incidence matrices (n×|V| float32 — ≤ a few MB at the
-    cap) and one BLAS matmul A·Bᵀ yields EVERY pairwise intersection
-    size at once; |A∪B| = |A|+|B|−|A∩B| completes exact Jaccard.
-    Output identical to the inverted-index/prefix formulations
+    set; documents hash into blocks sized so a block-side incidence
+    matrix fits ``task_bytes`` (rows × |V| × 4B float32 — e.g. 256 rows
+    × 65536 vocab = 64 MB; the row count ADAPTS to |V|, it is not
+    fixed), and the tiny block-pair relation is broadcast-joined against
+    both sides (the sim2 blocked-GEMM pattern,
+    ``similarity.embedding_near_dup``).  Per block pair, an
+    Arrow-batched kernel scatters the id-arrays into two dense binary
+    incidence matrices and one BLAS matmul A·Bᵀ yields EVERY pairwise
+    intersection size at once; |A∪B| = |A|+|B|−|A∩B| completes exact
+    Jaccard.  Output identical to the inverted-index/prefix formulations
     (equality-tested), orientation id_a < id_b, each pair exactly once.
 
     Scale shape: Θ(n²·|V|) FLOPs spread over nb²/2 independent
     BLAS-speed tasks, shuffle volume n·nb id-arrays — the same honest
     quadratic-tier budget as sim2, with |V| (bounded by vocab_cap)
-    taking the role of the embedding dimension.  For normal corpora
-    (|V| large, shingles rare) use the prefix join; the two tiers'
-    degenerate regimes are complementary, and
+    taking the role of the embedding dimension.  The block count is a
+    hard error past ``max_blocks`` (nb² block pairs must stay
+    broadcastable and the quadratic FLOP bill affordable): a corpus
+    that large is beyond any exact all-pairs tier — use d3's LSH.  For
+    normal corpora (|V| large, shingles rare) use the prefix join; the
+    two tiers' degenerate regimes are complementary, and
     :func:`ngram_jaccard_pairs_best` picks by measured vocabulary
     density.
     """
@@ -706,6 +786,8 @@ def ngram_jaccard_pairs_gram(
 
     from pyspark.sql.window import Window
 
+    task_bytes = 64 << 20
+    max_blocks = 4096
     spark = df.sparkSession
     sh = shingle(df, id_col, text_col, k)
     vocab = sh.select("shingle").distinct()
@@ -727,16 +809,37 @@ def ngram_jaccard_pairs_gram(
         .agg(F.sort_array(F.collect_list("vid")).alias("vids"))
     )
     n_docs = docs.count()
-    n_blocks = min(1024, max(1, math.ceil(n_docs / block_rows)))
+    # rows per block from the per-task byte budget, not a constant: a
+    # hot 64k vocabulary caps blocks at ~256 rows (64 MB per side), a
+    # 1k vocabulary allows the full block_rows.  Block count follows
+    # n_docs with NO arbitrary cap — an oversized corpus fails loudly
+    # below instead of silently growing per-task matrices.
+    rows_budget = max(16, task_bytes // (4 * max(n_vocab, 1)))
+    block_rows_eff = min(block_rows, rows_budget)
+    n_blocks = max(1, math.ceil(n_docs / block_rows_eff))
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"ngram_jaccard_pairs_gram: {n_docs} docs need {n_blocks}"
+            f" blocks of {block_rows_eff} rows (vocab {n_vocab}) —"
+            f" beyond the {max_blocks}-block exact-quadratic budget."
+            " Use minhash_lsh_pairs (d3) at this scale."
+        )
     corpus = docs.select(
         F.col(id_col).alias("id"),
         F.col("vids"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
     )
     id_type = df.schema[id_col].dataType.simpleString()
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int",
+    # block-pair relation built distributively (spark.range, not a
+    # driver-side list): at max_blocks this is ~8M rows — trivial for
+    # executors, pathological as python objects on the driver
+    pairs = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("bi"),
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bj"),
+        )
+        .where(F.col("bj") >= F.col("bi"))
     )
     left = (
         F.broadcast(pairs.alias("p1"))
@@ -816,12 +919,35 @@ def ngram_jaccard_pairs_best(
     prefix join's candidate stage explodes — route to the gram tier;
     a large vocabulary means shingles are rare and prefix filtering is
     near-linear — route there.  The two formulations are
-    output-identical, so the choice is pure physics, not semantics."""
-    sh = shingle(df, id_col, text_col, k)
-    n_vocab = sh.select("shingle").distinct().count()
-    if n_vocab <= vocab_cap:
-        return ngram_jaccard_pairs_gram(
-            df, id_col, text_col, k, threshold,
-            vocab_cap=vocab_cap, _n_vocab=n_vocab,
+    output-identical, so the choice is pure physics, not semantics.
+
+    Routing is SAMPLED, not a full pass: density is estimated from
+    ``approx_count_distinct`` over ≤1024 documents' shingles (one tiny
+    job), because a full ``distinct().count()`` over all shingles would
+    be an extra full-corpus scan + shuffle before any real work — at
+    100 TB that is a whole stage spent deciding which stage to run.
+    Hot vocabularies saturate within a small sample (that is what hot
+    MEANS — every shingle recurs across documents), so the sample
+    routes reliably; the gram tier still verifies the EXACT vocabulary
+    against its cap internally (it materializes the vocab for dense ids
+    anyway) and a sample that under-estimated a too-large vocabulary
+    falls back to the prefix join."""
+    sample = df.select(text_col).limit(1024)
+    stats = (
+        sample.select(F.explode(shingle_expr(text_col, k)).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.approx_count_distinct("__s").alias("d"),
         )
+        .collect()[0]
+    )
+    # hot = vocabulary within cap AND ≥10× shingle reuse in the sample
+    hot = stats["d"] <= vocab_cap and stats["d"] * 10 <= stats["t"]
+    if hot:
+        try:
+            return ngram_jaccard_pairs_gram(
+                df, id_col, text_col, k, threshold, vocab_cap=vocab_cap
+            )
+        except ValueError:
+            pass  # full vocab exceeded the cap after all → prefix regime
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, k, threshold)

@@ -126,9 +126,11 @@ def weighted_reservoir(
     distributes: per-partition partial top-k (WindowGroupLimit /
     TakeOrdered shape), no global sort, no sequential reservoir state.
 
-    Content-stable like everything in this module: u derives from
-    xxhash64(salt, id) — re-runs and repartitionings return the SAME
-    sample; vary ``salt`` to draw independent samples.  u is the hash's
+    Content-stable like everything in this module: u derives from the
+    engine-portable md5 fingerprint (functions/phash.py) of
+    ``"es{salt}|" + id`` — re-runs and repartitionings return the SAME
+    sample, and a vanilla-DuckDB oracle replays the draws exactly; vary
+    ``salt`` to draw independent samples.  u is the fingerprint's
     top 53 bits shifted into (0, 1) with a half-ulp offset so u is never
     0 or 1 (ln stays finite).  Rows with NULL, NaN, or non-positive
     weight are excluded (a zero-weight row must never be sampled; A-Res
@@ -139,8 +141,10 @@ def weighted_reservoir(
     ties on ``id_col`` so the sample stays deterministic and
     oracle-parity holds even then.
     """
-    h = F.xxhash64(F.lit(salt), F.col(id_col))
-    u = (F.shiftrightunsigned(h, 11).cast("double") + F.lit(0.5)) / F.lit(
+    from maple_spark.functions import phash
+
+    h = phash.fp60(F.concat(F.lit(f"es{salt}|"), F.col(id_col).cast("string")))
+    u = (F.shiftright(h, 7).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 53)
     )
     score = F.log(u) / F.col(weight_col).cast("double")

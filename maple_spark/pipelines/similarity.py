@@ -382,6 +382,23 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
+    # dup_of carries ids, so its Spark type AND its nullable pandas dtype
+    # both follow the id column — a hard-coded Int64 would crash in the
+    # kernel for string/int32 ids despite the generic id_col parameter
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    pd_dtype = {
+        "bigint": "Int64",
+        "int": "Int32",
+        "smallint": "Int16",
+        "tinyint": "Int8",
+        "string": "string",
+    }.get(id_dtype)
+    if pd_dtype is None:
+        raise TypeError(
+            f"semdedup: unsupported id column type {id_dtype!r}"
+            " (integral or string ids only)"
+        )
+
     assigned, _ = _lloyd_cells(df, id_col, vec_col, n_cells, lloyd_iters)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -396,7 +413,7 @@ def semdedup(
         # ids ascending ⇒ first True column IS the smallest shadowing id
         first = hit.argmax(axis=1)
         dup = pd.array(
-            [ids[j] if h else None for h, j in zip(has, first)], dtype="Int64"
+            [ids[j] if h else None for h, j in zip(has, first)], dtype=pd_dtype
         )
         return pd.DataFrame(
             {
@@ -408,8 +425,7 @@ def semdedup(
         )
 
     out_schema = (
-        f"vec_id {df.schema[id_col].dataType.simpleString()}, cell int, "
-        "keep boolean, dup_of bigint"
+        f"vec_id {id_dtype}, cell int, keep boolean, dup_of {id_dtype}"
     )
     return assigned.groupBy("cell").applyInPandas(prune, schema=out_schema)
 

@@ -42,15 +42,23 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name)
     # Master resolution: an explicit argument wins; otherwise defer to a
-    # cluster manager configured externally (spark-submit --master /
-    # SPARK_MASTER set spark.master as a system property — forcing
-    # local[] here would silently demote a 1000-executor submission to
-    # the driver machine); only a truly unconfigured run defaults local.
-    from pyspark import SparkConf
-
+    # cluster manager configured externally (forcing local[] here would
+    # silently demote a 1000-executor submission to the driver machine);
+    # only a truly unconfigured run defaults local.  SparkConf cannot be
+    # probed for this before the JVM gateway exists (it is an empty local
+    # dict until SparkContext._jvm is live), so the externally-configured
+    # case is detected from the submit environment instead:
+    # spark-submit/--master materializes as PYSPARK_SUBMIT_ARGS (pyspark
+    # shell / spark-submit set it), SPARK_MASTER, or MASTER.
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    externally_configured = (
+        "--master" in submit_args
+        or bool(os.environ.get("SPARK_MASTER"))
+        or bool(os.environ.get("MASTER"))
+    )
     if master:
         builder = builder.master(master)
-    elif not SparkConf().contains("spark.master"):
+    elif not externally_configured:
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
     builder = (
         builder

@@ -63,7 +63,24 @@ QUERIES = [
     "cp2_curation_pipeline",
     "st3_sliding_window",
     "ts1_gapfill",
+    # round-5 additions (VERDICT r4 task 7): every quadratic-tier and
+    # round-4 plan gets a measured ratio
+    "d2_ngram_jaccard",
+    "sim2_embedding_near_dup",
+    "sim5_semdedup",
+    "rj2_interval_overlap",
+    "o1_sort_rownum",
 ]
+
+#: sim5's deterministic-Lloyd quantizer runs Spark jobs at
+#: DataFrame-construction time (centroid-metadata collects) — time the
+#: construction too, mirroring bench.py's CONSTRUCT_TIMED
+CONSTRUCT_TIMED = {"sim5_semdedup"}
+
+#: honest-quadratic tiers: minutes-long at 10x (Θ(n²) work by design —
+#: the ratio IS the evidence), so time ONE run instead of warmup+min-of-3
+#: (at that duration codegen warmup is amortized noise)
+SINGLE_RUN = {"d2_ngram_jaccard", "sim2_embedding_near_dup"}
 
 # (table, key columns to shift per copy) — dimensions replicate once
 FACT_SHIFTS = {
@@ -130,10 +147,29 @@ def main() -> None:
     qs = entrymod.queries()
     qs["s1_scan_filter"](spark, SRC).write.format("noop").mode("overwrite").save()
 
+    def run(name: str, sf_dir: str) -> float:
+        if name in SINGLE_RUN:
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+        if name in CONSTRUCT_TIMED:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm codegen/caches
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            return best
+        return timeit(qs[name](spark, sf_dir))
+
     results = {}
     for name in QUERIES:
-        small = timeit(qs[name](spark, SRC))
-        big = timeit(qs[name](spark, out_dir))
+        small = run(name, SRC)
+        big = run(name, out_dir)
         results[name] = {
             "sf01": round(small, 3),
             "x10": round(big, 3),

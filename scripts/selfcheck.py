@@ -64,15 +64,12 @@ def main():
 
     spark = get_spark()
     qs = entrymod.queries()
-    # extended oracles need the Spark-compatible xxhash64 UDFs registered
-    # below — they are kept out of oracle_sql() because the driver's gate
-    # runs on a vanilla DuckDB (see oracle_sql_extended's docstring)
-    oracles = {**entrymod.oracle_sql(), **entrymod.oracle_sql_extended()}
+    # Since round 5 every oracle is vanilla DuckDB SQL (the hash-defined
+    # queries use the engine-portable md5 fingerprint, functions/phash.py)
+    # — this connection is exactly what the driver's gate runs.
+    oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
-    from maple_spark.functions.xxh import register_duckdb_udfs
-
-    register_duckdb_udfs(con)
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()

@@ -157,18 +157,17 @@ def test_hll_dataflow_accuracy_and_merge(spark):
 
 def test_hll_register_bitmath_matches_python(spark):
     """The smear+popcount register pipeline (a15) equals a pure-Python
-    reference (bit_length on the masked hash) on randomized 64-bit
-    hashes, including the all-zero-tail max-rank edge."""
+    reference (bit_length on the masked md5 fingerprint) on randomized
+    values, including the all-zero-tail max-rank edge."""
+    import hashlib
     import random
 
-    from pyspark.sql import functions as F
-
-    from maple_spark.functions.sketch import hll_registers
+    from maple_spark.functions.sketch import HLL_BITS, hll_registers
 
     rnd = random.Random(7)
     vals = [rnd.randint(-(2**63), 2**63 - 1) for _ in range(300)]
-    # craft values whose HASH tail is all-zero is impractical; instead
-    # pin the formula on the hash directly below, and here pin the
+    # crafting values whose HASH tail is all-zero is impractical; instead
+    # pin the formula on the fingerprint directly below, and here pin the
     # end-to-end operator: one row per value, p=4 so registers collide
     df = spark.createDataFrame([(v,) for v in vals], "x long")
     got = {
@@ -176,14 +175,14 @@ def test_hll_register_bitmath_matches_python(spark):
         for r in hll_registers(df, [], "x", p=4).collect()
     }
 
-    from maple_spark.functions.xxh import spark_xxhash64
-
+    p = 4
     regs: dict[int, int] = {}
     for v in vals:
-        h = spark_xxhash64(v) & ((1 << 64) - 1)
-        reg = h >> 60
-        w = h & ((1 << 60) - 1)
-        rho = 61 - w.bit_length()          # w == 0 → max rank 61
+        # the portable fingerprint: first 15 hex digits of md5(str(v))
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg = h >> (HLL_BITS - p)
+        w = h & ((1 << (HLL_BITS - p)) - 1)
+        rho = (HLL_BITS - p + 1) - w.bit_length()  # w == 0 → max rank
         regs[reg] = max(regs.get(reg, 0), rho)
     assert got == set(regs.items())
 

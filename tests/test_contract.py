@@ -16,31 +16,25 @@ def test_oracle_keys_subset_of_queries():
 
 def test_rows_only_set_is_intentional():
     """Queries WITHOUT a driver-runnable oracle must be exactly the
-    documented hash/clustering-dependent ones.  The xxhash64-dependent
-    seven (d3/d4/sim3/a14/a15/st6/t15) additionally carry EXTENDED oracles that run on
-    a UDF-equipped DuckDB (selfcheck) — see the next test."""
+    documented engine-internal ones (encoding report, stub inference,
+    DataSketches HLL bytes).  Everything hash-defined (d3/d4/sim3/a14/
+    a15/st6/t15) uses the engine-portable md5 fingerprint
+    (functions/phash.py) since round 5 and carries a vanilla-DuckDB
+    oracle in oracle_sql()."""
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert qs - os_ == {
-        "d3_minhash_lsh",
-        "d4_simhash_pairs",
-        "sim3_lsh_topk",
         "enc1_encoding_report",
         "mm3_embed_stub",
         "a11_hll_sketch",
-        "a14_countmin_sketch",
-        "a15_hll_dataflow",
-        "st6_hll_stream",
-        "t15_weighted_sample",
     }
 
 
-def test_extended_oracles_cover_hash_dependent_queries():
-    """The extended (UDF-equipped DuckDB) oracles cover exactly the seven
-    xxhash64-dependent queries, are disjoint from the driver oracles, and
-    leave only engine-internal ops (MLlib k-means, DataSketches HLL,
-    encoding report, stub inference) as true rows-only."""
-    ext = set(e.oracle_sql_extended())
-    assert ext == {
+def test_hash_defined_oracles_are_driver_visible():
+    """The formerly-extended hash-defined queries must all live in the
+    driver-visible oracle_sql() (the gate the driver actually runs) and
+    their SQL must contain no UDF names — only vanilla DuckDB."""
+    oracles = e.oracle_sql()
+    for name in (
         "d3_minhash_lsh",
         "d4_simhash_pairs",
         "sim3_lsh_topk",
@@ -48,36 +42,35 @@ def test_extended_oracles_cover_hash_dependent_queries():
         "a15_hll_dataflow",
         "st6_hll_stream",
         "t15_weighted_sample",
-    }
-    assert not (ext & set(e.oracle_sql()))
-    # sim4's deterministic-Lloyd IVF has a PURE-SQL oracle (no UDF) and
-    # lives in the driver-visible oracle_sql()
-    true_rows_only = set(e.queries()) - set(e.oracle_sql()) - ext
-    assert true_rows_only == {
-        "enc1_encoding_report",
-        "mm3_embed_stub",
-        "a11_hll_sketch",
-    }
+    ):
+        assert name in oracles, name
+        sql = oracles[name]
+        for udf in ("xxh_s", "xxh_l", "xxh_il", "xxh_is", "xxh_il4"):
+            assert udf + "(" not in sql, (name, udf)
 
 
-def test_extended_oracle_value_exact_at_sf0001(spark):
-    """End-to-end pin that an extended oracle really is value-exact: run
-    a14 (Count-Min) and d4 (SimHash) on Spark and on a UDF-equipped DuckDB
-    at sf0.001 and compare values (sorted rows, sorted columns)."""
+def test_hash_defined_oracle_value_exact_at_sf0001(spark):
+    """End-to-end pin that the portable-hash oracles really are
+    value-exact on a VANILLA DuckDB (exactly what the driver runs): run
+    each hash-defined query on Spark and its oracle on plain DuckDB at
+    sf0.001 and compare values (sorted rows, sorted columns)."""
     import duckdb
-
-    from maple_spark.functions.xxh import register_duckdb_udfs
 
     sf = SF_DIR
     con = duckdb.connect()
-    register_duckdb_udfs(con)
-    for t in ("orders", "documents", "embeddings"):
+    for t in ("orders", "events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    for name in ("a14_countmin_sketch", "d4_simhash_pairs"):
+    for name in (
+        "a14_countmin_sketch",
+        "d3_minhash_lsh",
+        "d4_simhash_pairs",
+        "a15_hll_dataflow",
+        "t15_weighted_sample",
+    ):
         sdf = e.queries()[name](spark, sf).toPandas()
-        odf = con.execute(e.oracle_sql_extended()[name]).fetchdf()
+        odf = con.execute(e.oracle_sql()[name]).fetchdf()
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         assert scols == ocols, name
         srows = sorted(map(tuple, sdf[scols].itertuples(index=False)))

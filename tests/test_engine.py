@@ -155,6 +155,24 @@ def test_execute_script_multi_statement(spark):
     assert [tuple(r) for r in results[2]] == [(1, "x;y"), (2, "z")]
 
 
+def test_execute_script_caps_result_collection(spark):
+    """A script SELECT over a fact table must not collect unbounded rows
+    to the driver: results are capped at max_rows (+1 so callers can
+    detect truncation) — the REPL's discipline, applied to scripts."""
+    from maple_spark.engine import MapleEngine
+
+    from conftest import SF_DIR
+
+    eng = MapleEngine(spark, SF_DIR, tables=("lineitem",))
+    (res,) = eng.execute_script("SELECT l_orderkey FROM lineitem", max_rows=50)
+    assert len(res) == 51  # truncation marker: one row beyond the cap
+    # max_rows=0 restores unbounded collect for known-small results
+    (res0,) = eng.execute_script(
+        "SELECT l_linestatus FROM lineitem GROUP BY l_linestatus", max_rows=0
+    )
+    assert len(res0) <= 2
+
+
 def test_engine_verify_key_uniqueness(spark):
     """VERIFY analog: orders PK is clean; the synthetic lineitem violates
     its TPC-H PK (documented in FIXTURES.md) and verify reports it."""

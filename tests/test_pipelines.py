@@ -667,6 +667,28 @@ def test_semdedup_keeps_min_id_of_identical_pair(spark):
     assert out[30]["keep"] and out[40]["keep"]
 
 
+def test_semdedup_string_ids(spark):
+    """dup_of's Spark type and pandas dtype follow the id column — a
+    string-id corpus must work end-to-end, not crash in the kernel on a
+    hard-coded Int64 array."""
+    from maple_spark.pipelines.similarity import semdedup
+
+    vecs = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+            ("doc-b", [1.0, 0.0, 0.0, 0.0]),
+            ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(
+        vecs, threshold=0.95, n_cells=1, lloyd_iters=1
+    ).collect()}
+    assert out["doc-a"]["keep"] and out["doc-a"]["dup_of"] is None
+    assert not out["doc-b"]["keep"] and out["doc-b"]["dup_of"] == "doc-a"
+    assert semdedup(vecs, n_cells=1).schema["dup_of"].dataType.simpleString() == "string"
+
+
 def test_weighted_reservoir_properties(spark):
     """A-Res weighted sampling (t15): deterministic under repartitioning,
     exactly k rows, zero/NULL weights never sampled, and inclusion
