@@ -763,6 +763,24 @@ def d5_dedup_clusters(spark, sf_dir):
     )
 
 
+def d6_cross_dedup(spark, sf_dir):
+    """Cross-corpus near-dedup (dedup.cross_dedup_pairs): new-crawl docs
+    that near-duplicate a reference corpus — the decontamination-by-dedup
+    shape of a training pipeline (candidates must CROSS corpora, never
+    pair within one; output orientation (new_id, ref_id)).  The fixture
+    splits documents by doc_id parity; banding is per-document, so the
+    oracle computes buckets over all docs and restricts the candidate
+    join across sides.  Hashing is the portable md5 fingerprint, so the
+    oracle is vanilla DuckDB SQL."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    return dedup.cross_dedup_pairs(
+        new, ref, "doc_id", "text", num_perm=64, bands=16, k=8,
+        jaccard_threshold=0.2,
+    )
+
+
 def t5_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/valid/test split (80/10/10) — split
     assignment is content-stable and engine-portable, so the oracle
@@ -2843,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
         "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
+        "d6_cross_dedup": d6_cross_dedup,
     }
 
 
@@ -2905,6 +2924,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_inter AS DOUBLE) /
                         (ca.n_shingles + cb.n_shingles - n_inter), 6) >= 0.2
         """
+    # d6 reuses d3's banding CTEs; only the candidate join differs (ACROSS
+    # the parity-split corpora, never within) and the output orientation
+    # is (new_id, ref_id)
+    d6_oracle = f"""
+            WITH consts(perm, a, b) AS (VALUES {_mh_vals}),
+            baseh AS (
+              SELECT DISTINCT doc_id, ({_sh_fp} % {_ph.P31}) AS r
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), sig AS (
+              SELECT doc_id, perm, MIN((a * r + b) % {_ph.P31}) AS mh
+              FROM baseh CROSS JOIN consts
+              GROUP BY doc_id, perm
+            ), sigl AS (
+              SELECT doc_id, list(mh ORDER BY perm) AS hs FROM sig GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, CAST(b AS INTEGER) AS band, {_mh_bucket} AS bucket
+              FROM sigl, unnest(generate_series(0, 15)) AS g(b)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT c.new_id, c.ref_id, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.new_id
+              JOIN sh b ON b.doc_id = c.ref_id AND b.shingle = a.shingle
+              GROUP BY c.new_id, c.ref_id
+            )
+            SELECT new_id, ref_id,
+                   round(CAST(n_inter AS DOUBLE) /
+                         (ca.n_shingles + cb.n_shingles - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = new_id
+            JOIN counts cb ON cb.doc_id = ref_id
+            WHERE round(CAST(n_inter AS DOUBLE) /
+                        (ca.n_shingles + cb.n_shingles - n_inter), 6) >= 0.2
+        """
+
     _tok_h1 = _ph.sql_fp60("t.tok")
     _tok_h2 = _ph.sql_fp_nib("t.tok")
     d4_oracle = f"""
@@ -3404,6 +3470,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d3_minhash_lsh": d3_oracle,
         "d4_simhash_pairs": d4_oracle,
+        "d6_cross_dedup": d6_oracle,
         "d5_dedup_clusters": """
             WITH RECURSIVE sh AS (
               SELECT DISTINCT doc_id,

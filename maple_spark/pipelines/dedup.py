@@ -158,6 +158,67 @@ def _minhash_signatures_oph(
     return assembled.select(F.col(id_col), F.array(*slots).alias("signature"))
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """(id, band, bucket) — the MinHash-LSH banding core shared by
+    within-corpus near-dup (:func:`minhash_lsh_pairs`) and cross-corpus
+    dedup (:func:`cross_dedup_pairs`).
+
+    One corpus scan: shingle explode → portable md5 fingerprint reduced
+    mod P31 (``functions/phash.py``) → per-doc min under ``num_perm``
+    universal multiply-shift permutations (ONE groupBy; the shuffle
+    carries fixed-width partial mins, never text) → per-band polynomial
+    bucket, map-side.  Banding is fused over the raw permutation-min
+    columns (h0..h63) rather than an assembled signature array: same
+    band hashes (signature[i] IS h{i}), two fewer 64-wide projections
+    for Catalyst to analyze — the signature→array→extract round-trip
+    was pure plan bloat here."""
+    from maple_spark.functions import phash
+
+    rows_per_band = num_perm // bands
+    consts = phash.perm_consts(num_perm)
+    shingles = shingle_expr(text_col, k)
+    sh = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(shingles).alias("__s"))
+        .select(
+            F.col(id_col),
+            (phash.fp60(F.col("__s")) % F.lit(phash.P31)).alias("__r"),
+        )
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("__r") + F.lit(b)) % F.lit(phash.P31)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    phash.poly_bucket(
+                        [
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -192,48 +253,7 @@ def minhash_lsh_pairs(
     reproducible in vanilla DuckDB SQL, so the driver's oracle gate
     checks this operator value-exactly (no UDF tier needed).
     """
-    from maple_spark.functions import phash
-
-    rows_per_band = num_perm // bands
-    consts = phash.perm_consts(num_perm)
-    # Banding fused over the raw permutation-min columns (h0..h63) rather
-    # than the assembled signature array: same band hashes (signature[i]
-    # IS h{i}), two fewer 64-wide projections for Catalyst to analyze —
-    # the signature→array→extract round-trip was pure plan bloat here.
-    shingles = shingle_expr(text_col, k)
-    sh = (
-        _spread(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(shingles).alias("__s"))
-        .select(
-            F.col(id_col),
-            (phash.fp60(F.col("__s")) % F.lit(phash.P31)).alias("__r"),
-        )
-    )
-    sig = sh.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("__r") + F.lit(b)) % F.lit(phash.P31)).alias(
-                f"h{i}"
-            )
-            for i, (a, b) in enumerate(consts)
-        ]
-    )
-    stacked = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    phash.poly_bucket(
-                        [
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    stacked = lsh_band_buckets(df, id_col, text_col, num_perm, bands, k)
     # Candidates via groupBy-bucket + in-bucket pair expansion rather than a
     # self-join: the signature pipeline runs ONCE (a self-join would execute
     # its whole lineage twice), and the only shuffle carries (band, bucket,
@@ -267,6 +287,72 @@ def minhash_lsh_pairs(
     # producing "ERROR DAGScheduler: Failed to update accumulator" noise.
     return verify_jaccard(
         candidates, df, id_col, text_col, k, jaccard_threshold
+    )
+
+
+def cross_dedup_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus near-dedup: (new_id, ref_id, jaccard) pairs where a
+    NEW document near-duplicates a REFERENCE document — the standard
+    training-pipeline decontamination-by-dedup shape ("drop new-crawl
+    docs already represented in the existing corpus") that a
+    within-corpus pair join (:func:`minhash_lsh_pairs`) does not
+    express: candidates must cross corpora, never pair within one.
+
+    Both sides run the shared banding core (:func:`lsh_band_buckets` —
+    one scan each, shuffle carries fixed-width signatures only); the
+    candidate join is an equi-join on (band, bucket) ACROSS the two
+    bucket tables, so cost follows cross-corpus collisions, not
+    |new|×|ref|.  Candidates are verified with exact Jaccard on shingle
+    sets (per-side semi-join prefilters touch only candidate docs), so
+    precision is 1.0.  At 100 TB the reference side's bucket table is
+    computed once and reused across crawl increments — it is a plain
+    DataFrame, persistable as Parquet.
+
+    Output orientation is (new_id, ref_id): asymmetric by definition,
+    no id ordering between sides is assumed (ids may even collide
+    across corpora — sides are tracked by column, not value)."""
+    nb = lsh_band_buckets(new_df, id_col, text_col, num_perm, bands, k).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    rb = lsh_band_buckets(ref_df, id_col, text_col, num_perm, bands, k).select(
+        F.col(id_col).alias("ref_id"), "band", "bucket"
+    )
+    cand = nb.join(rb, ["band", "bucket"]).select("new_id", "ref_id").distinct()
+
+    def side_sets(docs: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+        cd = docs.join(F.broadcast(ids), on=id_col, how="left_semi")
+        return (
+            shingle(cd, id_col, text_col, k)
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias(f"__{out_id}_set"))
+            .select(F.col(id_col).alias(out_id), f"__{out_id}_set")
+        )
+
+    sa = side_sets(new_df, cand.select(F.col("new_id").alias(id_col)), "new_id")
+    sb = side_sets(ref_df, cand.select(F.col("ref_id").alias(id_col)), "ref_id")
+    n_inter = F.size(F.array_intersect("__new_id_set", "__ref_id_set"))
+    return (
+        sa.join(F.broadcast(cand), on="new_id")
+        .join(F.broadcast(sb), on="ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter
+                / (F.size("__new_id_set") + F.size("__ref_id_set") - n_inter),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "ref_id", "jaccard")
     )
 
 

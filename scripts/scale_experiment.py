@@ -80,7 +80,7 @@ CONSTRUCT_TIMED = {"sim5_semdedup"}
 #: honest-quadratic tiers: minutes-long at 10x (Θ(n²) work by design —
 #: the ratio IS the evidence), so time ONE run instead of warmup+min-of-3
 #: (at that duration codegen warmup is amortized noise)
-SINGLE_RUN = {"d2_ngram_jaccard", "sim2_embedding_near_dup"}
+SINGLE_RUN = {"d2_ngram_jaccard", "sim2_embedding_near_dup", "d5_dedup_clusters"}
 
 # (table, key columns to shift per copy) — dimensions replicate once
 FACT_SHIFTS = {
@@ -149,8 +149,12 @@ def main() -> None:
 
     def run(name: str, sf_dir: str) -> float:
         if name in SINGLE_RUN:
-            df = qs[name](spark, sf_dir)
+            # construction is INSIDE the clock: d5's connected-components
+            # loop (eager checkpoints) runs while the frame is built, and
+            # for the minutes-long quadratic tiers construction overhead
+            # is noise anyway
             t0 = time.time()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             return time.time() - t0
         if name in CONSTRUCT_TIMED:

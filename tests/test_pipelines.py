@@ -689,6 +689,41 @@ def test_semdedup_string_ids(spark):
     assert semdedup(vecs, n_cells=1).schema["dup_of"].dataType.simpleString() == "string"
 
 
+def test_cross_dedup_pairs(spark, dup_corpus):
+    """Cross-corpus dedup (d6): finds new-vs-ref near-dups, never pairs
+    within one corpus, orientation is (new_id, ref_id), and ids may
+    collide across corpora (sides are tracked by column, not value)."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.pipelines.dedup import cross_dedup_pairs
+
+    new = dup_corpus.where(F.col("doc_id") % 2 == 1)
+    ref = dup_corpus.where(F.col("doc_id") % 2 == 0)
+    got = cross_dedup_pairs(
+        new, ref, "doc_id", "text", num_perm=64, bands=16, k=8,
+        jaccard_threshold=0.2,
+    ).collect()
+    new_ids = {r["doc_id"] for r in new.collect()}
+    ref_ids = {r["doc_id"] for r in ref.collect()}
+    for r in got:
+        assert r["new_id"] in new_ids and r["ref_id"] in ref_ids
+        assert 0.2 <= r["jaccard"] <= 1.0
+    # colliding ids across corpora: same id value on both sides must not
+    # cross-contaminate (each side keeps its own text)
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog many times")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog many timez"),
+         (2, "completely different content with nothing in common here")],
+        "doc_id long, text string",
+    )
+    out = cross_dedup_pairs(a, b, "doc_id", "text", jaccard_threshold=0.5).collect()
+    assert [(r["new_id"], r["ref_id"]) for r in out] == [(1, 1)]
+    assert out[0]["jaccard"] > 0.5
+
+
 def test_weighted_reservoir_properties(spark):
     """A-Res weighted sampling (t15): deterministic under repartitioning,
     exactly k rows, zero/NULL weights never sampled, and inclusion
