@@ -549,6 +549,13 @@ def connected_components(
     graphs swap in the large-star/small-star variant (Kiveris et al.,
     "Connected Components in MapReduce"), same join primitive.
     """
+    # materialize the pair list BEFORE the symmetric union: both union
+    # branches reference `pairs`, and its producer (e.g. the gram-tier
+    # Arrow kernel in d5) sits ABOVE any exchange, so without this the
+    # expensive pair computation executes twice — AQE exchange reuse
+    # only deduplicates below shuffle boundaries.  O(near-dup pairs)
+    # storage, same bound as the edge checkpoint two lines down.
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("src"),
         F.col("id_b").cast("bigint").alias("dst"),
@@ -642,6 +649,8 @@ def connected_components_star(
     :func:`connected_components`), and the edge list only shrinks toward
     one edge per non-min node — at 100 TB the per-round shuffle is
     bounded by the candidate-pair count, same as d5's label rounds."""
+    # see connected_components: materialize before the double reference
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("u"),
         F.col("id_b").cast("bigint").alias("v"),
