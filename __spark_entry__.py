@@ -781,6 +781,23 @@ def d6_cross_dedup(spark, sf_dir):
     )
 
 
+def st7_cross_dedup_stream(spark, sf_dir):
+    """Batch dual of the streaming cross-corpus ingest guard
+    (dedup.cross_dedup_stream): row-local stateless banding on the
+    arriving side + equi-joins against the static reference bucket/set
+    tables — the plan that runs unchanged on an unbounded stream
+    (stream/batch equality tested in tests/test_streaming.py).  Output
+    ≡ d6 (the oracle is shared verbatim); jaccard intersects 60-bit
+    fingerprint sets, equal to shingle sets up to md5 collisions."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    return dedup.cross_dedup_stream(
+        new, ref, "doc_id", "text", num_perm=64, bands=16, k=8,
+        jaccard_threshold=0.2,
+    )
+
+
 def t5_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/valid/test split (80/10/10) — split
     assignment is content-stable and engine-portable, so the oracle
@@ -2862,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
         "d6_cross_dedup": d6_cross_dedup,
+        "st7_cross_dedup_stream": st7_cross_dedup_stream,
     }
 
 
@@ -3471,6 +3489,10 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_lsh": d3_oracle,
         "d4_simhash_pairs": d4_oracle,
         "d6_cross_dedup": d6_oracle,
+        # the streaming ingest guard's batch dual computes the same
+        # relation (row-local banding ≡ agg banding, fingerprint-set
+        # jaccard ≡ shingle-set jaccard) — oracle shared verbatim
+        "st7_cross_dedup_stream": d6_oracle,
         "d5_dedup_clusters": """
             WITH RECURSIVE sh AS (
               SELECT DISTINCT doc_id,

@@ -290,6 +290,181 @@ def minhash_lsh_pairs(
     )
 
 
+def fp_set_expr(text_col: str, k: int = 8):
+    """The document's distinct k-shingle set as a 60-bit fingerprint
+    array (``functions/phash.py``), computed ROW-LOCALLY — the
+    fixed-width stand-in for the shingle set wherever carrying text
+    would be wrong (streaming rows, join payloads).  Set operations on
+    fingerprints equal set operations on shingles up to md5 collisions
+    (p ≈ |set|²/2^60 per pair — negligible)."""
+    from maple_spark.functions import phash
+
+    return F.array_distinct(
+        F.transform(
+            F.array_distinct(shingle_expr(text_col, k)),
+            lambda s: phash.fp60(s),
+        )
+    )
+
+
+def lsh_band_buckets_rowlocal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """Row-local formulation of :func:`lsh_band_buckets`: the signature
+    mins are ``array_min`` over per-row fingerprint arrays instead of a
+    groupBy aggregate — ZERO exchanges and no per-key state, which is
+    what makes MinHash banding legal on an unbounded STREAM (stateless
+    map; no watermark needed).  Value-identical to the agg formulation
+    (equality-tested: min over the reduced fingerprint multiset == min
+    over the distinct 60-bit set reduced mod P31, since colliding
+    values are equal).  For batch the agg path is ~20% faster at sf0.1
+    (64 array lambdas re-scan the row's array; partial aggs
+    pipeline better), so batch callers keep :func:`lsh_band_buckets`.
+    NULL-text rows yield NULL buckets and fall out of any equi-join —
+    same net output as the agg path, which drops them at explode."""
+    from maple_spark.functions import phash
+
+    rows_per_band = num_perm // bands
+    consts = phash.perm_consts(num_perm)
+    fps = F.transform(
+        F.array_distinct(shingle_expr(text_col, k)),
+        lambda s: phash.fp60(s) % F.lit(phash.P31),
+    )
+    base = df.select(F.col(id_col), fps.alias("__fps"))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "__fps", lambda r: (F.lit(a) * r + F.lit(b)) % F.lit(phash.P31)
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sig = base.select(id_col, *sig_cols)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    phash.poly_bucket(
+                        [
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def cross_dedup_stream(
+    new_docs: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The STREAMING ingest-guard form of :func:`cross_dedup_pairs`:
+    ``new_docs`` may be an unbounded stream; each arriving document is
+    flagged against a STATIC reference corpus.  Output
+    (new_id, ref_id, jaccard), identical to the batch operator on the
+    same finite input (equality-tested at sf0.001).
+
+    Why this streams with (almost) no state: the stream side's banding
+    is the row-local formulation (:func:`lsh_band_buckets_rowlocal` —
+    a stateless map, each row's buckets derive from that row alone);
+    candidates come from a stream-static equi-join on (band, bucket)
+    against the reference bucket table; verification joins the static
+    per-reference fingerprint-set table and intersects with the stream
+    row's OWN fingerprint set carried in-row (:func:`fp_set_expr` —
+    fixed 8 B/shingle, never text).  The only stateful operator is the
+    final ``dropDuplicates([new_id, ref_id])`` that collapses multi-band
+    collisions; its state is bounded by the MATCH count (not the
+    stream), and an ingest pipeline that tolerates re-flagging can drop
+    it or swap in ``dropDuplicatesWithinWatermark`` keyed on ingest
+    time.
+
+    100 TB shape: the reference tables (buckets + fingerprint sets) are
+    plain DataFrames computed once per reference snapshot and persisted;
+    per micro-batch cost is the new rows' map work + two equi-joins
+    against them.  Jaccard here intersects 60-bit fingerprint sets
+    rather than string shingle sets — equal up to md5 collisions
+    (p ≈ |set|²/2^60 per pair)."""
+    from maple_spark.functions import phash
+
+    ref_buckets = lsh_band_buckets(
+        ref_df, id_col, text_col, num_perm, bands, k
+    ).select(F.col(id_col).alias("ref_id"), "band", "bucket")
+    ref_sets = ref_df.select(
+        F.col(id_col).alias("ref_id"), fp_set_expr(text_col, k).alias("__rset")
+    )
+
+    # ONE row-local pipeline carries the fingerprint set alongside the
+    # bucket rows (the set rides the explode ×bands — fixed-width, never
+    # text): joining buckets back to the source for the set would be a
+    # stream-stream self-join, which needs watermarks this operator
+    # deliberately avoids
+    rows_per_band = num_perm // bands
+    consts = phash.perm_consts(num_perm)
+    rfps = F.transform("__nset", lambda x: x % F.lit(phash.P31))
+    base = new_docs.select(
+        F.col(id_col).alias("new_id"), fp_set_expr(text_col, k).alias("__nset")
+    ).select("new_id", "__nset", rfps.alias("__rfps"))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "__rfps", lambda r: (F.lit(a) * r + F.lit(b)) % F.lit(phash.P31)
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sig = base.select("new_id", "__nset", *sig_cols)
+    nb = sig.select(
+        "new_id",
+        "__nset",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    phash.poly_bucket(
+                        [
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("new_id", "__nset", "bb.band", "bb.bucket")
+
+    n_inter = F.size(F.array_intersect("__nset", "__rset"))
+    return (
+        nb.join(ref_buckets, ["band", "bucket"])
+        .select("new_id", "ref_id", "__nset")
+        .join(ref_sets, "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter / (F.size("__nset") + F.size("__rset") - n_inter), 6
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "ref_id", "jaccard")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+
+
 def cross_dedup_pairs(
     new_df: DataFrame,
     ref_df: DataFrame,

@@ -724,6 +724,47 @@ def test_cross_dedup_pairs(spark, dup_corpus):
     assert out[0]["jaccard"] > 0.5
 
 
+def test_lsh_band_buckets_rowlocal_equals_agg(spark, dup_corpus):
+    """The row-local (streaming-legal, zero-exchange) banding must produce
+    the EXACT same (id, band, bucket) table as the groupBy formulation —
+    min over the reduced fingerprint multiset equals min over the
+    distinct 60-bit set reduced mod P31."""
+    from maple_spark.pipelines.dedup import (
+        lsh_band_buckets,
+        lsh_band_buckets_rowlocal,
+    )
+
+    a = sorted(
+        map(tuple, lsh_band_buckets(dup_corpus, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            lsh_band_buckets_rowlocal(dup_corpus, "doc_id", "text").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_cross_dedup_stream_batch_equals_pairs(spark):
+    """The ingest-guard formulation (row-local banding + static-side
+    joins + fingerprint-set jaccard) run on finite input must equal the
+    batch cross-corpus operator exactly."""
+    from pyspark.sql import functions as F
+
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.dedup import cross_dedup_pairs, cross_dedup_stream
+
+    d = load_table(spark, SF_DIR, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    want = sorted(map(tuple, cross_dedup_pairs(
+        new, ref, "doc_id", "text", jaccard_threshold=0.2).collect()))
+    got = sorted(map(tuple, cross_dedup_stream(
+        new, ref, "doc_id", "text", jaccard_threshold=0.2).collect()))
+    assert got == want and len(want) > 0
+
+
 def test_weighted_reservoir_properties(spark):
     """A-Res weighted sampling (t15): deterministic under repartitioning,
     exactly k rows, zero/NULL weights never sampled, and inclusion

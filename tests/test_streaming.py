@@ -613,3 +613,48 @@ def test_hll_registers_stream_equals_batch(spark):
     want = rows(batch)
     q.stop()
     assert got == want and len(want) > 0
+
+
+def test_cross_dedup_stream_matches_batch(spark, tmp_path_factory):
+    """The streaming ingest guard (st7): documents arriving as a file
+    stream in two micro-batches are flagged against the static reference
+    corpus with EXACTLY the batch operator's output — row-local banding
+    is stateless, so candidate generation needs no watermark and the
+    only state is the matched-pair dedupe."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.dedup import cross_dedup_pairs, cross_dedup_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    new_b = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    want = sorted(
+        map(tuple, cross_dedup_pairs(
+            new_b, ref, "doc_id", "text", jaccard_threshold=0.2).collect())
+    )
+
+    import time as _time
+
+    dirp = str(tmp_path_factory.mktemp("cross_dedup_stream"))
+    mid = new_b.approxQuantile("doc_id", [0.5], 0.01)[0]
+    new_b.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{dirp}/f1")
+    _time.sleep(1.1)
+    new_b.where(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{dirp}/f2")
+    stream = (
+        spark.readStream.schema(new_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{dirp}/f*")
+    )
+    q = (
+        cross_dedup_stream(stream, ref, "doc_id", "text", jaccard_threshold=0.2)
+        .writeStream.format("memory")
+        .queryName("cross_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM cross_dedup_stream_test").collect())
+    )
+    assert got == want and len(want) > 0
