@@ -50,25 +50,30 @@ class MapleEngine:
         self._store_paths: dict[str, str] = {}
 
     # -- dialect-store catalog hooks (used by maple_spark.dialect) -------
+    # SQL identifiers are case-insensitive (nanosql lower-cases them;
+    # Spark's catalog is case-insensitive by default), so the engine's
+    # side tables key on the folded name — `UPDATE sTAtes` must hit the
+    # store created as `states` (fuzz-caught: the unfolded lookup made
+    # mixed-case utility/DML statements miss the registry and misroute).
     def store_path(self, name: str) -> str | None:
-        return self._store_paths.get(name)
+        return self._store_paths.get(name.lower())
 
     def is_view_table(self, name: str) -> bool:
         """True for tables this engine registered as temp views (testdata
         sources, replaced views) — the targets whose DML must go through
         the view machinery rather than spark.sql."""
-        return name in self._tables
+        return name.lower() in self._tables
 
     def register_store(self, name: str, path: str, df: DataFrame) -> None:
-        self._store_paths[name] = path
-        self._tables[name] = df
+        self._store_paths[name.lower()] = path
+        self._tables[name.lower()] = df
         df.createOrReplaceTempView(name)
 
     def replace_view(self, name: str, df: DataFrame) -> None:
         """In-session mutation of a view-backed table: re-register the
         transformed plan under the same name (source files untouched —
         the read-only testdata contract)."""
-        self._tables[name] = df
+        self._tables[name.lower()] = df
         df.createOrReplaceTempView(name)
 
     # -- query (doCommands analog) --------------------------------------
@@ -79,8 +84,8 @@ class MapleEngine:
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:
-        if name in self._tables:
-            return self._tables[name]
+        if name.lower() in self._tables:
+            return self._tables[name.lower()]
         return self.spark.table(name)  # Spark-catalog tables (CREATE TABLE)
 
     # -- utility commands (§2.11) ----------------------------------------
@@ -92,7 +97,7 @@ class MapleEngine:
     def analyze(self, name: str, columns: list[str] | None = None) -> None:
         """ANALYZE: compute stats on a cataloged (non-temp) table.  Temp
         views can't hold stats; materialize to the session catalog first."""
-        df = self._tables[name]
+        df = self._tables[name.lower()]
         tbl = f"maple_{name}"
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         # a previous session may have left the managed location behind
@@ -233,4 +238,4 @@ class MapleEngine:
         is key uniqueness — returns the violating keys (empty = verified)."""
         from maple_spark.constraints import pk_violations
 
-        return pk_violations(self._tables[name], key)
+        return pk_violations(self._tables[name.lower()], key)

@@ -125,3 +125,51 @@ def test_dialect_dml_fuzz_vs_model(engine, tmp_path, seed):
         for r in engine.sql("SELECT id, name, val FROM states").collect()
     }
     assert got == model
+
+
+def test_dialect_utility_statements_interleaved(engine, tmp_path):
+    """Utility statements (ANALYZE / VERIFY / OPTIMIZE / EXPLAIN DML /
+    CREATE INDEX) randomly interleaved with DML must route correctly
+    (no misdispatch into spark.sql, no side effects on data): after the
+    soup, the store still equals the model byte-exactly."""
+    rnd = random.Random(777)
+    csv = tmp_path / "u.csv"
+    csv.write_text("".join(f"{i},n{i},{i}.5\n" for i in range(1, 6)))
+    engine.execute_script(
+        f"CREATE STORE states FROM '{csv}' (id int, name varchar(200), val double)"
+    )
+    model = {i: (f"n{i}", i + 0.5) for i in range(1, 6)}
+    nxt = 50
+    utilities = [
+        "ANALYZE states",
+        "ANALYZE VERBOSE states",
+        "VERIFY states",
+        "OPTIMIZE states",
+        "EXPLAIN SELECT * FROM states",
+        "EXPLAIN UPDATE states SET name = 'x' WHERE id = 1",
+        "EXPLAIN DELETE FROM states WHERE id = 1",
+        "CREATE INDEX idx_states ON states (id)",
+    ]
+    for step in range(30):
+        if rnd.random() < 0.5:
+            stmt = rnd.choice(utilities)
+            res = engine.execute_script(_mixed_case(rnd, stmt) if "'" not in stmt
+                                        else stmt)
+            # EXPLAIN DML must NOT execute the mutation
+            assert {
+                r["id"]: (r["name"], r["val"])
+                for r in engine.sql("SELECT * FROM states").collect()
+            } == model, stmt
+        else:
+            lit = _lit(rnd)
+            engine.execute_script(
+                f"INSERT INTO states VALUES ({nxt},"
+                f" '{lit.replace(chr(39), chr(39) * 2)}', {nxt}.25)"
+            )
+            model[nxt] = (lit, nxt + 0.25)
+            nxt += 1
+    got = {
+        r["id"]: (r["name"], r["val"])
+        for r in engine.sql("SELECT id, name, val FROM states").collect()
+    }
+    assert got == model
