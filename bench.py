@@ -95,10 +95,11 @@ def main() -> None:
 
     # one untimed warmup run per query (plan compilation + whole-stage
     # codegen JIT — one-time costs that don't scale with data volume),
-    # then min of 3 timed runs = steady-state execution cost (measured
+    # then min of 5 timed runs = steady-state execution cost (measured
     # run-to-run noise at these ~100 ms-stage sizes is ±25-50% under
-    # transient host contention; min-of-3 keeps one bad run from
-    # polluting a query's number where min-of-2 did not).
+    # transient host contention, and round-5 hosts showed sustained
+    # background load that min-of-3 did not filter — unchanged queries
+    # drifted 1.3-1.6× between runs; min-of-5 recovers the floor).
     #
     # Every DataFrame is kept referenced until exit: releasing one lets the
     # ContextCleaner unregister its SQL-metric accumulators, and a straggler
@@ -112,7 +113,7 @@ def main() -> None:
         keep_alive.append(df)
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             if name not in CONSTRUCT_TIMED:
