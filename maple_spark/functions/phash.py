@@ -51,8 +51,16 @@ from pyspark.sql import functions as F
 #: 2^31 - 1, the Mersenne prime used as the universal-hash modulus.
 P31 = 2147483647
 
-#: Polynomial-bucket multiplier (odd, < 2^31; the classic LCG constant).
+#: Polynomial-bucket multipliers (odd, < 2^31; classic LCG constants).
+#: TWO independent polynomials are combined into one ~62-bit bucket id:
+#: a single mod-P31 polynomial gives only 2^31 bucket values, and at
+#: n = 10^9 documents random bucket collisions would run ~n²/2^31 ≈
+#: 2×10^8 spurious candidate pairs PER BAND — each paying exact-Jaccard
+#: verification.  Two independent polys collide together with
+#: p ≈ 2^-62, restoring the negligible-collision regime of a 64-bit
+#: bucket hash while staying plain overflow-safe arithmetic.
 BAND_C = 1664525
+BAND_C2 = 22695477
 
 
 # --------------------------------------------------------------------------
@@ -72,14 +80,22 @@ def fp_nib(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 16, 1), 16, 10).cast("int")
 
 
-def poly_bucket(cols: list[Column]) -> Column:
-    """Order-sensitive polynomial hash of several values already reduced
-    mod P31: acc = (acc·BAND_C + next) mod P31.  Every intermediate
-    < 2^62."""
+def _poly(cols: list[Column], mult: int) -> Column:
+    """acc = (acc·mult + next) mod P31 over values already < P31; every
+    intermediate < 2^62."""
     acc = cols[0]
     for c in cols[1:]:
-        acc = (acc * F.lit(BAND_C) + c) % F.lit(P31)
+        acc = (acc * F.lit(mult) + c) % F.lit(P31)
     return acc
+
+
+def poly_bucket(cols: list[Column]) -> Column:
+    """Order-sensitive ~62-bit bucket id of several values already
+    reduced mod P31: two independent mod-P31 polynomials (BAND_C,
+    BAND_C2) packed as polyA·P31 + polyB — see the constants' comment
+    for why one 31-bit polynomial is not enough at corpus scale.
+    polyA·P31 < 2^62, so no overflow in either engine."""
+    return _poly(cols, BAND_C) * F.lit(P31) + _poly(cols, BAND_C2)
 
 
 # --------------------------------------------------------------------------
@@ -96,15 +112,22 @@ def sql_fp_nib(expr: str) -> str:
     return f"((('0x' || substr(md5({expr}), 16, 1))::UBIGINT)::INTEGER)"
 
 
+def _sql_poly(exprs: list[str], mult: int) -> str:
+    acc = f"CAST({exprs[0]} AS BIGINT)"
+    for e in exprs[1:]:
+        acc = f"((({acc}) * {mult} + ({e})) % {P31})"
+    return acc
+
+
 def sql_poly_bucket(exprs: list[str]) -> str:
-    """DuckDB SQL twin of :func:`poly_bucket`.  The accumulator is cast
+    """DuckDB SQL twin of :func:`poly_bucket`.  Accumulators are cast
     to BIGINT explicitly: DuckDB types bare integer literals INT32 and
     raises on INT32 multiplication overflow, so without the cast a
     literal operand would blow up where a BIGINT column would not."""
-    acc = f"CAST({exprs[0]} AS BIGINT)"
-    for e in exprs[1:]:
-        acc = f"((({acc}) * {BAND_C} + ({e})) % {P31})"
-    return acc
+    return (
+        f"(({_sql_poly(exprs, BAND_C)}) * {P31}"
+        f" + ({_sql_poly(exprs, BAND_C2)}))"
+    )
 
 
 # --------------------------------------------------------------------------

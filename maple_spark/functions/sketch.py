@@ -43,7 +43,12 @@ def countmin_table(
     fingerprint salted by row index (:func:`_cm_bucket`); width buckets
     per row.  Size ≤ depth × width regardless
     of input cardinality; counters from separate builds merge by
-    summing (tested)."""
+    summing (tested).  NULL values are EXCLUDED (like COUNT(DISTINCT)
+    and the HLL build): the md5 fingerprint of NULL is NULL, so an
+    unfiltered NULL would pile into a NULL bucket that estimate probes
+    can never match — yielding a guarantee-breaking estimate of 0
+    instead of an over-estimate."""
+    df = df.where(F.col(col).isNotNull())
     cells = F.array(
         *[
             F.struct(
@@ -67,7 +72,10 @@ def countmin_estimate(
     estimate(x) = min over hash functions of counter[h, bucket_h(x)].
     Guarantees: estimate ≥ true count always; ≤ true + εN with
     probability 1−δ where ε ≈ e/width, δ ≈ exp(−depth).  The keys side
-    explodes to depth probes and joins the (tiny) sketch — broadcast."""
+    explodes to depth probes and joins the (tiny) sketch — broadcast.
+    NULL keys are dropped to mirror :func:`countmin_table`'s exclusion
+    (a NULL probe could only ever read 0, violating the lower bound)."""
+    keys = keys.where(F.col(key_col).isNotNull())
     probes = keys.select(
         F.col(key_col),
         F.explode(

@@ -310,10 +310,12 @@ def fp_set_expr(text_col: str, k: int = 8):
 def lsh_band_buckets_rowlocal(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     num_perm: int = 64,
     bands: int = 16,
     k: int = 8,
+    carry_cols: tuple[str, ...] = (),
+    fp_set_col: str | None = None,
 ) -> DataFrame:
     """Row-local formulation of :func:`lsh_band_buckets`: the signature
     mins are ``array_min`` over per-row fingerprint arrays instead of a
@@ -326,16 +328,28 @@ def lsh_band_buckets_rowlocal(
     (64 array lambdas re-scan the row's array; partial aggs
     pipeline better), so batch callers keep :func:`lsh_band_buckets`.
     NULL-text rows yield NULL buckets and fall out of any equi-join —
-    same net output as the agg path, which drops them at explode."""
+    same net output as the agg path, which drops them at explode.
+
+    ``carry_cols`` ride through the pipeline unchanged and appear in the
+    output (before band/bucket) — how the streaming guard keeps each
+    row's fingerprint set next to its buckets without a self-join.
+    ``fp_set_col`` names an existing 60-bit fingerprint-array column
+    (:func:`fp_set_expr`) to band from instead of re-hashing
+    ``text_col`` — same buckets (the reduced multiset of a distinct
+    60-bit set mod P31 has the same mins), one md5 pass instead of
+    two."""
     from maple_spark.functions import phash
 
     rows_per_band = num_perm // bands
     consts = phash.perm_consts(num_perm)
-    fps = F.transform(
-        F.array_distinct(shingle_expr(text_col, k)),
-        lambda s: phash.fp60(s) % F.lit(phash.P31),
-    )
-    base = df.select(F.col(id_col), fps.alias("__fps"))
+    if fp_set_col is not None:
+        rfps = F.transform(fp_set_col, lambda x: x % F.lit(phash.P31))
+    else:
+        rfps = F.transform(
+            F.array_distinct(shingle_expr(text_col, k)),
+            lambda s: phash.fp60(s) % F.lit(phash.P31),
+        )
+    base = df.select(F.col(id_col), *carry_cols, rfps.alias("__fps"))
     sig_cols = [
         F.array_min(
             F.transform(
@@ -344,9 +358,10 @@ def lsh_band_buckets_rowlocal(
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    sig = base.select(id_col, *sig_cols)
+    sig = base.select(id_col, *carry_cols, *sig_cols)
     return sig.select(
         F.col(id_col),
+        *carry_cols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -361,7 +376,7 @@ def lsh_band_buckets_rowlocal(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *carry_cols, "bb.band", "bb.bucket")
 
 
 def cross_dedup_stream(
@@ -400,8 +415,6 @@ def cross_dedup_stream(
     against them.  Jaccard here intersects 60-bit fingerprint sets
     rather than string shingle sets — equal up to md5 collisions
     (p ≈ |set|²/2^60 per pair)."""
-    from maple_spark.functions import phash
-
     ref_buckets = lsh_band_buckets(
         ref_df, id_col, text_col, num_perm, bands, k
     ).select(F.col(id_col).alias("ref_id"), "band", "bucket")
@@ -413,40 +426,21 @@ def cross_dedup_stream(
     # bucket rows (the set rides the explode ×bands — fixed-width, never
     # text): joining buckets back to the source for the set would be a
     # stream-stream self-join, which needs watermarks this operator
-    # deliberately avoids
-    rows_per_band = num_perm // bands
-    consts = phash.perm_consts(num_perm)
-    rfps = F.transform("__nset", lambda x: x % F.lit(phash.P31))
+    # deliberately avoids.  Banding derives from the carried set
+    # (fp_set_col) so the stream row is md5-hashed exactly once.
     base = new_docs.select(
         F.col(id_col).alias("new_id"), fp_set_expr(text_col, k).alias("__nset")
-    ).select("new_id", "__nset", rfps.alias("__rfps"))
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                "__rfps", lambda r: (F.lit(a) * r + F.lit(b)) % F.lit(phash.P31)
-            )
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(consts)
-    ]
-    sig = base.select("new_id", "__nset", *sig_cols)
-    nb = sig.select(
+    )
+    nb = lsh_band_buckets_rowlocal(
+        base,
         "new_id",
-        "__nset",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    phash.poly_bucket(
-                        [
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("new_id", "__nset", "bb.band", "bb.bucket")
+        None,
+        num_perm,
+        bands,
+        k,
+        carry_cols=("__nset",),
+        fp_set_col="__nset",
+    )
 
     n_inter = F.size(F.array_intersect("__nset", "__rset"))
     return (
@@ -515,9 +509,12 @@ def cross_dedup_pairs(
     sa = side_sets(new_df, cand.select(F.col("new_id").alias(id_col)), "new_id")
     sb = side_sets(ref_df, cand.select(F.col("ref_id").alias(id_col)), "ref_id")
     n_inter = F.size(F.array_intersect("__new_id_set", "__ref_id_set"))
+    # cand broadcast (id-only); sb unhinted — it carries shingle arrays
+    # (see verify_jaccard: a forced broadcast of text-derived sets is a
+    # scale trap; AQE converts it when genuinely small)
     return (
         sa.join(F.broadcast(cand), on="new_id")
-        .join(F.broadcast(sb), on="ref_id")
+        .join(sb, on="ref_id")
         .withColumn(
             "jaccard",
             F.round(
@@ -564,15 +561,17 @@ def verify_jaccard(
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
     n_inter = F.size(F.array_intersect("__sa", "__sb"))
-    # both joins broadcast: pairs and the candidate-doc shingle sets are
-    # bounded by the candidate list (the same regime that justifies
-    # broadcast(pairs) justifies broadcast(sb)), and the sb broadcast
-    # turns the second join's shuffle barrier into a map-side probe —
-    # measured -0.3 s at sf0.1 (1/6 of d3's wall) purely from the
-    # removed exchange
+    # pairs broadcast explicitly (id-only rows, ~16 B each — always
+    # tiny); sb is NOT hinted: it carries the candidate docs' shingle
+    # ARRAYS, ~3 orders of magnitude more bytes per row, and a forced
+    # broadcast would hit the 8 GB broadcast limit / driver memory on a
+    # large candidate set — the exact raw-text-never-ships invariant
+    # this module is built on.  AQE still converts the sb join to a
+    # broadcast at runtime when the measured exchange is small (the
+    # sf0.1 case), so the small-data win is kept without the scale trap.
     return (
         sa.join(F.broadcast(pairs), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
+        .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1218,6 +1217,14 @@ def ngram_jaccard_pairs_best(
             return ngram_jaccard_pairs_gram(
                 df, id_col, text_col, k, threshold, vocab_cap=vocab_cap
             )
-        except ValueError:
-            pass  # full vocab exceeded the cap after all → prefix regime
+        except ValueError as e:
+            # ONLY the vocab-cap error means "prefix regime after all"
+            # (the sample under-estimated a large vocabulary → shingles
+            # are rare → prefix filtering works).  The max_blocks error
+            # means the corpus is too big for ANY exact all-pairs tier —
+            # falling through to the prefix join there would hand the
+            # hot-vocabulary scale-killer exactly the input it dies on,
+            # so re-raise with the use-LSH guidance intact.
+            if "prefix-join regime" not in str(e):
+                raise
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, k, threshold)

@@ -48,11 +48,16 @@ def get_spark(
     # probed for this before the JVM gateway exists (it is an empty local
     # dict until SparkContext._jvm is live), so the externally-configured
     # case is detected from the submit environment instead:
-    # spark-submit/--master materializes as PYSPARK_SUBMIT_ARGS (pyspark
-    # shell / spark-submit set it), SPARK_MASTER, or MASTER.
+    # - PYSPARK_GATEWAY_PORT: spark-submit launched this Python FROM an
+    #   already-configured JVM driver (the canonical `spark-submit
+    #   --master yarn app.py` path — the shell-only PYSPARK_SUBMIT_ARGS
+    #   is absent there, so the gateway probe is the one that matters);
+    # - PYSPARK_SUBMIT_ARGS containing --master: the pyspark shell;
+    # - SPARK_MASTER / MASTER: standalone-cluster convention.
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     externally_configured = (
-        "--master" in submit_args
+        bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
+        or "--master" in submit_args
         or bool(os.environ.get("SPARK_MASTER"))
         or bool(os.environ.get("MASTER"))
     )
