@@ -98,7 +98,11 @@ class MapleEngine:
         """ANALYZE: compute stats on a cataloged (non-temp) table.  Temp
         views can't hold stats; materialize to the session catalog first."""
         df = self._tables[name.lower()]
-        tbl = f"maple_{name}"
+        # folded: Spark's catalog lower-cases the identifier when it
+        # derives the managed LOCATION, so an unfolded mixed-case name
+        # here would make the stale-location cleanup below look at
+        # maple_sTaTes while saveAsTable collides on maple_states
+        tbl = f"maple_{name.lower()}"
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         # a previous session may have left the managed location behind
         # (DROP only cleans locations the current catalog knows about)
@@ -119,7 +123,7 @@ class MapleEngine:
 
     def table_stats(self, name: str) -> dict:
         """TableStats analog: rowCount/sizeInBytes from the catalog."""
-        desc = self.spark.sql(f"DESCRIBE TABLE EXTENDED maple_{name}").collect()
+        desc = self.spark.sql(f"DESCRIBE TABLE EXTENDED maple_{name.lower()}").collect()
         stats = {}
         for row in desc:
             if row["col_name"] == "Statistics":
