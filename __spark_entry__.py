@@ -2631,6 +2631,39 @@ def _pack_shards(d) -> int:
     return pack_shards_for_bytes(total)
 
 
+def t16_ngram_counts(spark, sf_dir):
+    """Corpus n-gram vocabulary with threshold pruning — the LM corpus
+    statistics job: count every word trigram and keep those occurring
+    ≥ 5 times.  Map-side: per-row word split + a 1-based sliding window
+    (element_at matches DuckDB's 1-based list indexing exactly); then
+    ONE shuffle of (ngram, partial count) with map-side combine, and
+    the HAVING threshold prunes the long tail before anything else
+    consumes the table — at 100 TB the pruned vocabulary is orders of
+    magnitude smaller than the raw gram stream, and partial aggregation
+    means the shuffle carries per-partition counts, not occurrences."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size("__w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("__w", i),
+                F.element_at("__w", i + 1),
+                F.element_at("__w", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(w.alias("__w"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
 def t10_sequence_pack(spark, sf_dir):
     """Sequence packing for pretraining batches — the GPT-style pipeline
     step: concatenate documents in a deterministic order and cut the
@@ -2880,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_hll_dataflow": a15_hll_dataflow,
         "d6_cross_dedup": d6_cross_dedup,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
+        "t16_ngram_counts": t16_ngram_counts,
     }
 
 
@@ -3493,6 +3527,20 @@ def oracle_sql() -> dict[str, str]:
         # relation (row-local banding ≡ agg banding, fingerprint-set
         # jaccard ≡ shingle-set jaccard) — oracle shared verbatim
         "st7_cross_dedup_stream": d6_oracle,
+        "t16_ngram_counts": """
+            WITH w AS (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT ws[CAST(i AS INTEGER)] || ' '
+                     || ws[CAST(i + 1 AS INTEGER)] || ' '
+                     || ws[CAST(i + 2 AS INTEGER)] AS ngram
+              FROM w,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+            )
+            SELECT ngram, COUNT(*) AS n FROM g
+            GROUP BY ngram HAVING COUNT(*) >= 5
+        """,
         "d5_dedup_clusters": """
             WITH RECURSIVE sh AS (
               SELECT DISTINCT doc_id,
