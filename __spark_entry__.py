@@ -2640,24 +2640,17 @@ def t16_ngram_counts(spark, sf_dir):
     the HAVING threshold prunes the long tail before anything else
     consumes the table — at 100 TB the pruned vocabulary is orders of
     magnitude smaller than the raw gram stream, and partial aggregation
-    means the shuffle carries per-partition counts, not occurrences."""
+    means the shuffle carries per-partition counts, not occurrences.
+    Gram construction is curation's shared ``_word_ngrams`` builder
+    (the same windowing t11's decontamination uses), with empty tokens
+    filtered."""
+    from maple_spark.pipelines.curation import _word_ngrams
+
     d = _t(spark, sf_dir, "documents")
-    w = F.filter(F.split("text", " "), lambda x: x != "")
-    grams = F.when(
-        F.size("__w") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__w") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("__w", i),
-                F.element_at("__w", i + 1),
-                F.element_at("__w", i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(w.alias("__w"))
-        .select(F.explode(grams).alias("ngram"))
+        d.select(
+            F.explode(_word_ngrams("text", 3, filter_empty=True)).alias("ngram")
+        )
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 5)

@@ -31,11 +31,16 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 PHONE_RE = "[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]"
 
 
-def _word_ngrams(text_col: str, n: int):
+def _word_ngrams(text_col: str, n: int, filter_empty: bool = False):
     """Array of space-joined word n-grams (empty when the doc has < n
     words).  Built with transform over index sequence — codegen'd, no
-    Python."""
+    Python.  ``filter_empty`` drops zero-length tokens (from repeated
+    spaces) before windowing — the ONE shared gram builder for t11's
+    decontamination (raw tokens, GPT-3 style) and t16's vocabulary
+    counts (clean tokens), so the two can never drift in tokenization."""
     words = F.split(F.col(text_col), " ")
+    if filter_empty:
+        words = F.filter(words, lambda x: x != "")
     return F.when(
         F.size(words) >= n,
         F.transform(

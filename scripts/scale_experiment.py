@@ -70,6 +70,9 @@ QUERIES = [
     "sim5_semdedup",
     "rj2_interval_overlap",
     "o1_sort_rownum",
+    "t16_ngram_counts",
+    "d6_cross_dedup",
+    "st7_cross_dedup_stream",
 ]
 
 #: sim5's deterministic-Lloyd quantizer runs Spark jobs at
