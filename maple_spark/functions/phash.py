@@ -35,10 +35,14 @@ Derived constructions:
   band buckets), with mod applied at each step so intermediates stay
   < 2^62.
 
-MinHash quality note: h_i has 31-bit range, so two *distinct* shingles
-collide under one permutation with p = 2^-31 — negligible against the
-estimator's own 1/sqrt(num_perm) error, and candidate pairs are verified
-with exact Jaccard downstream anyway (no false positives can survive).
+MinHash quality note: every permutation is applied to the SAME reduced
+value x = fp60 mod P31, so two *distinct* shingles whose fingerprints
+collide mod P31 (p ≈ 2^-31) collide under ALL num_perm permutations at
+once — one correlated collision event per shingle pair, not an
+independent 2^-31 per permutation.  Still negligible: the event merges
+two shingles corpus-wide (recall loss ~2^-31, bounded estimator bias),
+and candidate pairs are verified with exact Jaccard downstream anyway
+(no false positives can survive).
 """
 
 from __future__ import annotations

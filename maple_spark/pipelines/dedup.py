@@ -178,14 +178,27 @@ def lsh_band_buckets(
     columns (h0..h63) rather than an assembled signature array: same
     band hashes (signature[i] IS h{i}), two fewer 64-wide projections
     for Catalyst to analyze — the signature→array→extract round-trip
-    was pure plan bloat here."""
+    was pure plan bloat here.
+
+    Two map-side prunes before anything shuffles:
+
+    - the DISTINCT shingle set is hashed, not the multiset
+      (``array_distinct`` before explode) — output-identical since
+      min-over-multiset == min-over-set, and on repetitive text (the
+      regime near-dup targets) it cuts md5 calls and explode rows by
+      the repetition factor;
+    - NULL-text rows are dropped up front: they can never verify (NULL
+      jaccard), but without the filter they'd all share NULL buckets
+      and pair QUADRATICALLY per band in the candidate groupBy —
+      wasted O(n²) work on a NULL-heavy corpus."""
     from maple_spark.functions import phash
 
     rows_per_band = num_perm // bands
     consts = phash.perm_consts(num_perm)
-    shingles = shingle_expr(text_col, k)
+    shingles = F.array_distinct(shingle_expr(text_col, k))
     sh = (
         _spread(df.select(id_col, text_col))
+        .where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(shingles).alias("__s"))
         .select(
             F.col(id_col),
@@ -328,7 +341,7 @@ def lsh_band_buckets_rowlocal(
     (64 array lambdas re-scan the row's array; partial aggs
     pipeline better), so batch callers keep :func:`lsh_band_buckets`.
     NULL-text rows yield NULL buckets and fall out of any equi-join —
-    same net output as the agg path, which drops them at explode.
+    same net output as the agg path, which filters them before explode.
 
     ``carry_cols`` ride through the pipeline unchanged and appear in the
     output (before band/bucket) — how the streaming guard keeps each
@@ -409,6 +422,16 @@ def cross_dedup_stream(
     it or swap in ``dropDuplicatesWithinWatermark`` keyed on ingest
     time.
 
+    The dedup sits BEFORE the fingerprint-set join, not after the
+    jaccard filter: a true near-dup pair collides in most of its 16
+    bands, so deduping candidates first makes the (set join + exact
+    intersect) run once per candidate pair instead of once per band
+    collision — the verify stage stops paying the ×bands explode tax.
+    Output is identical either way (every band row of a pair carries
+    the same sets, hence the same jaccard); the trade is state bounded
+    by CANDIDATE pairs (band collisions) rather than match pairs —
+    still collision-bounded, never stream-bounded.
+
     100 TB shape: the reference tables (buckets + fingerprint sets) are
     plain DataFrames computed once per reference snapshot and persisted;
     per micro-batch cost is the new rows' map work + two equi-joins
@@ -446,6 +469,10 @@ def cross_dedup_stream(
     return (
         nb.join(ref_buckets, ["band", "bucket"])
         .select("new_id", "ref_id", "__nset")
+        # candidate dedup FIRST (see docstring): multi-band collisions
+        # collapse before the set join, so verification runs once per
+        # pair.  Streaming state = candidate-pair keys only.
+        .dropDuplicates(["new_id", "ref_id"])
         .join(ref_sets, "ref_id")
         .withColumn(
             "jaccard",
@@ -455,7 +482,6 @@ def cross_dedup_stream(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("new_id", "ref_id", "jaccard")
-        .dropDuplicates(["new_id", "ref_id"])
     )
 
 

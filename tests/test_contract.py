@@ -29,6 +29,49 @@ def test_rows_only_set_is_intentional():
     }
 
 
+def test_driver_window_composition():
+    """The driver's gate value-checks the FIRST 50 queries() entries in
+    dict order.  Round 6 rotated the riskiest operators (rounds-4/5
+    hash-defined + LLM-pipeline additions) INTO that window, trading out
+    near-duplicate siblings.  Pin the composition so a refactor can't
+    silently evict an externally-checked operator."""
+    window = list(e.queries())[:50]
+    # the rotated-in risk surface (VERDICT r5 task 1)
+    for name in (
+        "d6_cross_dedup",
+        "st7_cross_dedup_stream",
+        "t16_ngram_counts",
+        "a14_countmin_sketch",
+        "a15_hll_dataflow",
+        "st6_hll_stream",
+        "t15_weighted_sample",
+        "sim3_lsh_topk",
+    ):
+        assert name in window, name
+    # ≥1 externally-checked entry per SURVEY §2 family
+    for family_rep in (
+        "s1_scan_filter",      # scans
+        "p1_project_expr",     # project/rename
+        "e1_arithmetic",       # expressions
+        "e10_scalar_subquery", # subqueries
+        "j2_join_inner",       # joins
+        "a2_groupby_q1",       # aggregates
+        "o1_sort_rownum",      # order/limit
+        "set_union",           # set ops
+        "w1_window_rank",      # windows
+        "q3_shipping_priority",# multi-operator queries
+        "t1_text_stats",       # text analysis
+        "d1_dedup_exact",      # dedup
+        "t5_hash_split",       # sampling
+    ):
+        assert family_rep in window, family_rep
+    # every window entry must carry a driver-runnable oracle (the
+    # rows-only trio must sit outside the window)
+    oracles = set(e.oracle_sql())
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], missing
+
+
 def test_hash_defined_oracles_are_driver_visible():
     """The formerly-extended hash-defined queries must all live in the
     driver-visible oracle_sql() (the gate the driver actually runs) and
