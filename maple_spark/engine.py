@@ -150,9 +150,14 @@ class MapleEngine:
         driver-memory discipline as the REPL, ``repl.py``): a script
         SELECT over a fact table must not OOM the driver.  The cap is
         enforced with ``limit(max_rows + 1)`` so callers can detect
-        truncation (len == max_rows + 1 ⇒ more rows existed); pass
-        ``max_rows=0`` for the old unbounded collect when the caller
-        KNOWS the result is small."""
+        truncation (len == max_rows + 1 ⇒ more rows existed — and,
+        because ``limit`` without ORDER BY keeps an arbitrary subset,
+        a truncated result is also NOT a deterministic prefix); a
+        truncation additionally logs a warning so the sentinel cannot
+        pass silently.  Pass ``max_rows=0`` for the old unbounded
+        collect when the caller KNOWS the result is small."""
+        import logging
+
         from maple_spark.dialect import ExitScript, route_statement
 
         results: list[list | None] = []
@@ -163,7 +168,16 @@ class MapleEngine:
             if out is None or not out.columns:
                 results.append(None)
             elif max_rows and max_rows > 0:
-                results.append(out.limit(max_rows + 1).collect())
+                rows = out.limit(max_rows + 1).collect()
+                if len(rows) == max_rows + 1:
+                    logging.getLogger("maple_spark.engine").warning(
+                        "execute_script: statement result truncated at"
+                        " %d rows (arbitrary subset — no ORDER BY"
+                        " guarantee); raise max_rows or pass 0 for an"
+                        " unbounded collect",
+                        max_rows,
+                    )
+                results.append(rows)
             else:
                 results.append(out.collect())
         return results

@@ -1305,17 +1305,44 @@ def ngram_jaccard_pairs_best(
     output-identical, so the choice is pure physics, not semantics.
 
     Routing is SAMPLED, not a full pass: density is estimated from
-    ``approx_count_distinct`` over ≤1024 documents' shingles (one tiny
-    job), because a full ``distinct().count()`` over all shingles would
-    be an extra full-corpus scan + shuffle before any real work — at
+    ``approx_count_distinct`` over ~4096 hash-sampled documents'
+    shingles (one thin map pass; only the 2-value agg shuffles),
+    because a full ``distinct().count()`` over all shingles would be
+    an extra full-corpus scan + shuffle before any real work — at
     100 TB that is a whole stage spent deciding which stage to run.
     Hot vocabularies saturate within a small sample (that is what hot
     MEANS — every shingle recurs across documents), so the sample
     routes reliably; the gram tier still verifies the EXACT vocabulary
     against its cap internally (it materializes the vocab for dense ids
     anyway) and a sample that under-estimated a too-large vocabulary
-    falls back to the prefix join."""
-    sample = df.select(text_col).limit(1024)
+    falls back to the prefix join.
+
+    The sample is an id-hash filter, NOT ``limit(1024)``: limit takes
+    the first partitions' rows, so a corpus clustered by source could
+    route on an unrepresentative head (one low-vocabulary domain first
+    → prefix join for a genuinely hot corpus — the exact regime the
+    prefix tier dies on).  The hash test spreads the sample across the
+    corpus regardless of physical layout, deterministically; its
+    modulus derives from the parquet footprint (metadata only, no job —
+    the t10 shard-sizing pattern) to keep the expected sample ~4096
+    docs, and a mis-estimate either way still routes fine (the
+    heuristic needs hundreds of docs, not an exact count)."""
+    import os
+
+    est_docs = 0
+    for f in df.inputFiles():
+        p = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            est_docs += os.path.getsize(p) // 1024  # ~1 KiB/doc estimate
+        except OSError:
+            est_docs = 0  # unstatable source: sample everything it must
+            break
+    mod = max(1, est_docs // 4096)
+    sample = df.select(id_col, text_col)
+    if mod > 1:
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
     stats = (
         sample.select(F.explode(shingle_expr(text_col, k)).alias("__s"))
         .agg(

@@ -53,16 +53,29 @@ def get_spark(
     #   --master yarn app.py` path — the shell-only PYSPARK_SUBMIT_ARGS
     #   is absent there, so the gateway probe is the one that matters);
     # - PYSPARK_SUBMIT_ARGS containing --master: the pyspark shell;
-    # - SPARK_MASTER / MASTER: standalone-cluster convention.
+    # - SPARK_MASTER holding a master URL: standalone-cluster convention.
+    #   (A bare generic MASTER env var is deliberately NOT honored: other
+    #   tooling/CI sets MASTER for unrelated purposes, and Spark itself
+    #   never reads it — trusting it would only suppress the local[]
+    #   default and crash session creation with "A master URL must be
+    #   set".  SPARK_MASTER is likewise only trusted when its value
+    #   looks like a master URL.)
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    spark_master = os.environ.get("SPARK_MASTER", "")
+    master_url_like = spark_master.startswith(
+        ("local", "spark://", "yarn", "k8s://", "mesos://")
+    )
     externally_configured = (
         bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
         or "--master" in submit_args
-        or bool(os.environ.get("SPARK_MASTER"))
-        or bool(os.environ.get("MASTER"))
+        or master_url_like
     )
     if master:
         builder = builder.master(master)
+    elif master_url_like:
+        # SPARK_MASTER is an env convention, not something Spark reads
+        # itself — honoring it means actually passing it through
+        builder = builder.master(spark_master)
     elif not externally_configured:
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
     builder = (
