@@ -938,6 +938,77 @@ def cp2_curation_pipeline(spark, sf_dir):
     )
 
 
+def cp3_pretraining_ingest(spark, sf_dir):
+    """Capstone #3 — the full pretraining-INGEST pass, the workload the
+    north star names, composed as ONE oracle-checked dataflow over an
+    arriving crawl: cross-corpus dedup against the existing corpus
+    snapshot (d6: drop arriving docs that near-duplicate the reference,
+    LSH candidates + exact-Jaccard verify) → benchmark decontamination
+    (t11: drop docs sharing any 13-word n-gram with the eval set) →
+    quality filter (t3) → per-language quota (t6) → sequence packing
+    (t10: shard-parallel cumulative token offsets).  Exercises the
+    composition the per-operator entries cannot: the dedup/decontam
+    survivors feed the quota's rank windows and the packer's cumulative
+    sums, so every downstream offset depends on every upstream drop.
+
+    100 TB shape: the reference side's bucket/fingerprint tables are
+    computed once per snapshot (see d6); the arriving corpus is scanned
+    once for banding and once for curation signals (both map-side), the
+    only non-map stages are the candidate equi-join, the bounded
+    verify, the broadcast gram semi-join, and the per-(lang|shard)
+    windows — no global sort, no unbounded broadcast.  Pack shards
+    scale with input bytes (t10), so the cumulative sum stays
+    shard-parallel at any size."""
+    from maple_spark.pipelines import curation, sampling
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)  # the arriving crawl
+    ref = d.where(F.col("doc_id") % 2 == 0)  # existing corpus snapshot
+    # 1. decontamination-by-dedup against the snapshot (d6 semantics)
+    dup_ids = (
+        dedup.cross_dedup_pairs(
+            new, ref, "doc_id", "text",
+            num_perm=64, bands=16, k=8, jaccard_threshold=0.2,
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = new.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    # 2. benchmark decontamination (eval set = doc_id % 50 == 0, as t11)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    bad_ids = curation.contaminated_ids(survivors, bench, n=13)
+    clean = survivors.join(F.broadcast(bad_ids), "doc_id", "left_anti")
+    # 3. quality filter (t3 signals, map-only)
+    kept = (
+        textstats.quality_score(clean)
+        .select("doc_id", "text", "lang", "quality")
+        .where(F.col("quality") >= 0.4)
+    )
+    # 4. per-language quota (t6)
+    capped = sampling.quota_sample(kept, "lang", "doc_id", cap=40)
+    # 5. sequence packing (t10) over the curated stream
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    shard = (F.col("doc_id") % _pack_shards(d)).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = capped.select(
+        "doc_id", "lang", "quality",
+        shard.alias("shard"), n_tokens.alias("n_tokens"),
+    )
+    return toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
+        "doc_id", "lang", "quality", "shard", "n_tokens",
+        F.floor(F.col("start_tok") / PACK_CAPACITY).cast("bigint").alias("pack_id"),
+        (F.col("start_tok") % PACK_CAPACITY).cast("bigint").alias("pack_offset"),
+    )
+
+
 def t14_domain_mix(spark, sf_dir):
     """Weighted per-source subsample (corpus mixing): content-stable md5
     draw per (source, doc_id) against per-domain target fractions —
@@ -2923,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_pii_scrub": t13_pii_scrub,
         "t14_domain_mix": t14_domain_mix,
         "cp2_curation_pipeline": cp2_curation_pipeline,
+        "cp3_pretraining_ingest": cp3_pretraining_ingest,
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
@@ -3033,6 +3105,117 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = ref_id
             WHERE round(CAST(n_inter AS DOUBLE) /
                         (ca.n_shingles + cb.n_shingles - n_inter), 6) >= 0.2
+        """
+
+    # cp3: the d6 dedup chain feeding decontamination → quality → quota
+    # → packing, all in one statement (stage expressions identical to
+    # the t11/t3/t6/t10 oracles they compose)
+    cp3_oracle = f"""
+            WITH consts(perm, a, b) AS (VALUES {_mh_vals}),
+            baseh AS (
+              SELECT DISTINCT doc_id, ({_sh_fp} % {_ph.P31}) AS r
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), sig AS (
+              SELECT doc_id, perm, MIN((a * r + b) % {_ph.P31}) AS mh
+              FROM baseh CROSS JOIN consts
+              GROUP BY doc_id, perm
+            ), sigl AS (
+              SELECT doc_id, list(mh ORDER BY perm) AS hs FROM sig GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, CAST(b AS INTEGER) AS band, {_mh_bucket} AS bucket
+              FROM sigl, unnest(generate_series(0, 15)) AS g(b)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            ), shd AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), cnts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM shd GROUP BY doc_id
+            ), inter AS (
+              SELECT c.new_id, c.ref_id, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN shd a ON a.doc_id = c.new_id
+              JOIN shd b ON b.doc_id = c.ref_id AND b.shingle = a.shingle
+              GROUP BY c.new_id, c.ref_id
+            ), dup_ids AS (
+              SELECT DISTINCT new_id AS doc_id
+              FROM inter
+              JOIN cnts ca ON ca.doc_id = new_id
+              JOIN cnts cb ON cb.doc_id = ref_id
+              WHERE round(CAST(n_inter AS DOUBLE) /
+                          (ca.n_shingles + cb.n_shingles - n_inter), 6) >= 0.2
+            ), survivors AS (
+              SELECT d.* FROM documents d
+              WHERE d.doc_id % 2 = 1
+                AND d.doc_id NOT IN (SELECT doc_id FROM dup_ids)
+            ), kw AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM survivors
+            ), dgk AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+              FROM kw, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+              WHERE len(ws) >= 13
+            ), bw AS (
+              SELECT string_split(text, ' ') AS ws FROM documents
+              WHERE doc_id % 50 = 0
+            ), bg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS gram
+              FROM bw, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+              WHERE len(ws) >= 13
+            ), contaminated AS (
+              SELECT DISTINCT doc_id FROM dgk JOIN bg USING (gram)
+            ), clean AS (
+              SELECT s.* FROM survivors s
+              WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), kept AS (
+              SELECT doc_id, lang, quality FROM (
+                SELECT doc_id, lang,
+                       round((least(n_words / 20.0, 1.0)
+                              + (1.0 - least(punct_ratio * 5, 1.0))
+                              + least(stopword_ratio * 4, 1.0)) / 3.0, 6)
+                         AS quality
+                FROM (
+                  SELECT doc_id, lang,
+                         len(string_split(text, ' ')) AS n_words,
+                         round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               AS DOUBLE) / greatest(length(text), 1), 6)
+                           AS punct_ratio,
+                         round(CAST(len(list_filter(string_split(text, ' '),
+                               w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                               AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                           AS stopword_ratio
+                  FROM clean
+                )
+              ) WHERE quality >= 0.4
+            ), capped AS (
+              SELECT doc_id, lang, quality FROM (
+                SELECT k.*,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id ASC) AS rk
+                FROM kept k
+              ) WHERE rk <= 40
+            ), toks AS (
+              SELECT c.doc_id, c.lang, c.quality, c.doc_id % 16 AS shard,
+                     CAST(len(list_filter(string_split(d.text, ' '),
+                                          x -> x <> '')) AS BIGINT)
+                       AS n_tokens
+              FROM capped c JOIN documents d ON d.doc_id = c.doc_id
+            ), cum AS (
+              SELECT doc_id, lang, quality, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS start_tok
+              FROM toks
+            )
+            SELECT doc_id, lang, quality, shard, n_tokens,
+                   CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS pack_id,
+                   CAST(start_tok % 2048 AS BIGINT) AS pack_offset
+            FROM cum
         """
 
     _tok_h1 = _ph.sql_fp60("t.tok")
@@ -4598,6 +4781,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE rk <= 25
         """,
+        "cp3_pretraining_ingest": cp3_oracle,
         "cp2_curation_pipeline": """
             WITH scored AS (
               SELECT doc_id, text, lang, source,

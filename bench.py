@@ -73,6 +73,7 @@ HEADLINE = [
     "cp2_curation_pipeline",
     "sim4_ivf_topk",
     "sim5_semdedup",
+    "cp3_pretraining_ingest",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -128,6 +129,32 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None  # non-sf<N> dir: never discard the measured timings
+    # Per-query drift vs the BEST prior round (committed BENCH_r*.json):
+    # round-5 hosts showed sustained background load drifting unchanged
+    # queries 1.3-1.6x between runs, so a single round-over-round delta
+    # cannot distinguish a real regression from noise — the best prior
+    # value is the steadiest available floor.  drift > 1.3 flags a query
+    # for a closer look; it is a tripwire, not a verdict.
+    best_prior: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                prior = json.load(f).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if prior.get("sf") != sf:
+            continue  # only like-for-like scale factors compare
+        for q, t in (prior.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best_prior[q] = min(best_prior.get(q, t), t)
+    drift = {
+        q: round(t / best_prior[q], 2)
+        for q, t in timings.items()
+        if q in best_prior
+    }
     print(
         json.dumps(
             {
@@ -136,6 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "drift": drift,
+                "drift_flags": sorted(q for q, r in drift.items() if r > 1.3),
             }
         )
     )

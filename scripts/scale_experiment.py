@@ -73,6 +73,8 @@ QUERIES = [
     "t16_ngram_counts",
     "d6_cross_dedup",
     "st7_cross_dedup_stream",
+    # round-6 addition: the full pretraining-ingest capstone
+    "cp3_pretraining_ingest",
 ]
 
 #: sim5's deterministic-Lloyd quantizer runs Spark jobs at
