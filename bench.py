@@ -142,9 +142,12 @@ def main() -> None:
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(path) as f:
-                prior = json.load(f).get("parsed") or {}
+                rec = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        if rec.get("rc") not in (0, None):
+            continue  # a failed bench run is not a comparison floor
+        prior = rec.get("parsed") or {}
         if prior.get("sf") != sf:
             continue  # only like-for-like scale factors compare
         for q, t in (prior.get("queries") or {}).items():

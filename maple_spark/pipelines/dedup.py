@@ -1144,6 +1144,11 @@ def ngram_jaccard_pairs_gram(
         (r["sz"], r["n"])
         for r in docs.groupBy("sz").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    id_type = df.schema[id_col].dataType.simpleString()
+    if not hist:  # empty corpus (or all-NULL text): no pairs, no blocks
+        return spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double"
+        )
     n_docs = sum(n for _, n in hist)
     # rows per block from the per-task byte budget, not a constant: a
     # hot 64k vocabulary caps blocks at ~256 rows (64 MB per side), a
@@ -1192,7 +1197,6 @@ def ngram_jaccard_pairs_gram(
             + F.pmod(F.xxhash64(F.col(id_col)), F.col("k")).cast("int")
         ).alias("b"),
     )
-    id_type = df.schema[id_col].dataType.simpleString()
     # block-pair relation: driver-built from the (bounded ≤ max_blocks)
     # per-block size ranges, keeping only SIZE-COMPATIBLE pairs — with
     # blocks ascending in size, pair (i ≤ j) can qualify only if the

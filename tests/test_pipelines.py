@@ -816,6 +816,71 @@ def test_gram_jaccard_equals_prefix_join(spark):
     assert auto == sorted(rows(ngram_jaccard_pairs_gram(d, "doc_id", "text", 8, 0.2)))
 
 
+def test_gram_jaccard_empty_and_null_corpus(spark):
+    """Round-6 histogram blocking edge: an empty corpus (or one whose
+    texts are all NULL → zero shingle rows) must return an empty pair
+    frame with the right schema, not crash building block ranges."""
+    from maple_spark.pipelines.dedup import ngram_jaccard_pairs_gram
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = ngram_jaccard_pairs_gram(empty, "doc_id", "text", 8, 0.5)
+    assert got.columns == ["id_a", "id_b", "jaccard"]
+    assert got.count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    assert ngram_jaccard_pairs_gram(nulls, "doc_id", "text", 8, 0.5).count() == 0
+
+
+def test_gram_jaccard_tie_group_hash_split(spark):
+    """Round-6 histogram blocking edge: a tie group (every document the
+    same shingle-set size) larger than the per-block row budget must
+    hash-split across sub-blocks and still produce the exact all-pairs
+    answer — identical to the naive inverted-index formulation."""
+    from maple_spark.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_gram,
+    )
+
+    # 60 docs over a tiny shared vocabulary, all the same length/size
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        rows(
+            ngram_jaccard_pairs_gram(
+                docs, "doc_id", "text", 4, 0.3, block_rows=16
+            )
+        )
+    )
+    want = sorted(rows(ngram_jaccard_pairs(docs, "doc_id", "text", 4, 0.3)))
+    assert got == want and len(want) > 0
+
+
+def test_minhash_banding_drops_null_text(spark, dup_corpus):
+    """NULL-text rows are filtered before banding (they'd otherwise
+    share NULL buckets and pair quadratically): output over a corpus
+    with NULL docs equals the output over the non-NULL subset."""
+    from maple_spark.pipelines.dedup import minhash_lsh_pairs
+
+    with_nulls = dup_corpus.unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, None), (102, None)], "doc_id long, text string"
+        )
+    )
+    got = sorted(rows(minhash_lsh_pairs(with_nulls, "doc_id", "text",
+                                        jaccard_threshold=0.5)))
+    want = sorted(rows(minhash_lsh_pairs(dup_corpus, "doc_id", "text",
+                                         jaccard_threshold=0.5)))
+    assert got == want and len(want) > 0
+
+
 def test_gram_jaccard_rejects_large_vocab(spark):
     """The gram tier refuses corpora past its vocabulary cap with an
     explanatory error instead of building an oversized incidence
