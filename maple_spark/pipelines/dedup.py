@@ -1039,6 +1039,49 @@ def simhash_near_pairs(
     )
 
 
+def _pack_size_blocks(
+    hist: list[tuple[int, int]], block_rows_eff: int
+) -> tuple[list[int], list[int], list[tuple[int, int, int]]]:
+    """Greedy ascending bin-packing of a per-size (size, count) histogram
+    into size-ordered blocks of at most ``block_rows_eff`` rows.
+
+    Returns ``(lo, hi, sz_assign)``: per-block smallest/largest set
+    size, and one ``(sz, base_block, k_sub)`` row per histogram entry —
+    a size group maps to block ``base_block + hash(id) % k_sub``.  A
+    tie group larger than the budget is hash-split across ``k_sub``
+    sub-blocks (expected fill 80% of budget — headroom for hash
+    variance), so block membership never needs a global rank; every
+    other group lands in exactly one block (``k_sub == 1``).
+
+    Invariants (property-tested in tests/test_pipelines.py): every
+    histogram entry is assigned; blocks ascend in size (lo/hi
+    non-decreasing, lo[b] ≤ hi[b]); un-split blocks hold ≤ budget rows;
+    and for any sizes x ≤ y with J-compatibility x ≥ t·y, the pair of
+    blocks containing them passes the ``hi[bi] ≥ t·lo[bj]`` prune."""
+    import math
+
+    lo: list[int] = []
+    hi: list[int] = []
+    sz_assign: list[tuple[int, int, int]] = []
+    cur_rows = block_rows_eff  # "no open block" sentinel
+    for sz, n in hist:
+        if n > block_rows_eff:
+            k_sub = math.ceil(n / max(1, int(0.8 * block_rows_eff)))
+            sz_assign.append((sz, len(lo), k_sub))
+            lo.extend([sz] * k_sub)
+            hi.extend([sz] * k_sub)
+            cur_rows = block_rows_eff  # close: next size opens fresh
+            continue
+        if cur_rows + n > block_rows_eff:
+            lo.append(sz)
+            hi.append(sz)
+            cur_rows = 0
+        hi[-1] = sz
+        sz_assign.append((sz, len(lo) - 1, 1))
+        cur_rows += n
+    return lo, hi, sz_assign
+
+
 def ngram_jaccard_pairs_gram(
     df: DataFrame,
     id_col: str,
@@ -1157,29 +1200,7 @@ def ngram_jaccard_pairs_gram(
     # below instead of silently growing per-task matrices.
     rows_budget = max(16, task_bytes // (4 * max(n_vocab, 1)))
     block_rows_eff = min(block_rows, rows_budget)
-    # greedy ascending bin-packing of the histogram into blocks.  A tie
-    # group larger than the budget is hash-split across k_sub sub-blocks
-    # (expected fill 80% of budget — headroom for hash variance); block
-    # membership therefore never needs a global rank.
-    lo: list[int] = []  # per-block smallest set size
-    hi: list[int] = []  # per-block largest set size
-    sz_assign: list[tuple[int, int, int]] = []  # (sz, base_block, k_sub)
-    cur_rows = block_rows_eff  # "no open block" sentinel
-    for sz, n in hist:
-        if n > block_rows_eff:
-            k_sub = math.ceil(n / max(1, int(0.8 * block_rows_eff)))
-            sz_assign.append((sz, len(lo), k_sub))
-            lo.extend([sz] * k_sub)
-            hi.extend([sz] * k_sub)
-            cur_rows = block_rows_eff  # close: next size opens fresh
-            continue
-        if cur_rows + n > block_rows_eff:
-            lo.append(sz)
-            hi.append(sz)
-            cur_rows = 0
-        hi[-1] = sz
-        sz_assign.append((sz, len(lo) - 1, 1))
-        cur_rows += n
+    lo, hi, sz_assign = _pack_size_blocks(hist, block_rows_eff)
     n_blocks = max(1, len(lo))
     if n_blocks > max_blocks:
         raise ValueError(

@@ -881,6 +881,75 @@ def test_minhash_banding_drops_null_text(spark, dup_corpus):
     assert got == want and len(want) > 0
 
 
+def test_pack_size_blocks_properties():
+    """Property test (pure Python, no Spark) of the gram tier's
+    histogram bin-packing: every size group assigned exactly once,
+    block size ranges ascend and nest, un-split blocks respect the row
+    budget, and the block-level size-compatibility prune can never drop
+    a qualifying document pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maple_spark.pipelines.dedup import _pack_size_blocks
+
+    hist_s = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # set size
+            st.integers(min_value=1, max_value=5_000),   # doc count
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ).map(sorted)
+    budget_s = st.integers(min_value=16, max_value=2_048)
+
+    @settings(max_examples=200, deadline=None)
+    @given(hist=hist_s, budget=budget_s)
+    def check(hist, budget):
+        lo, hi, sz_assign = _pack_size_blocks(hist, budget)
+        nb = len(lo)
+        assert len(hi) == nb and nb >= 1
+        # every histogram entry assigned exactly once, in order
+        assert [a[0] for a in sz_assign] == [h[0] for h in hist]
+        rows_per_block = [0] * nb
+        split_blocks = set()
+        for (sz, n), (sz2, base, k_sub) in zip(hist, sz_assign):
+            assert sz == sz2 and k_sub >= 1
+            assert 0 <= base and base + k_sub <= nb
+            # the group's blocks cover its size
+            for b in range(base, base + k_sub):
+                assert lo[b] <= sz <= hi[b]
+            if k_sub > 1:
+                # hash-split: sub-blocks are single-size and sized to
+                # ~80% expected fill of the budget
+                assert all(lo[b] == hi[b] == sz for b in range(base, base + k_sub))
+                assert k_sub >= n // budget  # enough sub-blocks
+                split_blocks.update(range(base, base + k_sub))
+            else:
+                rows_per_block[base] += n
+        # un-split blocks respect the row budget
+        for b, r in enumerate(rows_per_block):
+            if b not in split_blocks:
+                assert r <= budget
+        # blocks ascend in size and each range is sane
+        for b in range(nb):
+            assert lo[b] <= hi[b]
+            if b + 1 < nb:
+                assert hi[b] <= lo[b + 1]
+        # soundness of the prune: for any two assigned sizes x <= y
+        # with x >= t*y (a potentially qualifying doc pair), the
+        # containing block pair passes hi[bi] >= t*lo[bj]
+        t = 0.3
+        placements = [(sz, a[1]) for (sz, _), a in zip(hist, sz_assign)]
+        for sz_x, bx in placements:
+            for sz_y, by in placements:
+                if sz_x <= sz_y and sz_x >= t * sz_y:
+                    bi, bj = min(bx, by), max(bx, by)
+                    assert hi[bi] >= t * lo[bj], (sz_x, sz_y, bi, bj)
+
+    check()
+
+
 def test_gram_jaccard_rejects_large_vocab(spark):
     """The gram tier refuses corpora past its vocabulary cap with an
     explanatory error instead of building an oversized incidence
