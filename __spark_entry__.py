@@ -2687,8 +2687,12 @@ def pack_shards_for_bytes(input_bytes: int) -> int:
     per 64 MiB of source parquet, floor 16.  Pure so it's unit-testable at
     sizes the fixtures can't reach; at the committed fixtures (sf0.01 =
     66 KB, sf0.1 = 595 KB of documents.parquet) this is exactly the floor,
-    so t10's output — shard is part of it — is unchanged and the DuckDB
-    oracle's ``doc_id % 16`` stays valid."""
+    so the packing output — shard is part of it — is unchanged and the
+    DuckDB oracles' literal ``doc_id % 16`` stays valid.  BOTH t10 and
+    cp3 (whose packing stage shares this sizing) carry that literal:
+    past ~64 MiB of documents.parquet the shard count grows and those
+    two oracles stop being comparable by design — the fixture-floor
+    equivalence is pinned in tests/test_contract.py."""
     import math as _math
 
     return max(PACK_SHARDS_FLOOR, _math.ceil(input_bytes / PACK_SHARD_INPUT_BYTES))
@@ -2696,18 +2700,14 @@ def pack_shards_for_bytes(input_bytes: int) -> int:
 
 def _pack_shards(d) -> int:
     """Derive the shard count from the relation's parquet footprint —
-    metadata only (file sizes via ``inputFiles``), no data scan."""
-    import os
+    metadata only (shared ``util.parquet_files_stats``), no data scan.
+    Unstatable sources fall back to the floor."""
+    from maple_spark.pipelines.util import parquet_files_stats
 
-    total = 0
-    for f in d.inputFiles():
-        path = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            # non-local / unstatable source: fall back to the floor
-            return PACK_SHARDS_FLOOR
-    return pack_shards_for_bytes(total)
+    stats = parquet_files_stats(d)
+    if stats is None:
+        return PACK_SHARDS_FLOOR
+    return pack_shards_for_bytes(stats[0])
 
 
 def t16_ngram_counts(spark, sf_dir):

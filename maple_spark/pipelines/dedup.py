@@ -416,22 +416,24 @@ def cross_dedup_stream(
     against the reference bucket table; verification joins the static
     per-reference fingerprint-set table and intersects with the stream
     row's OWN fingerprint set carried in-row (:func:`fp_set_expr` —
-    fixed 8 B/shingle, never text).  The only stateful operator is the
-    final ``dropDuplicates([new_id, ref_id])`` that collapses multi-band
-    collisions; its state is bounded by the MATCH count (not the
-    stream), and an ingest pipeline that tolerates re-flagging can drop
-    it or swap in ``dropDuplicatesWithinWatermark`` keyed on ingest
-    time.
+    fixed 8 B/shingle, never text).  The only stateful operator is one
+    ``dropDuplicates([new_id, ref_id])`` that collapses multi-band
+    collisions; it sits right AFTER the bucket join (before the
+    fingerprint-set join), so its state is bounded by the CANDIDATE
+    pair count — band collisions, larger than the match count but
+    still collision-bounded, never stream-bounded.  An ingest pipeline
+    that tolerates re-flagging can drop it or swap in
+    ``dropDuplicatesWithinWatermark`` keyed on ingest time (same
+    position).
 
-    The dedup sits BEFORE the fingerprint-set join, not after the
-    jaccard filter: a true near-dup pair collides in most of its 16
-    bands, so deduping candidates first makes the (set join + exact
-    intersect) run once per candidate pair instead of once per band
-    collision — the verify stage stops paying the ×bands explode tax.
-    Output is identical either way (every band row of a pair carries
-    the same sets, hence the same jaccard); the trade is state bounded
-    by CANDIDATE pairs (band collisions) rather than match pairs —
-    still collision-bounded, never stream-bounded.
+    Why the dedup sits BEFORE verification rather than after the
+    jaccard filter (where state would be match-bounded): a true
+    near-dup pair collides in most of its 16 bands, so deduping
+    candidates first makes the (set join + exact intersect) run once
+    per candidate pair instead of once per band collision — the verify
+    stage stops paying the ×bands explode tax (measured 10× wall ratio
+    3.61 → 1.27).  Output is identical either way: every band row of a
+    pair carries the same sets, hence the same jaccard.
 
     100 TB shape: the reference tables (buckets + fingerprint sets) are
     plain DataFrames computed once per reference snapshot and persisted;
@@ -1218,17 +1220,43 @@ def ngram_jaccard_pairs_gram(
             + F.pmod(F.xxhash64(F.col(id_col)), F.col("k")).cast("int")
         ).alias("b"),
     )
-    # block-pair relation: driver-built from the (bounded ≤ max_blocks)
-    # per-block size ranges, keeping only SIZE-COMPATIBLE pairs — with
-    # blocks ascending in size, pair (i ≤ j) can qualify only if the
-    # largest set in block i reaches t × the smallest set in block j
-    pair_rows = [
-        (i, j)
-        for i in range(n_blocks)
-        for j in range(i, n_blocks)
-        if threshold <= 0 or hi[i] >= threshold * lo[j]
-    ]
-    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+    # block-pair relation: built DISTRIBUTIVELY (spark.range over the
+    # nb² index space — at max_blocks that is ~8.4M rows, trivial for
+    # executors, pathological as Python tuples on the driver), then
+    # filtered to SIZE-COMPATIBLE pairs via two broadcast joins against
+    # the per-block [lo, hi] table (only n_blocks ≤ max_blocks rows
+    # cross the driver).  With blocks ascending in size, pair (i ≤ j)
+    # can qualify only if the largest set in block i reaches t × the
+    # smallest set in block j.
+    bstats = spark.createDataFrame(
+        [(b, int(lo[b]), int(hi[b])) for b in range(n_blocks)],
+        "b int, lo bigint, hi bigint",
+    )
+    pairs = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("bi"),
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bj"),
+        )
+        .where(F.col("bj") >= F.col("bi"))
+        .join(
+            F.broadcast(
+                bstats.select(F.col("b").alias("bi"), F.col("hi").alias("hi_i"))
+            ),
+            "bi",
+        )
+        .join(
+            F.broadcast(
+                bstats.select(F.col("b").alias("bj"), F.col("lo").alias("lo_j"))
+            ),
+            "bj",
+        )
+        .where(
+            (F.lit(threshold) <= 0)
+            | (F.col("hi_i") >= F.lit(threshold) * F.col("lo_j"))
+        )
+        .select("bi", "bj")
+    )
     left = (
         F.broadcast(pairs.alias("p1"))
         .join(corpus.alias("c1"), F.col("p1.bi") == F.col("c1.b"))
@@ -1348,26 +1376,24 @@ def ngram_jaccard_pairs_best(
     → prefix join for a genuinely hot corpus — the exact regime the
     prefix tier dies on).  The hash test spreads the sample across the
     corpus regardless of physical layout, deterministically; its
-    modulus derives from the parquet footprint (metadata only, no job —
-    the t10 shard-sizing pattern) to keep the expected sample ~4096
-    docs, and a mis-estimate either way still routes fine (the
-    heuristic needs hundreds of docs, not an exact count)."""
-    import os
+    modulus derives from the EXACT row count in the parquet footers
+    (``util.parquet_files_stats`` — metadata only, no job) to keep the
+    expected sample ~4096 docs.  A source whose footers cannot be read
+    (in-memory frame, remote path) falls back to the bounded
+    ``limit(4096)`` head sample — head bias beats an unbounded
+    full-corpus routing scan."""
+    from maple_spark.pipelines.util import parquet_files_stats
 
-    est_docs = 0
-    for f in df.inputFiles():
-        p = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            est_docs += os.path.getsize(p) // 1024  # ~1 KiB/doc estimate
-        except OSError:
-            est_docs = 0  # unstatable source: sample everything it must
-            break
-    mod = max(1, est_docs // 4096)
+    stats_meta = parquet_files_stats(df)
     sample = df.select(id_col, text_col)
-    if mod > 1:
-        sample = sample.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
-        )
+    if stats_meta is None:
+        sample = sample.limit(4096)
+    else:
+        mod = max(1, stats_meta[1] // 4096)
+        if mod > 1:
+            sample = sample.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+            )
     stats = (
         sample.select(F.explode(shingle_expr(text_col, k)).alias("__s"))
         .agg(

@@ -5,6 +5,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def parquet_files_stats(df: DataFrame) -> tuple[int, int] | None:
+    """(total_bytes, total_rows) of a DataFrame's LOCAL parquet files —
+    metadata only (file sizes + parquet footer row counts via pyarrow),
+    no Spark job.  Returns ``None`` when the source cannot be statted
+    (in-memory frames report no files; remote/unstatable paths raise),
+    so callers choose their own bounded fallback instead of silently
+    scanning data.  Shared by the sequence-pack shard sizing
+    (``__spark_entry__._pack_shards``) and the exact-Jaccard tier
+    router (``dedup.ngram_jaccard_pairs_best``) — one URI-handling
+    path to maintain."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total_bytes = total_rows = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total_bytes += os.path.getsize(path)
+            import pyarrow.parquet as pq
+
+            total_rows += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None  # remote / non-parquet / unreadable footer
+    return total_bytes, total_rows
+
+
 def spread(df: DataFrame, min_partitions: int = 16) -> DataFrame:
     """Ensure enough input partitions that per-row map work (shingling,
     hashing, dot products) parallelizes.

@@ -65,18 +65,23 @@ def get_spark(
     master_url_like = spark_master.startswith(
         ("local", "spark://", "yarn", "k8s://", "mesos://")
     )
-    externally_configured = (
+    submit_configured = (
         bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
         or "--master" in submit_args
-        or master_url_like
     )
     if master:
         builder = builder.master(master)
+    elif submit_configured:
+        # spark-submit / pyspark-shell already chose the master; setting
+        # one here would OVERRIDE the submit-time conf (builder options
+        # win), so never touch it — even if SPARK_MASTER is also set
+        pass
     elif master_url_like:
-        # SPARK_MASTER is an env convention, not something Spark reads
-        # itself — honoring it means actually passing it through
+        # standalone-cluster env convention, and nothing stronger is
+        # configured: Spark never reads SPARK_MASTER itself, so honoring
+        # it means actually passing it through
         builder = builder.master(spark_master)
-    elif not externally_configured:
+    else:
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
     builder = (
         builder
