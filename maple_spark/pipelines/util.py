@@ -17,6 +17,8 @@ def parquet_files_stats(df: DataFrame) -> tuple[int, int] | None:
     path to maintain."""
     import os
 
+    import pyarrow.parquet as pq
+
     try:
         files = df.inputFiles()
     except Exception:
@@ -28,8 +30,6 @@ def parquet_files_stats(df: DataFrame) -> tuple[int, int] | None:
         path = f[len("file:"):] if f.startswith("file:") else f
         try:
             total_bytes += os.path.getsize(path)
-            import pyarrow.parquet as pq
-
             total_rows += pq.ParquetFile(path).metadata.num_rows
         except Exception:
             return None  # remote / non-parquet / unreadable footer

@@ -974,3 +974,24 @@ def test_gram_jaccard_rejects_large_vocab(spark):
     auto = sorted(rows(ngram_jaccard_pairs_best(docs, "doc_id", "text", 8, 0.5, vocab_cap=50)))
     want = sorted(rows(ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 8, 0.5)))
     assert auto == want
+
+
+def test_parquet_files_stats(spark):
+    """The shared metadata helper returns exact (bytes, rows) for local
+    parquet sources — verified against a real count — and None for
+    in-memory frames, so callers take their bounded fallbacks."""
+    import os
+
+    from maple_spark.pipelines.util import parquet_files_stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = parquet_files_stats(d)
+    assert stats is not None
+    total_bytes, total_rows = stats
+    assert total_rows == d.count()          # footer rows are exact
+    assert total_bytes == sum(
+        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in d.inputFiles()
+    )
+    mem = spark.createDataFrame([(1, "x")], "id long, text string")
+    assert parquet_files_stats(mem) is None
