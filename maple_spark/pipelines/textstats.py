@@ -25,20 +25,35 @@ EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring feature columns (length / punctuation / stopword
     ratios + token counts) — the usual heuristic filters applied before
-    LLM training."""
+    LLM training.
+
+    Counting is done with ``regexp_count``, never by materializing an
+    array to take its size: ``size(regexp_extract_all(...))`` builds
+    every token string just to throw it away, and a ``filter`` lambda
+    runs INTERPRETED (higher-order functions sit outside whole-stage
+    codegen — the same measured trap as the dedup verifier).  The
+    stopword pattern is exactly equivalent to filtering the
+    split-on-space tokens: a token equals a stopword iff the word
+    appears bounded by start-or-space and space-or-end; the trailing
+    boundary is a LOOKAHEAD so two stopwords sharing one separator
+    space both count, and ``\\z`` (not ``$``) so a trailing newline
+    doesn't fake a word boundary."""
     df = spread(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(t, " ")
-    tokens = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
-    stop_hits = F.size(
-        F.filter(words, lambda w: F.lower(w).isin(*EN_STOPWORDS))
+    stop_hits = F.regexp_count(
+        F.lower(t),
+        F.lit("(?:^| )(?:" + "|".join(EN_STOPWORDS) + ")(?= |\\z)"),
     )
     punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
     return (
         df.withColumn("n_chars_calc", n_chars.cast("bigint"))
         .withColumn("n_words", F.size(words).cast("bigint"))
-        .withColumn("n_tokens", F.size(tokens).cast("bigint"))
+        .withColumn(
+            "n_tokens",
+            F.regexp_count(t, F.lit(TOKEN_PATTERN)).cast("bigint"),
+        )
         .withColumn(
             "punct_ratio",
             F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
