@@ -168,6 +168,10 @@ def main() -> None:
                 "sf": sf,
                 "drift": drift,
                 "drift_flags": sorted(q for q, r in drift.items() if r > 1.3),
+                # host context for reading drift: sustained background
+                # load on shared bench hosts moves unchanged queries
+                # 1.3-2x between runs (documented rounds 5-6)
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

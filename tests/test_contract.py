@@ -150,8 +150,13 @@ def test_queries_are_lazy(spark):
       centroid rows through the driver per round.
 
     (sim2/t10 size their blocks/shards from file metadata — no job.)
-    Everything else must build in the budget below, which catches a new
-    eager builder at sf0.001."""
+
+    The budget is PER BUILDER, not a global sum: every builder runs 1-2
+    metadata-sized parquet schema jobs, so the sum grows with the
+    registry and drifts with host load (a 45 s global budget false-failed
+    in round 6 at ~140 entries under documented 2-3x host noise).  A new
+    pathological eager builder shows up as ONE slow entry, which the
+    per-builder bound catches and names."""
     import time
 
     eager_by_design = {
@@ -162,14 +167,18 @@ def test_queries_are_lazy(spark):
         "sim4_ivf_topk",
         "sim5_semdedup",
     }
-    lazy_budget_sec = 45.0
-    t0 = time.time()
+    per_builder_budget_sec = 20.0
+    slow = {}
     for name, fn in e.queries().items():
         if name in eager_by_design:
             continue
+        t0 = time.time()
         df = fn(spark, SF_DIR)
+        dt = time.time() - t0
         assert df is not None
-    assert time.time() - t0 < lazy_budget_sec
+        if dt > per_builder_budget_sec:
+            slow[name] = round(dt, 2)
+    assert not slow, f"eager-looking builders (> {per_builder_budget_sec}s): {slow}"
 
 
 def test_pack_shards_scale_with_input():
