@@ -2736,6 +2736,19 @@ def t16_ngram_counts(spark, sf_dir):
     )
 
 
+def t17_dup_spans(spark, sf_dir):
+    """Exact duplicated-span report (curation.duplicated_spans): per doc,
+    how many of its 15-word-gram positions carry a span that also appears
+    in another document — the exact-substring-dedup signal (Lee et al.
+    2022) that document-level dedup misses.  The gram stream shuffles as
+    the portable md5 fingerprint (functions/phash.py), so the oracle
+    replays the pipeline in vanilla DuckDB SQL, value-exact."""
+    from maple_spark.pipelines.curation import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", n=15)
+
+
 def t10_sequence_pack(spark, sf_dir):
     """Sequence packing for pretraining batches — the GPT-style pipeline
     step: concatenate documents in a deterministic order and cut the
@@ -2892,7 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_stats": t1_text_stats,
         "t2_language_id": t2_language_id,
         "t3_quality_score": t3_quality_score,
-        "t4_fingerprint": t4_fingerprint,
+        "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
@@ -2908,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         # --- end of the driver-checked first-50 window ---
         # rotated out of the window in round 6 (still selfchecked):
+        "t4_fingerprint": t4_fingerprint,
         "e5_between": e5_between,
         "e7_similar_to": e7_similar_to,
         "e11_is_null": e11_is_null,
@@ -3735,6 +3749,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g
             GROUP BY ngram HAVING COUNT(*) >= 5
+        """,
+        # t17: 15-word spans; the fingerprint replays Spark's md5-based
+        # fp60 exactly, and COUNT(*) per h over distinct (doc, h) rows
+        # IS the distinct-doc count (no COUNT(DISTINCT) needed)
+        "t17_dup_spans": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(COALESCE(text, ''), ' '),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     {_phash.sql_fp60(
+                         "array_to_string(list_slice(ws, CAST(i AS INTEGER),"
+                         " CAST(i + 14 AS INTEGER)), ' ')"
+                     )} AS h
+              FROM w,
+                   unnest(generate_series(1, greatest(len(ws) - 14, 0)))
+                     AS t(i)
+            ), gc AS (
+              SELECT doc_id, h, COUNT(*) AS c FROM g GROUP BY doc_id, h
+            ), dup AS (
+              SELECT doc_id, c,
+                     COUNT(*) OVER (PARTITION BY h) AS n_docs
+              FROM gc
+            ), dpd AS (
+              SELECT doc_id, SUM(c) AS n_dup_spans
+              FROM dup WHERE n_docs >= 2 GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(greatest(len(w.ws) - 14, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT)
+                     AS n_dup_spans,
+                   CASE WHEN len(w.ws) - 14 > 0 THEN
+                     ROUND(CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE)
+                           / (len(w.ws) - 14), 6)
+                   END AS dup_span_frac
+            FROM w LEFT JOIN dpd d USING (doc_id)
         """,
         "d5_dedup_clusters": """
             WITH RECURSIVE sh AS (

@@ -70,6 +70,7 @@ HEADLINE = [
     "arr1_posexplode",
     "sim2_embedding_near_dup",
     "t11_decontaminate",
+    "t17_dup_spans",
     "cp2_curation_pipeline",
     "sim4_ivf_topk",
     "sim5_semdedup",

@@ -218,3 +218,86 @@ def contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+) -> DataFrame:
+    """Exact duplicated-span report: per document, how many of its word
+    ``n``-gram positions carry a span that also appears in ANOTHER
+    document — the corpus-level exact-substring-dedup signal (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": repeated >= n-token spans are the memorization/dup driver
+    that document-level dedup misses).  Output:
+    (id, n_spans, n_dup_spans, dup_span_frac) with dup_span_frac NULL
+    for docs shorter than ``n`` words.
+
+    Cross-doc only by design: a span repeated purely inside one doc is
+    within-document boilerplate — ``repetition_stats``'s job.
+
+    100 TB shape: the gram stream is reduced to the portable 60-bit
+    fingerprint (``functions/phash.py``) at the map side, so the first
+    corpus-wide shuffle carries fixed-width (id, h, partial count) rows
+    with map-side combine — never span text.  The cross-doc test is a
+    COUNT() window over h on the (doc, h) table (one row per doc per
+    distinct gram, so the plain count IS the distinct-doc count): a
+    single linear lineage — no gram-table self-join whose two
+    differently-pruned consumers would re-execute the explode+md5 map
+    stage (exchange reuse only dedups byte-identical exchanges) — and
+    the window needs no sort (unbounded frame).  Per-doc span totals
+    come map-side from the word count (no extra pass over the grams).
+    The md5 fingerprint makes the whole pipeline replayable in vanilla
+    DuckDB SQL — the oracle is value-exact, collisions included
+    (p ~ 2^-60)."""
+    from pyspark.sql import Window
+
+    from maple_spark.functions import phash
+
+    # shuffle 1: per-(doc, gram-fingerprint) occurrence counts
+    gc = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(_word_ngrams(text_col, n, filter_empty=True)).alias(
+                "gram"
+            ),
+        )
+        .select(F.col(id_col), phash.fp60(F.col("gram")).alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # shuffle 2 (by h): docs-per-gram window; shuffle 3 (by id): per-doc
+    # duplicated-span totals, bounded by actual cross-doc duplication
+    dup_per_doc = (
+        gc.withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .where(F.col("n_docs") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_dup_spans"))
+    )
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    n_spans = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)).cast("bigint")
+    return (
+        docs.select(F.col(id_col), n_spans.alias("n_spans"))
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(
+                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
+                ),
+            ).alias("dup_span_frac"),
+        )
+    )

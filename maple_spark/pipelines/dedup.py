@@ -569,10 +569,15 @@ def verify_jaccard(
     k: int = 8,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact Jaccard over k-shingle sets for given (id_a, id_b) pairs.
-    Only documents that appear in a candidate pair are shingled (left-semi
-    prefilter) — at corpus scale the verifier touches O(candidate docs),
-    not the whole corpus, and cost follows the candidate count, not n²."""
+    """Exact Jaccard over k-shingle sets for given (id_a, id_b) pairs,
+    intersected as 60-bit md5 fingerprint sets (== shingle-set Jaccard
+    up to md5 collisions, p ~ |set|²/2^60 per pair — the same
+    equivalence d6/st7 already rely on).  Only documents that appear in
+    a candidate pair are shingled (left-semi prefilter) — at corpus
+    scale the verifier touches O(candidate docs), not the whole corpus,
+    and cost follows the candidate count, not n²."""
+    from maple_spark.functions import phash
+
     # one explode pass over the pair list (not a union of two
     # projections, which would execute the candidate subtree twice);
     # no .distinct(): left-semi keeps one match regardless of key dups
@@ -580,35 +585,45 @@ def verify_jaccard(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
     cand_docs = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-    # One shingle-set row per candidate doc (shingle() is distinct per
-    # doc, so collect_list IS the set), then the per-pair intersection is
-    # a single map-side array_intersect — versus the previous exploded
-    # (id_b, shingle) equi-join + count groupBy + two count-broadcast
-    # joins, which cost 4 extra exchanges; at sf0.1 the verifier's wall
-    # time was ~90% stage overhead on candidate-bounded (tiny) data.
-    # Shuffle volume is the same shingles either way — packed as one
-    # array row per doc instead of exploded rows.  Cost still follows
-    # the candidate list, not the corpus squared.  (A row-local
-    # fp_set_expr formulation was tried and REVERTED: Catalyst evaluates
-    # transform/array_distinct lambdas interpreted, outside whole-stage
-    # codegen — the exploded md5 + groupBy form measured 25% faster
-    # end-to-end, and its map stage is shared below the exchange.)
-    sets = shingle(cand_docs, id_col, text_col, k).groupBy(id_col).agg(
-        F.collect_list("shingle").alias("__set")
+    # One fingerprint-set row per candidate doc (collect_set: two
+    # distinct shingles may collide to one fp60), then the per-pair
+    # intersection is a single map-side array_intersect — versus the
+    # previous exploded (id_b, shingle) equi-join + count groupBy + two
+    # count-broadcast joins, which cost 4 extra exchanges; at sf0.1 the
+    # verifier's wall time was ~90% stage overhead on candidate-bounded
+    # (tiny) data.  (A row-local fp_set_expr formulation was tried and
+    # REVERTED: Catalyst evaluates transform/array_distinct lambdas
+    # interpreted, outside whole-stage codegen — the exploded md5 +
+    # groupBy form measured 25% faster end-to-end, and its map stage is
+    # shared below the exchange.)
+    #
+    # Fingerprints, NOT shingle strings, in the set payload — a real
+    # 100x-measured OOM, not a theoretical one: shingle STRINGS over a
+    # small vocabulary compress so well in shuffle files that AQE's
+    # compressed-size stats under-measured the sets exchange,
+    # broadcast-converted the sb join, and the DESERIALIZED string
+    # arrays (~5 KB/doc in-heap) blew the 8 GB driver at 100x sf0.1
+    # (scripts/scale100_experiment.py).  Fixed-width longs are ~6x
+    # smaller per shingle AND nearly incompressible, so the stats AQE
+    # plans on match the bytes it must hold: small candidate sets still
+    # convert to broadcast, large ones correctly stay sort-merge.
+    sets = (
+        shingle(cand_docs, id_col, text_col, k)
+        .select(F.col(id_col), phash.fp60(F.col("shingle")).alias("__h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__set"))
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
     n_inter = F.size(F.array_intersect("__sa", "__sb"))
-    # pairs broadcast explicitly (id-only rows, ~16 B each — always
-    # tiny); sb is NOT hinted: it carries the candidate docs' shingle
-    # ARRAYS, ~3 orders of magnitude more bytes per row, and a forced
-    # broadcast would hit the 8 GB broadcast limit / driver memory on a
-    # large candidate set — the exact raw-text-never-ships invariant
-    # this module is built on.  AQE still converts the sb join to a
-    # broadcast at runtime when the measured exchange is small (the
-    # sf0.1 case), so the small-data win is kept without the scale trap.
+    # pairs joins un-hinted: id-only long rows give AQE honest sizes —
+    # it broadcasts them while they are small and falls back to
+    # shuffle joins when the pair list itself is huge (a dup-heavy
+    # corpus can have O(n) near-dup pairs: forcing a broadcast here is
+    # the same 8 GB trap that was removed for text-derived sets in
+    # round 5).
     return (
-        sa.join(F.broadcast(pairs), on="id_a")
+        sa.join(pairs, on="id_a")
         .join(sb, on="id_b")
         .withColumn(
             "jaccard",

@@ -46,6 +46,9 @@ def test_driver_window_composition():
         "st6_hll_stream",
         "t15_weighted_sample",
         "sim3_lsh_topk",
+        # round 6 addition: exact duplicated-span detection (newest op,
+        # swapped in for the trivial t4 md5 map)
+        "t17_dup_spans",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family

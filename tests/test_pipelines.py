@@ -995,3 +995,37 @@ def test_parquet_files_stats(spark):
     )
     mem = spark.createDataFrame([(1, "x")], "id long, text string")
     assert parquet_files_stats(mem) is None
+
+
+def test_duplicated_spans_planted(spark):
+    """Planted 15-word span shared by docs 1 and 2: both get exactly the
+    shared positions counted; the unique doc and the short doc get 0;
+    a span repeated only WITHIN one doc does not count (cross-doc only);
+    NULL text yields zero spans and NULL fraction."""
+    from maple_spark.pipelines.curation import duplicated_spans
+
+    span = " ".join(f"s{i}" for i in range(15))       # exactly one 15-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + span + " omega"),           # 17 words, 3 grams
+            (2, span),                                  # 15 words, 1 gram
+            (3, " ".join(f"u{i}" for i in range(20))),  # unique, 6 grams
+            (4, "too short"),
+            (5, span.replace("s0", "x0") + " " + span.replace("s0", "x0")),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, n=15).collect()}
+    # doc 1: grams at pos 1..3; only pos 2 (the planted span) recurs in doc 2
+    assert (got[1]["n_spans"], got[1]["n_dup_spans"]) == (3, 1)
+    assert got[1]["dup_span_frac"] == pytest.approx(round(1 / 3, 6))
+    assert (got[2]["n_spans"], got[2]["n_dup_spans"]) == (1, 1)
+    assert got[2]["dup_span_frac"] == 1.0
+    assert (got[3]["n_spans"], got[3]["n_dup_spans"]) == (6, 0)
+    assert got[4]["n_spans"] == 0 and got[4]["dup_span_frac"] is None
+    # doc 5 repeats its own 15-gram (positions 1 and 16 of 30 words = 16
+    # grams) but shares nothing with other docs -> cross-doc count is 0
+    assert (got[5]["n_spans"], got[5]["n_dup_spans"]) == (16, 0)
+    assert (got[6]["n_spans"], got[6]["n_dup_spans"]) == (0, 0)
+    assert got[6]["dup_span_frac"] is None
