@@ -246,8 +246,16 @@ def duplicated_spans(
     distinct gram, so the plain count IS the distinct-doc count): a
     single linear lineage — no gram-table self-join whose two
     differently-pruned consumers would re-execute the explode+md5 map
-    stage (exchange reuse only dedups byte-identical exchanges) — and
-    the window needs no sort (unbounded frame).  Per-doc span totals
+    stage (exchange reuse only dedups byte-identical exchanges).
+    WindowExec does sort its input by h within partitions even with no
+    ORDER BY (requiredChildOrdering is the partition spec) — an
+    O(n log n) per-partition sort of fixed-width (id, h, c) rows,
+    accepted deliberately: the sort-free alternative (groupBy(h) with
+    collect_list of ids, then explode back) materializes one row per
+    distinct gram holding ALL its doc ids — a single boilerplate gram
+    shared by 10^7 docs becomes one 10^7-element array in one task,
+    the mega-bucket trap.  The sort degrades gracefully on exactly the
+    skew that breaks the alternative.  Per-doc span totals
     come map-side from the word count (no extra pass over the grams).
     The md5 fingerprint makes the whole pipeline replayable in vanilla
     DuckDB SQL — the oracle is value-exact, collisions included

@@ -8,13 +8,16 @@ Differences from scripts/scale_experiment.py (the 10x run):
   copies and near-dup OUTPUT grows quadratically with the copy count —
   deliberate there (it stresses pair growth), but at 100 copies each
   doc would sit in a 100-clone cluster (~4,950 pairs/doc): that
-  measures output explosion, not corpus growth.  Here a per-copy token
-  follows every word, so (char-level) shingles and (word-level) grams
-  both differ across copies: cross-copy pairs vanish, the sf0.1
-  near-dup clusters replicate 100x unchanged, and near-dup output
-  scales LINEARLY — the realistic "100x more data, same dup rate"
-  regime.  (Text roughly doubles per doc vs sf0.1 — ratios for
-  text-heavy map ops are conservative, ~200x chars.)
+  measures output explosion, not corpus growth.  Here document text is
+  chunked and interleaved with content-relative copy-salted hash
+  tokens (see the build() comment for the three properties this must
+  satisfy and the two measured failure modes that forced the design),
+  so char-level shingles AND word-level grams differ across copies:
+  cross-copy pairs vanish, the sf0.1 near-dup clusters replicate 100x
+  unchanged, and near-dup output scales LINEARLY — the realistic
+  "100x more data, same dup rate" regime.  (Text grows ~2.4x per doc
+  vs sf0.1 — ratios for text-bound map ops are conservative,
+  ~240x chars.)
 - **Copies via one range cross-join** (not a 100-branch union): the
   plan stays analyzable and the build is a single pass per table.
 - **Quadratic-by-design tiers are excluded** (d2 prefix/gram exact
@@ -98,6 +101,15 @@ FACT_SHIFTS = {
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
+#: keys sharing a value DOMAIN must shift by ONE shared span, or the
+#: lineitem->orders foreign key breaks for every copy > 0 whenever the
+#: two sides' max keys differ (e.g. trailing orders with no lineitems)
+#: and the star-join "ratios" silently measure a broken join
+KEY_DOMAIN = {
+    ("lineitem", "l_orderkey"): "orderkey",
+    ("orders", "o_orderkey"): "orderkey",
+}
+
 
 def build(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -108,13 +120,21 @@ def build(spark, out_dir: str) -> None:
     for t in DIMS:
         df = load_table(spark, SRC, t)
         df.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    # one span per key DOMAIN (max over every table/key in the domain)
+    dom_max: dict[str, int] = {}
+    for t, keys in FACT_SHIFTS.items():
+        base = load_table(spark, SRC, t)
+        for k in keys:
+            m = base.agg(F.max(k)).first()[0]
+            dom = KEY_DOMAIN.get((t, k), f"{t}.{k}")
+            dom_max[dom] = max(dom_max.get(dom, -1), m)
     copies = spark.range(COPIES).select(F.col("id").alias("copy_idx"))
     for t, keys in FACT_SHIFTS.items():
         base = load_table(spark, SRC, t)
-        span = {k: base.agg(F.max(k)).first()[0] + 1 for k in keys}
         out = base.crossJoin(F.broadcast(copies))
         for k in keys:
-            out = out.withColumn(k, F.col(k) + F.col("copy_idx") * F.lit(span[k]))
+            span = dom_max[KEY_DOMAIN.get((t, k), f"{t}.{k}")] + 1
+            out = out.withColumn(k, F.col(k) + F.col("copy_idx") * F.lit(span))
         if t == "documents":
             # De-similarize copies at the CHARACTER level.  Dedup
             # shingles are 8-char windows (dedup.shingle_expr), so the
@@ -207,7 +227,10 @@ def main() -> None:
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/maple_sfx100"
     spark = get_spark(app_name="scale100_experiment")
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    # embeddings is the LAST table build() writes: a build that died
+    # mid-way (e.g. in the documents mutation) must not be treated
+    # as complete on rerun
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
         t0 = time.time()
         build(spark, out_dir)
         print(f"built {out_dir} in {time.time() - t0:.0f}s", file=sys.stderr)

@@ -97,6 +97,14 @@ FACT_SHIFTS = {
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
+#: keys sharing a value DOMAIN must shift by ONE shared span, or the
+#: lineitem->orders foreign key breaks for every copy > 0 whenever the
+#: two sides' max keys differ (see scripts/scale100_experiment.py)
+KEY_DOMAIN = {
+    ("lineitem", "l_orderkey"): "orderkey",
+    ("orders", "o_orderkey"): "orderkey",
+}
+
 
 def build(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -107,9 +115,19 @@ def build(spark, out_dir: str) -> None:
     for t in DIMS:
         df = load_table(spark, SRC, t)
         df.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    # one span per key DOMAIN (max over every table/key in the domain)
+    dom_max = {}
     for t, keys in FACT_SHIFTS.items():
         base = load_table(spark, SRC, t)
-        span = {k: base.agg(F.max(k)).first()[0] + 1 for k in keys}
+        for k in keys:
+            m = base.agg(F.max(k)).first()[0]
+            dom = KEY_DOMAIN.get((t, k), f"{t}.{k}")
+            dom_max[dom] = max(dom_max.get(dom, -1), m)
+    for t, keys in FACT_SHIFTS.items():
+        base = load_table(spark, SRC, t)
+        span = {
+            k: dom_max[KEY_DOMAIN.get((t, k), f"{t}.{k}")] + 1 for k in keys
+        }
         parts = []
         for i in range(COPIES):
             c = base
@@ -146,7 +164,10 @@ def main() -> None:
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/maple_sfx10"
     spark = get_spark(app_name="scale_experiment")
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    # embeddings is the LAST table build() writes: a build that died
+    # mid-way (e.g. in the documents mutation) must not be treated
+    # as complete on rerun
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
         build(spark, out_dir)
 
     qs = entrymod.queries()
