@@ -699,19 +699,35 @@ def ngram_jaccard_pairs_prefix(
     length filter (t·|x| ≤ |y|) prunes further; exact Jaccard then
     verifies every candidate, so precision AND recall are both 1.0
     relative to the naive quadratic formulation (equality-tested).
+
+    Every post-shingle stage works on the portable 60-bit md5
+    fingerprint, not the shingle string — the df table, the ranked
+    window, and the candidate equi-join all shuffle fixed-width longs
+    (same rationale as :func:`verify_jaccard`: text-derived strings
+    compress deceptively well, so AQE's compressed-size stats
+    misjudge broadcast decisions, and the bytes are ~6x bigger
+    in-heap).  Correctness is preserved under hashing: equality is
+    preserved exactly, and a (p ~ 2^-60) collision only ever ADDS a
+    candidate (two docs "sharing" the merged element) and lengthens a
+    prefix (duplicate (id, h) rows inflate sz), both of which the
+    exact verifier absorbs — recall cannot drop.
     """
     from pyspark.sql.window import Window
 
-    sh = shingle(df, id_col, text_col, k)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from maple_spark.functions import phash
+
+    sh = shingle(df, id_col, text_col, k).select(
+        F.col(id_col), phash.fp60(F.col("shingle")).alias("h")
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     by_doc = Window.partitionBy(id_col)
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "h")
         .withColumn("sz", F.count(F.lit(1)).over(by_doc))
         .withColumn(
             "pos",
             F.row_number().over(
-                by_doc.orderBy(F.col("df").asc(), F.col("shingle").asc())
+                by_doc.orderBy(F.col("df").asc(), F.col("h").asc())
             ),
         )
     )
@@ -719,16 +735,16 @@ def ngram_jaccard_pairs_prefix(
     # shared by both join sides — AQE exchange reuse runs it once (lazy
     # localCheckpoint avoided: see minhash_lsh_pairs)
     prefix = ranked.where(F.col("pos") <= prefix_len).select(
-        id_col, "shingle", "sz"
+        id_col, "h", "sz"
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"), "h", F.col("sz").alias("sz_a")
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("shingle"), F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"), F.col("h"), F.col("sz").alias("sz_b")
     )
     candidates = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .where(
             (F.col("id_a") < F.col("id_b"))
             # |y| ≥ t·|x| (sizes too far apart can't reach t)
