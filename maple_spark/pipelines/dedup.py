@@ -44,6 +44,24 @@ def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     )
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, alias: str = "h"
+) -> DataFrame:
+    """(id, h) pairs: each distinct k-shingle as its portable 60-bit md5
+    fingerprint (``functions/phash.py``) — THE single definition of
+    shingle fingerprinting, shared by the prefix candidate generator and
+    the exact verifier so the candidates-match-verifier invariant can't
+    drift between call sites.  Fixed-width longs are what every
+    post-shingle shuffle/join should carry: they're ~6x smaller than
+    shingle strings in-heap and nearly incompressible, so AQE's
+    compressed-size stats match the bytes a broadcast would hold."""
+    from maple_spark.functions import phash
+
+    return shingle(df, id_col, text_col, k).select(
+        F.col(id_col), phash.fp60(F.col("shingle")).alias(alias)
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
     """Tier 1: exact duplicate groups by content columns.  Returns one row
     per distinct content with the minimum id as the keeper and the group
@@ -576,8 +594,6 @@ def verify_jaccard(
     a candidate pair are shingled (left-semi prefilter) — at corpus
     scale the verifier touches O(candidate docs), not the whole corpus,
     and cost follows the candidate count, not n²."""
-    from maple_spark.functions import phash
-
     # one explode pass over the pair list (not a union of two
     # projections, which would execute the candidate subtree twice);
     # no .distinct(): left-semi keeps one match regardless of key dups
@@ -608,8 +624,7 @@ def verify_jaccard(
     # plans on match the bytes it must hold: small candidate sets still
     # convert to broadcast, large ones correctly stay sort-merge.
     sets = (
-        shingle(cand_docs, id_col, text_col, k)
-        .select(F.col(id_col), phash.fp60(F.col("shingle")).alias("__h"))
+        hashed_shingles(cand_docs, id_col, text_col, k, alias="__h")
         .groupBy(id_col)
         .agg(F.collect_set("__h").alias("__set"))
     )
@@ -706,19 +721,21 @@ def ngram_jaccard_pairs_prefix(
     (same rationale as :func:`verify_jaccard`: text-derived strings
     compress deceptively well, so AQE's compressed-size stats
     misjudge broadcast decisions, and the bytes are ~6x bigger
-    in-heap).  Correctness is preserved under hashing: equality is
-    preserved exactly, and a (p ~ 2^-60) collision only ever ADDS a
-    candidate (two docs "sharing" the merged element) and lengthens a
-    prefix (duplicate (id, h) rows inflate sz), both of which the
-    exact verifier absorbs — recall cannot drop.
+    in-heap).  Correctness holds up to fp60 collisions (p ~ 2^-60 per
+    shingle pair), the SAME caveat the verifier itself carries — the
+    operator is exact over fingerprint sets, and fingerprint-set
+    Jaccard equals shingle-set Jaccard unless a collision occurs.
+    (Collisions are not one-sided: a cross-doc collision adds a
+    spurious candidate, which verification removes; a within-doc
+    collision shrinks that doc's distinct-fingerprint count below its
+    row count, so the positional prefix can under-cover fingerprint
+    space — output identical to the string formulation whenever no
+    collision exists among the corpus's shingles, which is the
+    2^-60-per-pair event.)
     """
     from pyspark.sql.window import Window
 
-    from maple_spark.functions import phash
-
-    sh = shingle(df, id_col, text_col, k).select(
-        F.col(id_col), phash.fp60(F.col("shingle")).alias("h")
-    )
+    sh = hashed_shingles(df, id_col, text_col, k)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     by_doc = Window.partitionBy(id_col)
     ranked = (
