@@ -973,11 +973,16 @@ def cp3_pretraining_ingest(spark, sf_dir):
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
-    survivors = new.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    # The drop lists are id-only longs whose size scales with the corpus
+    # dup/contamination RATE — un-hinted so AQE broadcasts them while
+    # small and falls back to a shuffled anti-join when a pathological
+    # corpus makes them huge (forcing F.broadcast here would be the same
+    # trap round 5 removed from verify_jaccard).
+    survivors = new.join(dup_ids, "doc_id", "left_anti")
     # 2. benchmark decontamination (eval set = doc_id % 50 == 0, as t11)
     bench = d.where(F.col("doc_id") % 50 == 0)
     bad_ids = curation.contaminated_ids(survivors, bench, n=13)
-    clean = survivors.join(F.broadcast(bad_ids), "doc_id", "left_anti")
+    clean = survivors.join(bad_ids, "doc_id", "left_anti")
     # 3. quality filter (t3 signals, map-only)
     kept = (
         textstats.quality_score(clean)

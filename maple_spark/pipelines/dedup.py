@@ -1100,8 +1100,11 @@ def _pack_size_blocks(
     a size group maps to block ``base_block + hash(id) % k_sub``.  A
     tie group larger than the budget is hash-split across ``k_sub``
     sub-blocks (expected fill 80% of budget — headroom for hash
-    variance), so block membership never needs a global rank; every
-    other group lands in exactly one block (``k_sub == 1``).
+    variance; the gram KERNEL additionally row-chunks at the budget,
+    so an overshooting sub-block degrades to extra chunks, never to an
+    over-budget matrix), so block membership never needs a global
+    rank; every other group lands in exactly one block (``k_sub ==
+    1``).
 
     Invariants (property-tested in tests/test_pipelines.py): every
     histogram entry is assigned; blocks ascend in size (lo/hi
@@ -1360,28 +1363,46 @@ def ngram_jaccard_pairs_gram(
                 sizes[i] = a.size
             return m, sizes
 
-        A, na = incidence(lpdf)
-        B, nb_ = incidence(rpdf)
-        inter = np.rint(A @ B.T).astype(np.int64)
-        union = na[:, None] + nb_[None, :] - inter
-        J = inter / np.maximum(union, 1)
-        ia, ib = np.nonzero(J >= threshold)
-        if ia.size == 0:
+        # HARD memory ceiling regardless of delivered row count: a
+        # hash-SPLIT tie group is sized to ~80% expected fill, but hash
+        # variance can overshoot block_rows_eff — so the matrices are
+        # row-chunked at block_rows_eff here instead of trusting the
+        # split.  Normal (un-split, ≤ budget) blocks take exactly one
+        # chunk pair: zero overhead on the common path.
+        step = block_rows_eff
+        same = key[0] == key[1]
+        out = []
+        for i0 in range(0, len(lpdf), step):
+            lc = lpdf.iloc[i0:i0 + step]
+            A, na = incidence(lc)
+            idl_all = lc["id"].to_numpy()
+            for j0 in range(0, len(rpdf), step):
+                rc = rpdf.iloc[j0:j0 + step]
+                B, nb_ = incidence(rc)
+                inter = np.rint(A @ B.T).astype(np.int64)
+                union = na[:, None] + nb_[None, :] - inter
+                J = inter / np.maximum(union, 1)
+                ia, ib = np.nonzero(J >= threshold)
+                if ia.size == 0:
+                    continue
+                idl = idl_all[ia]
+                idr = rc["id"].to_numpy()[ib]
+                if same:
+                    keep = idl < idr
+                    idl, idr, ia, ib = idl[keep], idr[keep], ia[keep], ib[keep]
+                out.append(pd.DataFrame(
+                    {
+                        "id_a": np.minimum(idl, idr),
+                        "id_b": np.maximum(idl, idr),
+                        # HALF_UP like Spark's round() — np.round is
+                        # half-even, and p/q ratios CAN land on exact
+                        # halves at 6dp
+                        "jaccard": np.floor(J[ia, ib] * 1e6 + 0.5) / 1e6,
+                    }
+                ))
+        if not out:
             return empty
-        idl = lpdf["id"].to_numpy()[ia]
-        idr = rpdf["id"].to_numpy()[ib]
-        if key[0] == key[1]:
-            keep = idl < idr
-            idl, idr, ia, ib = idl[keep], idr[keep], ia[keep], ib[keep]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(idl, idr),
-                "id_b": np.maximum(idl, idr),
-                # HALF_UP like Spark's round() — np.round is half-even,
-                # and p/q ratios CAN land on exact halves at 6dp
-                "jaccard": np.floor(J[ia, ib] * 1e6 + 0.5) / 1e6,
-            }
-        )
+        return pd.concat(out, ignore_index=True)
 
     return (
         left.groupBy("bi", "bj")
@@ -1434,7 +1455,8 @@ def ngram_jaccard_pairs_best(
 
     stats_meta = parquet_files_stats(df)
     sample = df.select(id_col, text_col)
-    if stats_meta is None:
+    if stats_meta is None or stats_meta[1] is None:
+        # unstatable OR footers unreadable (rows unknown): bounded head
         sample = sample.limit(4096)
     else:
         mod = max(1, stats_meta[1] // 4096)

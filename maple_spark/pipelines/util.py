@@ -5,16 +5,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def parquet_files_stats(df: DataFrame) -> tuple[int, int] | None:
+def parquet_files_stats(df: DataFrame) -> tuple[int, int | None] | None:
     """(total_bytes, total_rows) of a DataFrame's LOCAL parquet files —
     metadata only (file sizes + parquet footer row counts via pyarrow),
-    no Spark job.  Returns ``None`` when the source cannot be statted
-    (in-memory frames report no files; remote/unstatable paths raise),
-    so callers choose their own bounded fallback instead of silently
-    scanning data.  Shared by the sequence-pack shard sizing
-    (``__spark_entry__._pack_shards``) and the exact-Jaccard tier
-    router (``dedup.ngram_jaccard_pairs_best``) — one URI-handling
-    path to maintain."""
+    no Spark job.  Returns ``None`` only when no file can even be
+    *statted* (in-memory frames report no files; remote paths raise on
+    getsize), so callers choose their own bounded fallback instead of
+    silently scanning data.  A statable file whose parquet footer pyarrow
+    cannot read degrades to ``(total_bytes, None)`` — bytes stay accurate
+    and size-proportional consumers (shard packing) keep scaling, while
+    row-count consumers treat ``rows=None`` as unknown.  Shared by the
+    sequence-pack shard sizing (``__spark_entry__._pack_shards``) and the
+    exact-Jaccard tier router (``dedup.ngram_jaccard_pairs_best``) — one
+    URI-handling path to maintain."""
     import os
 
     import pyarrow.parquet as pq
@@ -25,14 +28,19 @@ def parquet_files_stats(df: DataFrame) -> tuple[int, int] | None:
         return None
     if not files:
         return None
-    total_bytes = total_rows = 0
+    total_bytes = 0
+    total_rows: int | None = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f
         try:
             total_bytes += os.path.getsize(path)
-            total_rows += pq.ParquetFile(path).metadata.num_rows
         except Exception:
-            return None  # remote / non-parquet / unreadable footer
+            return None  # remote / unstatable: bytes unknowable cheaply
+        if total_rows is not None:
+            try:
+                total_rows += pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                total_rows = None  # footer unreadable: rows unknown
     return total_bytes, total_rows
 
 

@@ -22,6 +22,7 @@ Design-for-scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -62,9 +63,13 @@ def get_spark(
     #   looks like a master URL.)
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     spark_master = os.environ.get("SPARK_MASTER", "")
-    master_url_like = spark_master.startswith(
-        ("local", "spark://", "yarn", "k8s://", "mesos://")
-    )
+    # "local" must match Spark's actual grammar (local / local[K] /
+    # local[*] / local[K,F]) — a loose startswith("local") would accept
+    # e.g. SPARK_MASTER=localhost:7077 and crash session creation where
+    # an untrusted value should merely fall through to the default.
+    master_url_like = bool(
+        re.fullmatch(r"local(\[[^\]]*\])?", spark_master)
+    ) or spark_master.startswith(("spark://", "yarn", "k8s://", "mesos://"))
     submit_configured = (
         bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
         or "--master" in submit_args
