@@ -2866,50 +2866,50 @@ def dml_delete_where(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate value-checks the FIRST 50 entries in
     # dict order.  The window is composed to cover every SURVEY §2 family
-    # with its riskiest representative: round 6 rotated the rounds-4/5
-    # hash-defined and LLM-pipeline additions (d6/st7/t16/a14/a15/st6/
-    # t15/sim3) IN and near-duplicate siblings (e5/e7/e11/e13_trig/
-    # j4_right/j4_full/j5_natural/set_except — each family keeps ≥1
-    # externally-checked entry) OUT.  The rotated-out entries live right
-    # after the window; composition is pinned by
+    # with its riskiest representative, and ROTATES each round so
+    # never-driver-checked entries earn external verification: round 6
+    # rotated in the hash-defined + LLM-pipeline risk surface (d6/st7/
+    # t16/a14/a15/st6/t15/sim3/t17); round 8 rotated in ten more
+    # never-checked entries (aj1/rj2/w2/q7/q9/q18/t8/sim2/sim5/
+    # dml_update) and rotated OUT ten near-duplicate siblings whose §2
+    # family keeps ≥1 externally-checked representative (p4/e1/e8/j6/
+    # a7/a8/o3/set_intersect/q5/t2 — all stay selfchecked).  Rotated-out
+    # entries live right after the window; composition is pinned by
     # tests/test_contract.py::test_driver_window_composition.
     return {
         "flagship_join_topk": flagship_join_topk,
         "s1_scan_filter": s1_scan_filter,
         "p1_project_expr": p1_project_expr,
-        "p4_rename": p4_rename,
-        "e1_arithmetic": e1_arithmetic,
         "e3_null_compare": e3_null_compare,
         "e6_like": e6_like,
-        "e8_in_list": e8_in_list,
         "e13_scalar_funcs": e13_scalar_funcs,
         "str1_string_funcs": str1_string_funcs,
         "j2_join_inner": j2_join_inner,
         "j3_sort_merge_join": j3_sort_merge_join,
         "j4_join_left": j4_join_left,
         "j5_using_join": j5_using_join,
-        "j6_cross_join": j6_cross_join,
         "j7_semi_in_subquery": j7_semi_in_subquery,
         "j7_anti_not_exists": j7_anti_not_exists,
         "e10_scalar_subquery": e10_scalar_subquery,
+        "aj1_asof_join": aj1_asof_join,
+        "rj2_interval_overlap": rj2_interval_overlap,
         "a2_groupby_q1": a2_groupby_q1,
         "a4_count_distinct": a4_count_distinct,
         "a6_minmax_sumavg": a6_minmax_sumavg,
-        "a7_having": a7_having,
-        "a8_distinct": a8_distinct,
         "a9_rollup": a9_rollup,
         "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
         "o1_sort_rownum": o1_sort_rownum,
-        "o3_topk": o3_topk,
         "set_union": set_union,
-        "set_intersect": set_intersect,
         "w1_window_rank": w1_window_rank,
+        "w2_window_lead_movavg": w2_window_lead_movavg,
         "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier": q5_local_supplier,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q9_product_profit": q9_product_profit,
+        "q18_large_volume_customer": q18_large_volume_customer,
         "t1_text_stats": t1_text_stats,
-        "t2_language_id": t2_language_id,
         "t3_quality_score": t3_quality_score,
+        "t8_tfidf_topterms": t8_tfidf_topterms,
         "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
         "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -2921,10 +2921,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_quota_sample": t6_quota_sample,
         "t15_weighted_sample": t15_weighted_sample,
         "t16_ngram_counts": t16_ngram_counts,
+        "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
+        "sim5_semdedup": sim5_semdedup,
         "st6_hll_stream": st6_hll_stream,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
+        "dml_update_where": dml_update_where,
         # --- end of the driver-checked first-50 window ---
+        # rotated out of the window in round 8 (still selfchecked):
+        "p4_rename": p4_rename,
+        "e1_arithmetic": e1_arithmetic,
+        "e8_in_list": e8_in_list,
+        "j6_cross_join": j6_cross_join,
+        "a7_having": a7_having,
+        "a8_distinct": a8_distinct,
+        "o3_topk": o3_topk,
+        "set_intersect": set_intersect,
+        "q5_local_supplier": q5_local_supplier,
+        "t2_language_id": t2_language_id,
         # rotated out of the window in round 6 (still selfchecked):
         "t4_fingerprint": t4_fingerprint,
         "e5_between": e5_between,
@@ -2937,9 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": set_except,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
         "sim1_cosine_topk": sim1_cosine_topk,
-        "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim4_ivf_topk": sim4_ivf_topk,
-        "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
         "mm2_frame_stats": mm2_frame_stats,
         "mm3_embed_stub": mm3_embed_stub,
@@ -2951,13 +2963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
         "fn1_funnel": fn1_funnel,
-        "aj1_asof_join": aj1_asof_join,
         "rj1_range_join": rj1_range_join,
-        "rj2_interval_overlap": rj2_interval_overlap,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,
@@ -2972,18 +2980,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tm1_time_of_day": tm1_time_of_day,
         "w3_range_frame": w3_range_frame,
         "w4_rank_distribution": w4_rank_distribution,
-        "t8_tfidf_topterms": t8_tfidf_topterms,
         "a12_stats_moments": a12_stats_moments,
         "a13_histogram": a13_histogram,
         "t9_bm25_search": t9_bm25_search,
         "t10_sequence_pack": t10_sequence_pack,
         "arr2_array_ops": arr2_array_ops,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "dml_update_where": dml_update_where,
         "dml_delete_where": dml_delete_where,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q14_promo_effect": q14_promo_effect,
-        "q18_large_volume_customer": q18_large_volume_customer,
         "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
         "q8_market_share": q8_market_share,
         "q11_important_stock": q11_important_stock,
@@ -2993,7 +2998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_cube": a9_cube,
         "a10_percentiles": a10_percentiles,
         "a9_grouping_sets": a9_grouping_sets,
-        "w2_window_lead_movavg": w2_window_lead_movavg,
         "pv1_pivot": pv1_pivot,
         "ts1_gapfill": ts1_gapfill,
         "ts2_locf": ts2_locf,

@@ -46,7 +46,9 @@ def _top_word_count(texts):
     from collections import Counter
 
     def top(t):
-        if t is None:
+        # pandas may surface missing strings as None or float NaN
+        # depending on Arrow conversion dtype; both must map to NULL
+        if t is None or t != t:
             return None
         return Counter(t.split(" ")).most_common(1)[0][1]
 

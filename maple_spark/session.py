@@ -30,6 +30,23 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _master_url_like(value: str) -> bool:
+    """True iff ``value`` parses as a Spark master URL.
+
+    Must match Spark's actual grammar — local / local[K] / local[*] /
+    local[K,F] plus local-cluster[N,C,M] — with numeric bracket bodies:
+    a loose startswith("local") would accept e.g. localhost:7077, and a
+    loose bracket body ([^\\]]*) would accept local[abc]; both crash
+    session creation where an untrusted env value should merely fall
+    through to the default.
+    """
+    return bool(
+        re.fullmatch(r"local(\[([0-9]+|\*)(,[0-9]+)?\])?", value)
+        or re.fullmatch(r"local-cluster\[[0-9]+,[0-9]+,[0-9]+\]", value)
+        or value.startswith(("spark://", "yarn", "k8s://", "mesos://"))
+    )
+
+
 def get_spark(
     app_name: str = "maple_spark",
     master: str | None = None,
@@ -63,13 +80,7 @@ def get_spark(
     #   looks like a master URL.)
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     spark_master = os.environ.get("SPARK_MASTER", "")
-    # "local" must match Spark's actual grammar (local / local[K] /
-    # local[*] / local[K,F]) — a loose startswith("local") would accept
-    # e.g. SPARK_MASTER=localhost:7077 and crash session creation where
-    # an untrusted value should merely fall through to the default.
-    master_url_like = bool(
-        re.fullmatch(r"local(\[[^\]]*\])?", spark_master)
-    ) or spark_master.startswith(("spark://", "yarn", "k8s://", "mesos://"))
+    master_url_like = _master_url_like(spark_master)
     submit_configured = (
         bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
         or "--master" in submit_args

@@ -127,3 +127,40 @@ def test_table_constraints_dataclass_and_fk_check(spark):
     parent = spark.createDataFrame([(10,)], "id long")
     bad = fk_violations(child, ["rid"], parent, ["id"])
     assert [r["rid"] for r in bad.collect()] == [99]
+
+
+def test_master_url_like_grammar():
+    # session.py only honors SPARK_MASTER when it parses as a real Spark
+    # master URL; anything else must fall through to the local[N] default
+    from maple_spark.session import _master_url_like
+
+    accepted = [
+        "local", "local[4]", "local[*]", "local[4,2]",
+        "local-cluster[2,1,1024]",
+        "spark://host:7077", "yarn", "k8s://https://host:443",
+        "mesos://host:5050",
+    ]
+    rejected = [
+        "", "localhost:7077", "local[abc]", "local[]", "local[4,]",
+        "local-cluster[2,1]", "local-cluster[a,b,c]", "LOCAL[4]",
+        "local[4][2]",
+    ]
+    for v in accepted:
+        assert _master_url_like(v), v
+    for v in rejected:
+        assert not _master_url_like(v), v
+
+
+def test_top_word_count_nan_and_none_map_to_null():
+    # Arrow conversion may surface missing strings as None or float NaN
+    # depending on pandas dtype; both must map to NULL, not AttributeError
+    import pandas as pd
+
+    from maple_spark.pipelines.curation import _top_word_count
+
+    func = getattr(_top_word_count, "func", None)
+    assert func is not None, "cannot reach underlying kernel"
+    out = func(pd.Series(["a a b", None, float("nan")]))
+    assert out.iloc[0] == 2
+    assert pd.isna(out.iloc[1])
+    assert pd.isna(out.iloc[2])

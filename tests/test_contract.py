@@ -32,11 +32,14 @@ def test_rows_only_set_is_intentional():
 def test_driver_window_composition():
     """The driver's gate value-checks the FIRST 50 queries() entries in
     dict order.  Round 6 rotated the riskiest operators (rounds-4/5
-    hash-defined + LLM-pipeline additions) INTO that window, trading out
-    near-duplicate siblings.  Pin the composition so a refactor can't
-    silently evict an externally-checked operator."""
+    hash-defined + LLM-pipeline additions) INTO that window; round 8
+    rotated in ten never-driver-checked entries (as-of/interval joins,
+    analytic windows, 6-way TPC-H shapes, tf-idf, embedding near-dup,
+    SemDeDup, DML) for ten near-duplicate siblings.  Pin the
+    composition so a refactor can't silently evict an externally-checked
+    operator."""
     window = list(e.queries())[:50]
-    # the rotated-in risk surface (VERDICT r5 task 1)
+    # the rotated-in risk surface (VERDICT r5 task 1 + VERDICT r7 task 1)
     for name in (
         "d6_cross_dedup",
         "st7_cross_dedup_stream",
@@ -49,13 +52,24 @@ def test_driver_window_composition():
         # round 6 addition: exact duplicated-span detection (newest op,
         # swapped in for the trivial t4 md5 map)
         "t17_dup_spans",
+        # round 8 rotation: never-driver-checked entries in
+        "aj1_asof_join",
+        "rj2_interval_overlap",
+        "w2_window_lead_movavg",
+        "q7_volume_shipping",
+        "q9_product_profit",
+        "q18_large_volume_customer",
+        "t8_tfidf_topterms",
+        "sim2_embedding_near_dup",
+        "sim5_semdedup",
+        "dml_update_where",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family
     for family_rep in (
         "s1_scan_filter",      # scans
         "p1_project_expr",     # project/rename
-        "e1_arithmetic",       # expressions
+        "e3_null_compare",     # expressions (e1 rotated out r8; 3VL sibling stays)
         "e10_scalar_subquery", # subqueries
         "j2_join_inner",       # joins
         "a2_groupby_q1",       # aggregates
