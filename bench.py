@@ -89,6 +89,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from maple_spark.session import get_spark
 
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="maple_spark_bench")
     qs = entrymod.queries()
 
@@ -137,6 +138,7 @@ def main() -> None:
     # value is the steadiest available floor.  drift > 1.3 flags a query
     # for a closer look; it is a tripwire, not a verdict.
     best_prior: dict[str, float] = {}
+    prior_loads: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
 
@@ -151,6 +153,8 @@ def main() -> None:
         prior = rec.get("parsed") or {}
         if prior.get("sf") != sf:
             continue  # only like-for-like scale factors compare
+        if isinstance(prior.get("load_avg_1m"), (int, float)):
+            prior_loads[os.path.basename(path)] = prior["load_avg_1m"]
         for q, t in (prior.get("queries") or {}).items():
             if isinstance(t, (int, float)) and t > 0:
                 best_prior[q] = min(best_prior.get(q, t), t)
@@ -171,8 +175,16 @@ def main() -> None:
                 "drift_flags": sorted(q for q, r in drift.items() if r > 1.3),
                 # host context for reading drift: sustained background
                 # load on shared bench hosts moves unchanged queries
-                # 1.3-2x between runs (documented rounds 5-6)
+                # 1.3-2x between runs (documented rounds 5-6).  start/end
+                # loads bracket THIS run; prior_loads_1m shows the load
+                # under which each comparison floor was recorded, so a
+                # drift flag on a high-load run vs a quiet-round floor
+                # reads as the confound it is (round-7 static bisect:
+                # every flagged query's code was byte-identical to the
+                # prior round — load, not code, moved the numbers).
                 "load_avg_1m": round(os.getloadavg()[0], 2),
+                "load_avg_1m_start": load_start,
+                "prior_loads_1m": prior_loads,
             }
         )
     )

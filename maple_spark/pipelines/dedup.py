@@ -176,27 +176,36 @@ def _minhash_signatures_oph(
     return assembled.select(F.col(id_col), F.array(*slots).alias("signature"))
 
 
-def lsh_band_buckets(
+#: corpus-size ceiling (parquet bytes, metadata-measured) below which
+#: :func:`minhash_lsh_pairs` carries per-doc fingerprint SETS through the
+#: signature shuffle ("fused" strategy) instead of re-scanning candidate
+#: docs in the verifier ("split" strategy).  The trade, measured
+#: (scripts/d3_fused_experiment.py): fused removes the verify path's
+#: semi-join + second md5 pass + candidate collect_set shuffle (~0.7 s of
+#: fixed stage overhead at sf0.1), but inflates the signature shuffle by
+#: ~8 bytes per distinct shingle ≈ the UNCOMPRESSED text size for the
+#: WHOLE corpus, where split ships sets only for candidate docs.  Extra
+#: payload ≈ saved overhead near ~25 MiB of parquet (~100 MB text →
+#: ~0.8 GB/s local shuffle), and grows linearly past it while the saved
+#: overhead stays constant — so fused is strictly a small-corpus
+#: optimization.  32 MiB keeps every committed fixture on the fused path
+#: and any at-scale corpus (or unstatable input, stats=None) on the
+#: scale-safe split path.
+CARRY_SETS_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _per_doc_sig(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
     k: int = 8,
+    with_set: bool = False,
 ) -> DataFrame:
-    """(id, band, bucket) — the MinHash-LSH banding core shared by
-    within-corpus near-dup (:func:`minhash_lsh_pairs`) and cross-corpus
-    dedup (:func:`cross_dedup_pairs`).
-
-    One corpus scan: shingle explode → portable md5 fingerprint reduced
-    mod P31 (``functions/phash.py``) → per-doc min under ``num_perm``
-    universal multiply-shift permutations (ONE groupBy; the shuffle
-    carries fixed-width partial mins, never text) → per-band polynomial
-    bucket, map-side.  Banding is fused over the raw permutation-min
-    columns (h0..h63) rather than an assembled signature array: same
-    band hashes (signature[i] IS h{i}), two fewer 64-wide projections
-    for Catalyst to analyze — the signature→array→extract round-trip
-    was pure plan bloat here.
+    """Per-document MinHash aggregate in ONE groupBy: signature min
+    columns h0..h{num_perm-1}, plus (``with_set``) the document's full
+    distinct fp60 set — the shared scan behind banding and the fused
+    verify strategy.
 
     Two map-side prunes before anything shuffles:
 
@@ -208,29 +217,49 @@ def lsh_band_buckets(
     - NULL-text rows are dropped up front: they can never verify (NULL
       jaccard), but without the filter they'd all share NULL buckets
       and pair QUADRATICALLY per band in the candidate groupBy —
-      wasted O(n²) work on a NULL-heavy corpus."""
+      wasted O(n²) work on a NULL-heavy corpus.
+
+    Without ``with_set`` the shuffle carries fixed-width partial mins
+    only, never text — the 100 TB-safe shape; ``__h`` is then pruned by
+    Catalyst so the extra column is free."""
     from maple_spark.functions import phash
 
-    rows_per_band = num_perm // bands
     consts = phash.perm_consts(num_perm)
     shingles = F.array_distinct(shingle_expr(text_col, k))
     sh = (
         _spread(df.select(id_col, text_col))
         .where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(shingles).alias("__s"))
+        .select(F.col(id_col), phash.fp60(F.col("__s")).alias("__h"))
         .select(
             F.col(id_col),
-            (phash.fp60(F.col("__s")) % F.lit(phash.P31)).alias("__r"),
+            F.col("__h"),
+            (F.col("__h") % F.lit(phash.P31)).alias("__r"),
         )
     )
-    sig = sh.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("__r") + F.lit(b)) % F.lit(phash.P31)).alias(
-                f"h{i}"
-            )
-            for i, (a, b) in enumerate(consts)
-        ]
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__r") + F.lit(b)) % F.lit(phash.P31)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(consts)
+    ]
+    if with_set:
+        aggs = [F.collect_set("__h").alias("__set"), *aggs]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _band_explode(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) from a :func:`_per_doc_sig` aggregate: per-band
+    polynomial bucket, map-side.  Banding is fused over the raw
+    permutation-min columns (h0..h63) rather than an assembled signature
+    array: same band hashes (signature[i] IS h{i}), two fewer 64-wide
+    projections for Catalyst to analyze — the signature→array→extract
+    round-trip was pure plan bloat here."""
+    from maple_spark.functions import phash
+
+    rows_per_band = num_perm // bands
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -250,6 +279,56 @@ def lsh_band_buckets(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """(id, band, bucket) — the MinHash-LSH banding core shared by
+    within-corpus near-dup (:func:`minhash_lsh_pairs`) and cross-corpus
+    dedup (:func:`cross_dedup_pairs`).
+
+    One corpus scan: shingle explode → portable md5 fingerprint reduced
+    mod P31 (``functions/phash.py``) → per-doc min under ``num_perm``
+    universal multiply-shift permutations (ONE groupBy; the shuffle
+    carries fixed-width partial mins, never text) → per-band polynomial
+    bucket, map-side (see :func:`_per_doc_sig` / :func:`_band_explode`
+    for the shared pieces and their prunes)."""
+    return _band_explode(
+        _per_doc_sig(df, id_col, text_col, num_perm, k), id_col, num_perm, bands
+    )
+
+
+def _bucket_candidates(stacked: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from (id, band, bucket) rows.
+
+    Candidates via groupBy-bucket + in-bucket pair expansion rather than a
+    self-join: the signature pipeline runs ONCE (a self-join would execute
+    its whole lineage twice), and the only shuffle carries (band, bucket,
+    id).  Near-dup buckets are small by construction, so the local pair
+    expansion is cheap; a pathological mega-bucket (all-identical corpus)
+    would be handled upstream by exact dedup first."""
+    return (
+        stacked.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -258,6 +337,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 8,
     jaccard_threshold: float = 0.7,
+    carry_sets: bool | None = None,
 ) -> DataFrame:
     """Tier 2: near-duplicate pairs via LSH banding + exact verification.
 
@@ -284,30 +364,54 @@ def minhash_lsh_pairs(
     — cheaper than ``num_perm`` independent xxhash64 calls AND
     reproducible in vanilla DuckDB SQL, so the driver's oracle gate
     checks this operator value-exactly (no UDF tier needed).
+
+    ``carry_sets`` picks how the verifier obtains per-doc fingerprint
+    sets — a cost-based physical choice (value-identical either way,
+    equality-tested in scripts/d3_fused_experiment.py):
+
+    - ``True`` ("fused"): ONE per-doc groupBy computes signature mins AND
+      ``collect_set(fp60)``; banding and both verifier set joins read the
+      SAME exchange (AQE stage reuse), eliminating the verify path's
+      semi-join + second md5 pass + candidate collect_set shuffle — ~0.7 s
+      of fixed stage overhead at sf0.1 (2.13 s → 1.43 s min-of-5).
+    - ``False`` ("split"): banding shuffles 64 fixed-width mins per doc,
+      and only CANDIDATE docs are re-scanned and set-aggregated
+      (:func:`verify_jaccard`) — at 100 TB with a few % candidates this
+      shuffles ~1/10th the bytes of fused, whose set payload ≈ the whole
+      corpus's uncompressed text.
+    - ``None`` (default): fused iff the input's parquet footprint is
+      metadata-measurable and ≤ ``CARRY_SETS_MAX_BYTES`` — below that the
+      extra payload costs less than the stages it saves; unstatable
+      inputs take the scale-safe split path.
     """
-    stacked = lsh_band_buckets(df, id_col, text_col, num_perm, bands, k)
-    # Candidates via groupBy-bucket + in-bucket pair expansion rather than a
-    # self-join: the signature pipeline runs ONCE (a self-join would execute
-    # its whole lineage twice), and the only shuffle carries (band, bucket,
-    # id).  Near-dup buckets are small by construction, so the local pair
-    # expansion is cheap; a pathological mega-bucket (all-identical corpus)
-    # would be handled upstream by exact dedup first.
-    candidates = (
-        stacked.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
+    if carry_sets is None:
+        from maple_spark.pipelines.util import parquet_files_stats
+
+        stats = parquet_files_stats(df)
+        carry_sets = stats is not None and stats[0] <= CARRY_SETS_MAX_BYTES
+    if carry_sets:
+        per_doc = _per_doc_sig(df, id_col, text_col, num_perm, k, with_set=True)
+        candidates = _bucket_candidates(
+            _band_explode(per_doc, id_col, num_perm, bands), id_col
         )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+        sets = per_doc.select(id_col, "__set")
+        sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+        sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
+        n_inter = F.size(F.array_intersect("__sa", "__sb"))
+        return (
+            sa.join(candidates, on="id_a")
+            .join(sb, on="id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    n_inter / (F.size("__sa") + F.size("__sb") - n_inter), 6
+                ),
+            )
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    stacked = lsh_band_buckets(df, id_col, text_col, num_perm, bands, k)
+    candidates = _bucket_candidates(stacked, id_col)
     # The verifier consumes the candidate list multiple times (pair join +
     # both sides of the id union).  No RDD checkpoint: the repeated subtrees
     # are structurally identical, so AQE's exchange/stage reuse executes the
@@ -1144,6 +1248,7 @@ def ngram_jaccard_pairs_gram(
     block_rows: int = 1024,
     vocab_cap: int = 65536,
     _n_vocab: int | None = None,
+    _stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold via a **blocked incidence
     gram-matrix** — the exact tier for HOT-VOCABULARY corpora, where
@@ -1261,6 +1366,22 @@ def ngram_jaccard_pairs_gram(
             f" blocks of {block_rows_eff} rows (vocab {n_vocab}) —"
             f" beyond the {max_blocks}-block exact-quadratic budget."
             " Use minhash_lsh_pairs (d3) at this scale."
+        )
+    if _stats_out is not None:
+        # test/diagnostic introspection — driver-side arithmetic over the
+        # (≤ max_blocks) lo/hi arrays, no Spark job
+        kept = sum(
+            1
+            for i in range(n_blocks)
+            for j in range(i, n_blocks)
+            if threshold <= 0 or hi[i] >= threshold * lo[j]
+        )
+        _stats_out.update(
+            n_vocab=n_vocab,
+            n_blocks=n_blocks,
+            block_rows_eff=block_rows_eff,
+            block_pairs_total=n_blocks * (n_blocks + 1) // 2,
+            block_pairs_kept=kept,
         )
     szmap = spark.createDataFrame(sz_assign, "sz bigint, base int, k int")
     corpus = docs.join(F.broadcast(szmap), "sz").select(
