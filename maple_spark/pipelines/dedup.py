@@ -237,10 +237,15 @@ def _per_doc_sig(
             (F.col("__h") % F.lit(phash.P31)).alias("__r"),
         )
     )
+    # F.expr STRINGS, not operator-composed Columns: each Python-side
+    # Column operator is a py4j round trip, and 64 min expressions × ~8
+    # ops each cost ~0.85 s of pure DRIVER construction time per call
+    # site (measured; the parsed string form is ~25× cheaper at 0.03 s).
+    # The resulting expression trees are identical — this is plan
+    # CONSTRUCTION cost, invisible at execution but dominant in the cold
+    # first-build of deep compositions like cp3.
     aggs = [
-        F.min((F.lit(a) * F.col("__r") + F.lit(b)) % F.lit(phash.P31)).alias(
-            f"h{i}"
-        )
+        F.expr(f"min(({a} * __r + {b}) % {phash.P31})").alias(f"h{i}")
         for i, (a, b) in enumerate(consts)
     ]
     if with_set:
@@ -256,26 +261,28 @@ def _band_explode(
     permutation-min columns (h0..h63) rather than an assembled signature
     array: same band hashes (signature[i] IS h{i}), two fewer 64-wide
     projections for Catalyst to analyze — the signature→array→extract
-    round-trip was pure plan bloat here."""
+    round-trip was pure plan bloat here.
+
+    Built as ONE parsed ``F.expr`` string (``phash.sql_poly_bucket`` is
+    portable Spark/DuckDB SQL, so the bucket arithmetic has a single
+    definition across engine and oracle): the operator-composed form
+    cost ~0.9 s of py4j round trips per call site at construction time
+    (see the note in :func:`_per_doc_sig`)."""
     from maple_spark.functions import phash
 
     rows_per_band = num_perm // bands
+    structs = ", ".join(
+        "struct({b} AS band, {bucket} AS bucket)".format(
+            b=b,
+            bucket=phash.sql_poly_bucket(
+                [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    phash.poly_bucket(
-                        [
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
 
@@ -486,32 +493,28 @@ def lsh_band_buckets_rowlocal(
             lambda s: phash.fp60(s) % F.lit(phash.P31),
         )
     base = df.select(F.col(id_col), *carry_cols, rfps.alias("__fps"))
+    # parsed F.expr strings for the same py4j-construction-cost reason
+    # as _per_doc_sig/_band_explode (~1.8 s per call site saved)
     sig_cols = [
-        F.array_min(
-            F.transform(
-                "__fps", lambda r: (F.lit(a) * r + F.lit(b)) % F.lit(phash.P31)
-            )
+        F.expr(
+            f"array_min(transform(__fps, r -> ({a} * r + {b}) % {phash.P31}))"
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(consts)
     ]
     sig = base.select(id_col, *carry_cols, *sig_cols)
+    structs = ", ".join(
+        "struct({b} AS band, {bucket} AS bucket)".format(
+            b=b,
+            bucket=phash.sql_poly_bucket(
+                [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
         F.col(id_col),
         *carry_cols,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    phash.poly_bucket(
-                        [
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(id_col, *carry_cols, "bb.band", "bb.bucket")
 
 
