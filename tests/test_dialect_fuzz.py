@@ -68,7 +68,10 @@ def test_dialect_dml_fuzz_vs_model(engine, tmp_path, seed):
     nxt = 100
 
     for _ in range(OPS_PER_SEED):
-        op = rnd.choice(["insert", "insert_cols", "update", "delete"])
+        op = rnd.choice(
+            ["insert", "insert_cols", "update", "update_arith", "delete",
+             "delete_in"]
+        )
         if op == "insert":
             lit = _lit(rnd)
             v = float(rnd.randint(0, 50)) + 0.25
@@ -110,6 +113,40 @@ def test_dialect_dml_fuzz_vs_model(engine, tmp_path, seed):
                        i > k if cmp_op == ">" else i <= k)
                 if hit:
                     model[i] = (lit, model[i][1])
+        elif op == "update_arith":
+            # multi-assignment with arithmetic over OTHER columns: all SET
+            # expressions must evaluate against the PRE-update row (the
+            # update_where one-projection contract) — chained withColumn
+            # semantics would diverge the model here
+            cmp_op, k = rnd.choice(["=", ">", "<="]), rnd.choice(
+                sorted(model) if model else [1]
+            )
+            engine.execute_script(
+                f"{_mixed_case(rnd, 'UPDATE')}{_ws(rnd)}states"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'SET')} val = val * 2 + id,"
+                f"{_ws(rnd)}name = upper(name)"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'WHERE')} id {cmp_op} {k}"
+            )
+            for i in list(model):
+                hit = (i == k if cmp_op == "=" else
+                       i > k if cmp_op == ">" else i <= k)
+                if hit:
+                    n, v = model[i]
+                    model[i] = (n.upper(), v * 2 + i)
+        elif op == "delete_in":
+            if len(model) <= 3:
+                continue  # keep the store populated
+            ks = rnd.sample(sorted(model), rnd.randint(1, 2))
+            # mix hits with misses — the miss ids must not delete anything
+            ks.append(rnd.randint(9000, 9999))
+            rnd.shuffle(ks)
+            engine.execute_script(
+                f"{_mixed_case(rnd, 'DELETE FROM')}{_ws(rnd)}states"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'WHERE')} id"
+                f" {_mixed_case(rnd, 'IN')} ({', '.join(map(str, ks))})"
+            )
+            for k in ks:
+                model.pop(k, None)
         else:  # delete
             if len(model) <= 2:
                 continue  # keep the store populated
@@ -224,6 +261,7 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
 
     def run_one():
         grouped = rnd.random() < 0.3
+        distinct_q = False
         if grouped:
             aggs = rnd.sample(
                 [
@@ -243,6 +281,16 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
             )
             if rnd.random() < 0.5:
                 sql += f"{_ws(rnd)}{_mixed_case(rnd, 'HAVING')} COUNT(*) > 1"
+        elif rnd.random() < 0.2:
+            # DISTINCT over a low-cardinality projection (name has 7
+            # values) — exercises the A8 surface through the front-end
+            distinct_q = True
+            sql = (
+                f"{_mixed_case(rnd, 'SELECT DISTINCT')}{_ws(rnd)}name,"
+                f" id % {rnd.randint(2, 4)} AS g"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'FROM')} states"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'WHERE')} {pred()}"
+            )
         else:
             projs = rnd.sample(
                 [
@@ -254,6 +302,9 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
                     "upper(name) AS un",
                     "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS par",
                     "name || '!' AS bang",
+                    "abs(id - 20) AS a20",
+                    "length(name) AS ln",
+                    "substr(name, 1, 4) AS s4",
                 ],
                 rnd.randint(1, 4),
             )
@@ -262,19 +313,29 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
                 f"{_ws(rnd)}{_mixed_case(rnd, 'FROM')} states"
                 f"{_ws(rnd)}{_mixed_case(rnd, 'WHERE')} {pred()}"
             )
-        got_rows = engine.execute_script(sql)[0] or []
-        got = sorted(
-            tuple(
-                round(v, 9) if isinstance(v, float) else v for v in r
+        # ORDER BY a UNIQUE key + LIMIT → deterministic row ORDER, so the
+        # compare below goes order-sensitive (O1/O3 through the front-end).
+        # DISTINCT is excluded: ORDER BY a non-projected column is illegal
+        # after DISTINCT in both engines.
+        ordered = not grouped and not distinct_q and rnd.random() < 0.3
+        if ordered:
+            sql += (
+                f"{_ws(rnd)}{_mixed_case(rnd, 'ORDER BY')} id"
+                f" {_mixed_case(rnd, rnd.choice(['ASC', 'DESC']))}"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'LIMIT')} {rnd.randint(1, 15)}"
             )
-            for r in got_rows
-        )
-        want = sorted(
-            tuple(
-                round(v, 9) if isinstance(v, float) else v for v in r
-            )
-            for r in con.execute(sql).fetchall()
-        )
+
+        def canon(rows_in):
+            vals = [
+                tuple(
+                    round(v, 9) if isinstance(v, float) else v for v in r
+                )
+                for r in rows_in
+            ]
+            return vals if ordered else sorted(vals)
+
+        got = canon(engine.execute_script(sql)[0] or [])
+        want = canon(con.execute(sql).fetchall())
         assert got == want, sql
 
     for _ in range(SELECTS_PER_SEED):
