@@ -450,6 +450,87 @@ def fp_set_expr(text_col: str, k: int = 8):
     )
 
 
+def _band_buckets_arrow_udf(num_perm: int, bands: int):
+    """Arrow-vectorized row-local banding: fp60-reduced fingerprint array
+    → the ``bands`` polynomial bucket ids, as ONE numpy kernel.
+
+    Why a Python kernel in a hot path: Catalyst higher-order functions
+    (``transform``/``array_min`` lambdas) run INTERPRETED, outside
+    whole-stage codegen, and the row-local signature needs num_perm of
+    them per row — measured 4.17 s of a 5.57 s st7 wall at sf0.1 (59 s
+    of 155 s at 100×), ~7× the cost of the agg formulation's codegen'd
+    arithmetic on the same data (scripts/st7_profile.py).  The same
+    Arrow escape hatch as t12's repetition kernel: per Arrow batch the
+    ragged fingerprint arrays concatenate into one flat vector, each
+    permutation is two vectorized uint64 ops + a segment-min
+    (``np.minimum.reduceat``), and the band polynomials fold over the
+    (num_perm, n_rows) min matrix — all C-speed, no per-row Python.
+
+    Integer semantics are EXACTLY the SQL formulation's: inputs are the
+    RAW 60-bit fingerprints (the kernel absorbs the mod-P31 reduction —
+    one more per-element lambda the SQL tier pays and this one doesn't);
+    after the mod x < 2^31 and a_i < 2^31, so a_i·x + b_i < 2^62 fits
+    uint64 without wraparound, and the band polynomial keeps every
+    intermediate < 2^62 the same way.  NULL or empty fingerprint arrays
+    yield all-NULL buckets (``array_min(empty) IS NULL`` in the SQL
+    path) — the rows band-explode but never equi-join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from maple_spark.functions import phash
+
+    consts = phash.perm_consts(num_perm)
+    A = np.array([a for a, _ in consts], dtype=np.uint64)
+    B = np.array([b for _, b in consts], dtype=np.uint64)
+    P = np.uint64(phash.P31)
+    rows_per_band = num_perm // bands
+
+    def _to_u64(a):
+        """NULL-element-safe uint64 view of one fingerprint array: a NULL
+        text's shingle array is [NULL] (one null ELEMENT, surfaced by
+        Arrow as NaN), and the SQL tier's ``array_min`` SKIPS null
+        elements — so drop them here too before the min."""
+        v = np.asarray(a)
+        if v.dtype.kind not in "iu":
+            v = v.astype(np.float64)
+            v = v[~np.isnan(v)]
+        return v.astype(np.uint64)
+
+    @pandas_udf("array<bigint>")
+    def band_buckets(fps):
+        null_out = [None] * bands
+        cleaned = [None if a is None else _to_u64(a) for a in fps]
+        lens = np.fromiter(
+            (0 if c is None else c.size for c in cleaned),
+            dtype=np.int64,
+            count=len(cleaned),
+        )
+        valid = lens > 0
+        if not valid.any():
+            return pd.Series([null_out] * len(cleaned))
+        flat = np.concatenate([c for c, n in zip(cleaned, lens) if n]) % P
+        starts = np.zeros(int(valid.sum()), dtype=np.int64)
+        np.cumsum(lens[valid][:-1], out=starts[1:])
+        mins = np.empty((num_perm, starts.size), dtype=np.uint64)
+        for p in range(num_perm):
+            mins[p] = np.minimum.reduceat((A[p] * flat + B[p]) % P, starts)
+        c1, c2 = np.uint64(phash.BAND_C), np.uint64(phash.BAND_C2)
+        buckets = np.empty((bands, starts.size), dtype=np.int64)
+        for b in range(bands):
+            h = mins[b * rows_per_band : (b + 1) * rows_per_band]
+            acc1, acc2 = h[0].copy(), h[0].copy()
+            for j in range(1, rows_per_band):
+                acc1 = (acc1 * c1 + h[j]) % P
+                acc2 = (acc2 * c2 + h[j]) % P
+            buckets[b] = (acc1 * P + acc2).astype(np.int64)
+        cols = buckets.T.tolist()
+        it = iter(cols)
+        return pd.Series([next(it) if v else null_out for v in valid])
+
+    return band_buckets
+
+
 def lsh_band_buckets_rowlocal(
     df: DataFrame,
     id_col: str,
@@ -459,6 +540,7 @@ def lsh_band_buckets_rowlocal(
     k: int = 8,
     carry_cols: tuple[str, ...] = (),
     fp_set_col: str | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Row-local formulation of :func:`lsh_band_buckets`: the signature
     mins are ``array_min`` over per-row fingerprint arrays instead of a
@@ -467,9 +549,17 @@ def lsh_band_buckets_rowlocal(
     map; no watermark needed).  Value-identical to the agg formulation
     (equality-tested: min over the reduced fingerprint multiset == min
     over the distinct 60-bit set reduced mod P31, since colliding
-    values are equal).  For batch the agg path is ~20% faster at sf0.1
-    (64 array lambdas re-scan the row's array; partial aggs
-    pipeline better), so batch callers keep :func:`lsh_band_buckets`.
+    values are equal).  Two output-identical kernels (equality-tested,
+    ``kernel=``): ``"arrow"`` (default when numpy+pyarrow import) runs
+    the permutation mins + band polynomials as one vectorized numpy
+    batch kernel — the per-row Catalyst formulation runs num_perm
+    INTERPRETED ``array_min(transform(...))`` lambdas, measured 4.17 s
+    of st7's 5.57 s sf0.1 wall (2.5× the whole operator,
+    scripts/st7_profile.py); ``"sql"`` keeps the pure-Catalyst tier for
+    numpy-free deployments.  Batch callers still keep
+    :func:`lsh_band_buckets` — its groupBy partial-agg arithmetic is
+    codegen'd and ~3× cheaper than even the Arrow row-local path (no
+    per-row set materialization, no Arrow transfer).
     NULL-text rows yield NULL buckets and fall out of any equi-join —
     same net output as the agg path, which filters them before explode.
 
@@ -485,6 +575,33 @@ def lsh_band_buckets_rowlocal(
 
     rows_per_band = num_perm // bands
     consts = phash.perm_consts(num_perm)
+    if kernel == "auto":
+        try:  # numpy + pyarrow present → the vectorized kernel
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            kernel = "arrow"
+        except ImportError:
+            kernel = "sql"
+    if kernel == "arrow":
+        # value-identical to the SQL tier below (equality-tested in
+        # test_pipelines); the kernel also absorbs the mod-P31
+        # reduction, so the RAW 60-bit fingerprints ship into Arrow and
+        # no per-element Catalyst lambda remains anywhere on this path
+        if fp_set_col is not None:
+            raw = F.col(fp_set_col)
+        else:
+            raw = F.transform(
+                F.array_distinct(shingle_expr(text_col, k)),
+                lambda s: phash.fp60(s),
+            )
+        base = df.select(F.col(id_col), *carry_cols, raw.alias("__fps"))
+        buckets = _band_buckets_arrow_udf(num_perm, bands)(F.col("__fps"))
+        return base.select(
+            F.col(id_col),
+            *carry_cols,
+            F.posexplode(buckets).alias("band", "bucket"),
+        ).select(id_col, *carry_cols, "band", "bucket")
     if fp_set_col is not None:
         rfps = F.transform(fp_set_col, lambda x: x % F.lit(phash.P31))
     else:

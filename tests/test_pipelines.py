@@ -746,6 +746,40 @@ def test_lsh_band_buckets_rowlocal_equals_agg(spark, dup_corpus):
     assert a == b and len(a) > 0
 
 
+def test_rowlocal_banding_arrow_kernel_equals_sql(spark, dup_corpus):
+    """The Arrow banding kernel (numpy segment-min over the flattened
+    fingerprint batch) must produce the EXACT (id, band, bucket) table
+    of the Catalyst transform-lambda tier — including the edge rows.
+    NULL text shingles to [NULL] (one null ELEMENT — Arrow surfaces it
+    as NaN), which ``array_min`` skips, so its 16 band rows carry NULL
+    buckets and fall out of any equi-join; empty and sub-k text shingle
+    to one REAL fingerprint (substr semantics) and band normally."""
+    from maple_spark.pipelines.dedup import lsh_band_buckets_rowlocal
+
+    edge = dup_corpus.union(
+        spark.createDataFrame(
+            [(90, None), (91, ""), (92, "tiny")], "doc_id long, text string"
+        )
+    )
+    tiers = {
+        kern: sorted(
+            map(
+                tuple,
+                lsh_band_buckets_rowlocal(
+                    edge, "doc_id", "text", kernel=kern
+                ).collect(),
+            )
+        )
+        for kern in ("arrow", "sql")
+    }
+    assert tiers["arrow"] == tiers["sql"]
+    assert len(tiers["arrow"]) == 7 * 16  # every row bands, edges included
+    null_bucket_ids = {
+        t[0] for t in tiers["arrow"] if t[2] is None
+    }
+    assert null_bucket_ids == {90}
+
+
 def test_cross_dedup_stream_batch_equals_pairs(spark):
     """The ingest-guard formulation (row-local banding + static-side
     joins + fingerprint-set jaccard) run on finite input must equal the
