@@ -683,6 +683,19 @@ def cross_dedup_stream(
     against them.  Jaccard here intersects 60-bit fingerprint sets
     rather than string shingle sets — equal up to md5 collisions
     (p ≈ |set|²/2^60 per pair)."""
+    # ref_sets stays the ROW-LOCAL (zero-exchange) set build, and that
+    # is a measured 100× decision, not an accident
+    # (scripts/st7_refprep_ab.py, interleaved min-of-N): at sf0.1 the
+    # interpreted transform-lambda md5 makes this the SLOWEST of three
+    # formulations (1.81 s vs 0.67 fused _per_doc_sig(with_set) vs 0.63
+    # exploded collect_set agg), but at 100× it WINS (55.6 s vs 62.3 vs
+    # 66.5) — both agg formulations shuffle the corpus's entire set
+    # payload through their groupBy exchange while this one never
+    # exchanges at all, and the fused variant doesn't even reuse its
+    # scan (the bucket consumer prunes __set, so the two consumers'
+    # exchanges are non-identical — 2 scans, 4 exchanges, no
+    # ReusedExchange; the r6 multi-consumer trap).  Interpreted-lambda
+    # cost is a constant factor; a corpus-sized shuffle is not.
     ref_buckets = lsh_band_buckets(
         ref_df, id_col, text_col, num_perm, bands, k
     ).select(F.col(id_col).alias("ref_id"), "band", "bucket")
