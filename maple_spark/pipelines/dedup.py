@@ -450,6 +450,74 @@ def fp_set_expr(text_col: str, k: int = 8):
     )
 
 
+def _arrow_available() -> bool:
+    try:
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fp_set_arrow_udf(k: int):
+    """Arrow-batched twin of :func:`fp_set_expr`: distinct k-shingle
+    fp60 set per text row, shingled and md5-hashed in PYTHON.
+
+    Why: :func:`fp_set_expr` is a ``transform`` lambda, which Catalyst
+    evaluates INTERPRETED — measured ~0.16 M shingle+md5/s per core,
+    while Python's ``hashlib.md5`` + dict-distinct runs ~0.8 M/s
+    (microbenchmarked; the interpreted per-element dispatch around the
+    JVM md5 costs more than the hash itself).  The row-local/
+    zero-exchange property is unchanged — this is the same map, in a
+    faster runtime.
+
+    Exactness: Spark strings index by CODE POINT (UTF8String), as does
+    Python slicing, so ``text[i:i+k]`` == ``substring(text, i+1, k)``
+    for every Unicode input incl. astral chars (equality-tested); md5
+    is md5 of the UTF-8 bytes in both; distinctness keeps
+    first-occurrence order (``dict.fromkeys``) to mirror
+    ``array_distinct``; NULL text yields ``[NULL]`` (shingle_expr's
+    ``substring(NULL, 1, k)`` row), sub-k text its whole text as the
+    single shingle."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def fp_set(texts):
+        md5 = hashlib.md5
+
+        def one(t):
+            if t is None or t != t:  # None or NaN → shingle row [NULL]
+                return [None]
+            shingles = dict.fromkeys(
+                t[i : i + k] for i in range(max(len(t) - k + 1, 1))
+            )
+            return list(
+                dict.fromkeys(
+                    int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    for s in shingles
+                )
+            )
+
+        return pd.Series([one(t) for t in texts])
+
+    return fp_set
+
+
+def fp_set_best(text_col: str, k: int = 8):
+    """The fingerprint-set column, fastest available tier: the Arrow
+    kernel when numpy+pyarrow import (the default everywhere Spark can
+    run Pandas UDFs), else the pure-Catalyst :func:`fp_set_expr` —
+    value-identical (equality-tested incl. NULL/empty/sub-k/astral-char
+    rows)."""
+    if _arrow_available():
+        return _fp_set_arrow_udf(k)(F.col(text_col))
+    return fp_set_expr(text_col, k)
+
+
 def _band_buckets_arrow_udf(num_perm: int, bands: int):
     """Arrow-vectorized row-local banding: fp60-reduced fingerprint array
     → the ``bands`` polynomial bucket ids, as ONE numpy kernel.
@@ -696,11 +764,36 @@ def cross_dedup_stream(
     # exchanges are non-identical — 2 scans, 4 exchanges, no
     # ReusedExchange; the r6 multi-consumer trap).  Interpreted-lambda
     # cost is a constant factor; a corpus-sized shuffle is not.
+    from maple_spark.pipelines.util import parquet_files_stats
+
+    _stats = parquet_files_stats(new_docs)
+    big_input = _stats is None or _stats[0] > CARRY_SETS_MAX_BYTES
+
     ref_buckets = lsh_band_buckets(
         ref_df, id_col, text_col, num_perm, bands, k
     ).select(F.col(id_col).alias("ref_id"), "band", "bucket")
+    # Set-build tier routed by SOURCE metadata (the carry_sets pattern):
+    # small/statable inputs take the Arrow fp_set kernel on BOTH sides
+    # (fastest map, and broadcasts at that size are right anyway); big
+    # or UNSTATABLE inputs keep the ref side on the EXPRESSION tier —
+    # not for speed (the interpreted md5 is ~2× the kernel) but for
+    # HONEST STATISTICS: a Python-UDF output column erases Catalyst's
+    # size lineage (measured: ~62 MB estimated where reality — and the
+    # expr formulation's estimate — was ~2.5 GB), slips under
+    # autoBroadcastJoinThreshold, and the planner STATICALLY broadcasts
+    # the whole reference set table into the verify join — the
+    # broadcast build blew spark.driver.maxResultSize at 100×.  With
+    # expr stats the planner shuffles ref_sets, the candidate side
+    # arrives from shuffle stages, and AQE still broadcast-converts the
+    # candidates when they are genuinely small (runtime sizes, the cp3
+    # un-hinting rule).  The ref side is also the amortized side: at
+    # 100 TB its tables persist per snapshot, where parquet gives
+    # honest stats and the kernel tier is right again.
+    _ref_set_col = (
+        fp_set_expr(text_col, k) if big_input else fp_set_best(text_col, k)
+    )
     ref_sets = ref_df.select(
-        F.col(id_col).alias("ref_id"), fp_set_expr(text_col, k).alias("__rset")
+        F.col(id_col).alias("ref_id"), _ref_set_col.alias("__rset")
     )
 
     # ONE row-local pipeline carries the fingerprint set alongside the
@@ -710,7 +803,7 @@ def cross_dedup_stream(
     # deliberately avoids.  Banding derives from the carried set
     # (fp_set_col) so the stream row is md5-hashed exactly once.
     base = new_docs.select(
-        F.col(id_col).alias("new_id"), fp_set_expr(text_col, k).alias("__nset")
+        F.col(id_col).alias("new_id"), fp_set_best(text_col, k).alias("__nset")
     )
     nb = lsh_band_buckets_rowlocal(
         base,
@@ -722,6 +815,22 @@ def cross_dedup_stream(
         carry_cols=("__nset",),
         fp_set_col="__nset",
     )
+
+    # The BUCKET join gets the same protection on the STREAM side: nb's
+    # statistics are UDF-tainted too (~62 MB estimated vs ~1.6 GB real
+    # after the ×bands explode of the carried payload), so on a big/
+    # unstatable input the planner would statically broadcast the
+    # payload-carrying stream side — same maxResultSize blow-up, and
+    # AQE cannot correct it because the stream side is map-only (no
+    # shuffle stage to re-measure).  A merge hint pins it to the
+    # sort-merge plan the honest-stats formulation picks on its own.
+    # NOT hinted on small inputs: there the broadcast is right, and the
+    # gate-scale plan stays the fast one.  (Hinting the VERIFY join to
+    # merge as well was measured and REVERTED: it forces a corpus-sized
+    # sort of ref_sets where AQE's candidate broadcast-convert is the
+    # right plan — 316 s vs ~120 s at 100×.)
+    if big_input:
+        ref_buckets = ref_buckets.hint("merge")
 
     n_inter = F.size(F.array_intersect("__nset", "__rset"))
     return (
