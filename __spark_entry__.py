@@ -2725,15 +2725,17 @@ def t16_ngram_counts(spark, sf_dir):
     consumes the table — at 100 TB the pruned vocabulary is orders of
     magnitude smaller than the raw gram stream, and partial aggregation
     means the shuffle carries per-partition counts, not occurrences.
-    Gram construction is curation's shared ``_word_ngrams`` builder
-    (the same windowing t11's decontamination uses), with empty tokens
-    filtered."""
-    from maple_spark.pipelines.curation import _word_ngrams
+    Gram construction is curation's shared ``word_ngrams_best`` builder
+    (the same windowing t11's decontamination uses — Arrow kernel tier,
+    expression fallback), with empty tokens filtered."""
+    from maple_spark.pipelines.curation import word_ngrams_best
 
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(
-            F.explode(_word_ngrams("text", 3, filter_empty=True)).alias("ngram")
+            F.explode(
+                word_ngrams_best("text", 3, filter_empty=True, df=d)
+            ).alias("ngram")
         )
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))

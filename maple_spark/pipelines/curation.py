@@ -57,11 +57,16 @@ def _top_word_count(texts):
 
 def _word_ngrams(text_col: str, n: int, filter_empty: bool = False):
     """Array of space-joined word n-grams (empty when the doc has < n
-    words).  Built with transform over index sequence — codegen'd, no
-    Python.  ``filter_empty`` drops zero-length tokens (from repeated
-    spaces) before windowing — the ONE shared gram builder for t11's
-    decontamination (raw tokens, GPT-3 style) and t16's vocabulary
-    counts (clean tokens), so the two can never drift in tokenization."""
+    words), as a Catalyst expression.  NOTE: the transform/slice/
+    array_join lambdas run INTERPRETED (Catalyst higher-order functions
+    sit outside whole-stage codegen), which round 8 measured as ~90% of
+    t11's 100× wall — bulk/exploded callers should use
+    :func:`word_ngrams_best`, which swaps in the Arrow kernel.  This
+    expression tier remains the numpy-free fallback and the oracle-side
+    semantic definition.  ``filter_empty`` drops zero-length tokens
+    (from repeated spaces) before windowing — ONE shared tokenization
+    for t11's decontamination (raw tokens, GPT-3 style) and t16's
+    vocabulary counts (clean tokens), so the two can never drift."""
     words = F.split(F.col(text_col), " ")
     if filter_empty:
         words = F.filter(words, lambda x: x != "")
@@ -72,6 +77,65 @@ def _word_ngrams(text_col: str, n: int, filter_empty: bool = False):
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_ngrams_arrow_udf(n: int, filter_empty: bool):
+    """Arrow-batched twin of :func:`_word_ngrams` — one C-speed
+    ``str.split`` + window-join per row instead of per-gram interpreted
+    ``slice``/``array_join`` lambdas (measured: the expression tier's
+    gram explode was 43-45 s of t11's 47-50 s wall at 100×).
+
+    Token semantics match ``F.split(text, " ")`` exactly: Python's
+    explicit-separator split keeps empty tokens like Java's
+    ``split(re, -1)``.  NULL text yields the empty array (the
+    expression's ``when`` falls through to ``otherwise``), sub-n docs
+    the empty array — equality-tested element-for-element."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def grams(texts):
+        def one(t):
+            if t is None or t != t:  # None or NaN → expr's otherwise([])
+                return []
+            words = t.split(" ")
+            if filter_empty:
+                words = [w for w in words if w]
+            m = len(words) - n + 1
+            if m <= 0:
+                return []
+            return [" ".join(words[i : i + n]) for i in range(m)]
+
+        return pd.Series([one(t) for t in texts])
+
+    return grams
+
+
+def word_ngrams_best(
+    text_col: str, n: int, filter_empty: bool = False, df: DataFrame | None = None
+):
+    """The word-n-gram column, fastest tier by COST, not by dogma: the
+    Arrow kernel wins 2.5-3× on corpus-scale inputs (interpreted-lambda
+    gram build was ~90% of t11's 100× wall) but loses ~15% at toy scale
+    to its fixed Python-stage cost — so when the caller passes its
+    source ``df`` and parquet metadata says the input is small, the
+    Catalyst expression keeps the job UDF-free (the same
+    size-from-metadata routing as dedup's carry_sets / join-strategy
+    routers; ≤ ``dedup.CARRY_SETS_MAX_BYTES``).  Both tiers are
+    value-identical (equality-tested).  Callers that EXPLODE grams over
+    a corpus should use this; row-local signal consumers on one scan
+    (t12) keep the expression."""
+    from maple_spark.pipelines.dedup import CARRY_SETS_MAX_BYTES, _arrow_available
+
+    if not _arrow_available():
+        return _word_ngrams(text_col, n, filter_empty)
+    if df is not None:
+        from maple_spark.pipelines.util import parquet_files_stats
+
+        stats = parquet_files_stats(df)
+        if stats is not None and stats[0] <= CARRY_SETS_MAX_BYTES:
+            return _word_ngrams(text_col, n, filter_empty)
+    return _word_ngrams_arrow_udf(n, filter_empty)(F.col(text_col))
 
 
 def decontaminate(
@@ -97,11 +161,13 @@ def decontaminate(
     same dataflow.
     """
     doc_grams = _spread(docs).select(
-        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+        F.col(id_col),
+        F.explode(word_ngrams_best(text_col, n, df=docs)).alias("gram"),
     )
     bench_grams = (
-        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
-        .distinct()
+        benchmark.select(
+            F.explode(word_ngrams_best(text_col, n, df=benchmark)).alias("gram")
+        ).distinct()
     )
     # Order matters at scale: the broadcast semi-join FILTERS FIRST (map
     # side, no shuffle of the exploded corpus), so the distinct + count
@@ -239,11 +305,13 @@ def contaminated_ids(
     into a left-anti join instead of join-backing a corpus-sized
     report."""
     doc_grams = docs.select(
-        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+        F.col(id_col),
+        F.explode(word_ngrams_best(text_col, n, df=docs)).alias("gram"),
     )
     bench_grams = (
-        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
-        .distinct()
+        benchmark.select(
+            F.explode(word_ngrams_best(text_col, n, df=benchmark)).alias("gram")
+        ).distinct()
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), on="gram", how="left_semi")
@@ -301,9 +369,9 @@ def duplicated_spans(
         _spread(docs)
         .select(
             F.col(id_col),
-            F.explode(_word_ngrams(text_col, n, filter_empty=True)).alias(
-                "gram"
-            ),
+            F.explode(
+                word_ngrams_best(text_col, n, filter_empty=True, df=docs)
+            ).alias("gram"),
         )
         .select(F.col(id_col), phash.fp60(F.col("gram")).alias("h"))
         .groupBy(id_col, "h")

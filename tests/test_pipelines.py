@@ -800,6 +800,46 @@ def test_cross_dedup_stream_unstatable_input_never_broadcasts_stream_side(
     assert "SortMergeJoin" in plan
 
 
+def test_word_ngrams_arrow_kernel_equals_expr(spark):
+    """The Python gram kernel must equal the Catalyst _word_ngrams
+    expression element-for-element (same gram ORDER) for both
+    filter_empty modes on every edge: NULL text (→ []), empty text,
+    sub-n docs, repeated spaces (empty tokens kept raw / dropped
+    filtered, exactly like F.split's keep-empty semantics), exactly-n
+    docs, and unicode."""
+    from maple_spark.pipelines.curation import (
+        _word_ngrams,
+        _word_ngrams_arrow_udf,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "a  double  spaced   text with words"),
+        (6, " leading and trailing "),
+        (7, "Ünïcode ☃ words \U0001f600 emoji tokens here now"),
+        (8, "exactly three words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n, fe in [(3, False), (3, True), (2, False), (13, False)]:
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", _word_ngrams_arrow_udf(n, fe)(F.col("text")).alias("g")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", _word_ngrams("text", n, fe).alias("g")
+            ).collect()
+        }
+        assert got == want, (n, fe)
+    assert want[1] == []  # NULL text → empty gram array in both tiers
+
+
 def test_fp_set_arrow_kernel_equals_expr(spark):
     """The Python shingle+md5 kernel must equal fp_set_expr element-for-
     element (same first-occurrence distinct ORDER, not just same set) on
