@@ -195,12 +195,86 @@ def decontaminate(
     )
 
 
+def _rep_counts_arrow_udf():
+    """All repetition-signal COUNTS in one Arrow kernel: words, distinct
+    words, distinct bigrams, top-word count — one ``str.split`` per row
+    instead of the expression tier's interpreted bigram transform plus a
+    SECOND text transfer into :func:`_top_word_count`.  Returns exact
+    integers only; the ratios and Spark-semantics ``round`` stay in
+    Catalyst, so the signal values (and the DuckDB oracle) are
+    bit-identical to the expression tier.  NULL text → NULL struct →
+    NULL signals, like the expression tier."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<nw:int,ndw:int,ndb:int,top:int>")
+    def rep_counts(texts):
+        from collections import Counter
+
+        def one(t):
+            if t is None or t != t:
+                # ndb is 0, NOT NULL: the expression tier's bigram array
+                # falls through when() to otherwise([]) on NULL text, so
+                # its distinct_bigram_ratio is 0/1 = 0.0 while the other
+                # two signals stay NULL — match that asymmetry exactly
+                return (None, None, 0, None)
+            words = t.split(" ")
+            nw = len(words)
+            # set-of-joined-pairs == set-of-tuples: words cannot contain
+            # the separator, so no join collisions
+            ndb = len(set(zip(words, words[1:]))) if nw >= 2 else 0
+            return (
+                nw,
+                len(set(words)),
+                ndb,
+                Counter(words).most_common(1)[0][1],
+            )
+
+        return pd.DataFrame(
+            [one(t) for t in texts], columns=["nw", "ndw", "ndb", "top"]
+        )
+
+    return rep_counts
+
+
 def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Column-appending form of :func:`repetition_stats`: all input
     columns plus the three signals.  Lets a multi-stage curation pipeline
     (cp2) filter on the signals in the SAME scan instead of computing a
     stats-only projection and self-joining it back — the join-back
-    pattern re-executes the upstream lineage once per consumer."""
+    pattern re-executes the upstream lineage once per consumer.
+
+    Tier routed by source metadata like :func:`word_ngrams_best`: big
+    or unstatable inputs compute the counts in ONE Arrow kernel
+    (:func:`_rep_counts_arrow_udf` — the expression tier's bigram
+    transform is an interpreted higher-order function, and the top-word
+    kernel transferred the text a second time); small parquet inputs
+    keep the expression tier.  Ratios and rounding are Catalyst in both
+    tiers — value-identical (equality-tested), oracle unchanged."""
+    from maple_spark.pipelines.dedup import CARRY_SETS_MAX_BYTES, _arrow_available
+
+    big_input = False
+    if _arrow_available():
+        from maple_spark.pipelines.util import parquet_files_stats
+
+        stats = parquet_files_stats(docs)
+        big_input = stats is None or stats[0] > CARRY_SETS_MAX_BYTES
+    if big_input:
+        c = _rep_counts_arrow_udf()(F.col(text_col))
+        n_words = c["nw"]
+        n_bigrams = F.when(c["nw"] >= 2, c["nw"] - 1).otherwise(0)
+        return docs.select(
+            "*",
+            F.round(
+                c["ndw"].cast("double") / F.greatest(n_words, F.lit(1)), 6
+            ).alias("distinct_word_ratio"),
+            F.round(
+                c["ndb"].cast("double") / F.greatest(n_bigrams, F.lit(1)), 6
+            ).alias("distinct_bigram_ratio"),
+            F.round(
+                c["top"].cast("double") / F.greatest(n_words, F.lit(1)), 6
+            ).alias("top_word_share"),
+        )
     words = F.split(F.col(text_col), " ")
     bigrams = _word_ngrams(text_col, 2)
     n_words = F.size(words)

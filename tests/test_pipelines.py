@@ -840,6 +840,68 @@ def test_word_ngrams_arrow_kernel_equals_expr(spark):
     assert want[1] == []  # NULL text → empty gram array in both tiers
 
 
+def test_repetition_counts_arrow_kernel_equals_expr(spark):
+    """The one-kernel repetition counts must yield signals bit-identical
+    to the expression tier (ratios + Spark round stay in Catalyst in
+    both): NULL text → NULL signals, empty text, one word (no bigrams →
+    ratio 0), repeated spaces, heavy repetition, unicode."""
+    from maple_spark.pipelines.curation import (
+        _rep_counts_arrow_udf,
+        with_repetition_stats,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "word"),
+        (4, "spam spam spam spam spam"),
+        (5, "a  b   c"),
+        (6, "Ünïcode ☃ tokens Ünïcode ☃ again"),
+        (7, "the quick brown fox the quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # expression tier: small statable input would route there anyway,
+    # but pin it explicitly by calling on a non-parquet df (kernel
+    # routes big_input=True) vs the raw expression formulation
+    got = {
+        r["doc_id"]: (
+            r["distinct_word_ratio"],
+            r["distinct_bigram_ratio"],
+            r["top_word_share"],
+        )
+        for r in with_repetition_stats(df).collect()  # unstatable → kernel
+    }
+    c = _rep_counts_arrow_udf()(F.col("text"))
+    words = F.split(F.col("text"), " ")
+    from maple_spark.pipelines.curation import _word_ngrams
+
+    bigrams = _word_ngrams("text", 2)
+    want = {
+        r["doc_id"]: (r["dwr"], r["dbr"], r["tws"])
+        for r in df.select(
+            "doc_id",
+            F.round(
+                F.size(F.array_distinct(words)).cast("double")
+                / F.greatest(F.size(words), F.lit(1)),
+                6,
+            ).alias("dwr"),
+            F.round(
+                F.size(F.array_distinct(bigrams)).cast("double")
+                / F.greatest(F.size(bigrams), F.lit(1)),
+                6,
+            ).alias("dbr"),
+            F.round(
+                c["top"].cast("double") / F.greatest(F.size(words), F.lit(1)),
+                6,
+            ).alias("tws"),
+        ).collect()
+    }
+    assert got == want
+    # NULL text: dwr/tws NULL, but dbr is 0.0 — the expression tier's
+    # bigram array falls through when() to otherwise([]) on NULL text
+    assert got[1] == (None, 0.0, None) and got[4][2] == 1.0
+
+
 def test_fp_set_arrow_kernel_equals_expr(spark):
     """The Python shingle+md5 kernel must equal fp_set_expr element-for-
     element (same first-occurrence distinct ORDER, not just same set) on
