@@ -221,6 +221,20 @@ def timeit(df, runs: int = 2) -> float:
     return best
 
 
+def release_session_state(spark) -> None:
+    """Broadcast relations pile up on the driver across a ~35-query
+    sweep (ContextCleaner only releases them after the referencing
+    DataFrames are GC'd), and query ~26's BroadcastExchange build then
+    fails with notEnoughMemoryToBuildAndBroadcastTableError — a harness
+    artifact, not an operator defect (the failing query passes alone).
+    Drop Python references and force both GCs between queries."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from maple_spark.session import get_spark
@@ -240,6 +254,7 @@ def main() -> None:
 
     results = {}
     for name in QUERIES:
+        release_session_state(spark)
         small = timeit(qs[name](spark, SRC), runs=3)
         big = timeit(qs[name](spark, out_dir), runs=2)
         results[name] = {
