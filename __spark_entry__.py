@@ -2871,46 +2871,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with its riskiest representative, and ROTATES each round so
     # never-driver-checked entries earn external verification: round 6
     # rotated in the hash-defined + LLM-pipeline risk surface (d6/st7/
-    # t16/a14/a15/st6/t15/sim3/t17); round 8 rotated in ten more
-    # never-checked entries (aj1/rj2/w2/q7/q9/q18/t8/sim2/sim5/
-    # dml_update) and rotated OUT ten near-duplicate siblings whose §2
-    # family keeps ≥1 externally-checked representative (p4/e1/e8/j6/
-    # a7/a8/o3/set_intersect/q5/t2 — all stay selfchecked).  Rotated-out
-    # entries live right after the window; composition is pinned by
+    # t16/a14/a15/st6/t15/sim3/t17); round 8 rotated in aj1/rj2/w2/q7/
+    # q9/q18/t8/sim2/sim5/dml_update; round 9 rotates in the ten
+    # most-expensive never-checked plans (cp1/sim4/sim1/mm1/mm2/hh1/
+    # lat1/q8/q21/pv1 — cp1 and sim4 being the two priciest plans that
+    # had never seen external verification) and rotates OUT ten
+    # r8-checked siblings whose §2 family keeps ≥1 externally-checked
+    # representative (e6/str1/j3/j5_using/j7_semi/a4/a9_rollup/t3/t6/q7
+    # — all stay selfchecked).  Rotated-out entries live right after
+    # the window; composition is pinned by
     # tests/test_contract.py::test_driver_window_composition.
     return {
         "flagship_join_topk": flagship_join_topk,
         "s1_scan_filter": s1_scan_filter,
         "p1_project_expr": p1_project_expr,
         "e3_null_compare": e3_null_compare,
-        "e6_like": e6_like,
         "e13_scalar_funcs": e13_scalar_funcs,
-        "str1_string_funcs": str1_string_funcs,
         "j2_join_inner": j2_join_inner,
-        "j3_sort_merge_join": j3_sort_merge_join,
         "j4_join_left": j4_join_left,
-        "j5_using_join": j5_using_join,
-        "j7_semi_in_subquery": j7_semi_in_subquery,
         "j7_anti_not_exists": j7_anti_not_exists,
         "e10_scalar_subquery": e10_scalar_subquery,
         "aj1_asof_join": aj1_asof_join,
         "rj2_interval_overlap": rj2_interval_overlap,
+        "lat1_lateral_topn": lat1_lateral_topn,
         "a2_groupby_q1": a2_groupby_q1,
-        "a4_count_distinct": a4_count_distinct,
         "a6_minmax_sumavg": a6_minmax_sumavg,
-        "a9_rollup": a9_rollup,
         "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
+        "hh1_heavy_hitters": hh1_heavy_hitters,
         "o1_sort_rownum": o1_sort_rownum,
         "set_union": set_union,
         "w1_window_rank": w1_window_rank,
         "w2_window_lead_movavg": w2_window_lead_movavg,
+        "pv1_pivot": pv1_pivot,
         "q3_shipping_priority": q3_shipping_priority,
-        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q21_waiting_supplier": q21_waiting_supplier,
         "t1_text_stats": t1_text_stats,
-        "t3_quality_score": t3_quality_score,
         "t8_tfidf_topterms": t8_tfidf_topterms,
         "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
@@ -2920,16 +2919,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_dedup_clusters": d5_dedup_clusters,
         "d6_cross_dedup": d6_cross_dedup,
         "t5_hash_split": t5_hash_split,
-        "t6_quota_sample": t6_quota_sample,
         "t15_weighted_sample": t15_weighted_sample,
         "t16_ngram_counts": t16_ngram_counts,
+        "sim1_cosine_topk": sim1_cosine_topk,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
+        "sim4_ivf_topk": sim4_ivf_topk,
         "sim5_semdedup": sim5_semdedup,
+        "mm1_media_features": mm1_media_features,
+        "mm2_frame_stats": mm2_frame_stats,
         "st6_hll_stream": st6_hll_stream,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         "dml_update_where": dml_update_where,
+        "cp1_corpus_pipeline": cp1_corpus_pipeline,
         # --- end of the driver-checked first-50 window ---
+        # rotated out of the window in round 9 (still selfchecked):
+        "e6_like": e6_like,
+        "str1_string_funcs": str1_string_funcs,
+        "j3_sort_merge_join": j3_sort_merge_join,
+        "j5_using_join": j5_using_join,
+        "j7_semi_in_subquery": j7_semi_in_subquery,
+        "a4_count_distinct": a4_count_distinct,
+        "a9_rollup": a9_rollup,
+        "t3_quality_score": t3_quality_score,
+        "t6_quota_sample": t6_quota_sample,
+        "q7_volume_shipping": q7_volume_shipping,
         # rotated out of the window in round 8 (still selfchecked):
         "p4_rename": p4_rename,
         "e1_arithmetic": e1_arithmetic,
@@ -2951,13 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_join_full": j4_join_full,
         "j5_natural_join": j5_natural_join,
         "set_except": set_except,
-        "cp1_corpus_pipeline": cp1_corpus_pipeline,
-        "sim1_cosine_topk": sim1_cosine_topk,
-        "sim4_ivf_topk": sim4_ivf_topk,
-        "mm1_media_features": mm1_media_features,
-        "mm2_frame_stats": mm2_frame_stats,
         "mm3_embed_stub": mm3_embed_stub,
-        "hh1_heavy_hitters": hh1_heavy_hitters,
         "enc1_encoding_report": enc1_encoding_report,
         "q2_groupwise_max": q2_groupwise_max,
         "q4_order_priority": q4_order_priority,
@@ -2992,20 +3000,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority": q12_shipmode_priority,
         "q14_promo_effect": q14_promo_effect,
         "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
-        "q8_market_share": q8_market_share,
         "q11_important_stock": q11_important_stock,
         "q16_supplier_cnt": q16_supplier_cnt,
         "q20_excess_shipments": q20_excess_shipments,
-        "q21_waiting_supplier": q21_waiting_supplier,
         "a9_cube": a9_cube,
         "a10_percentiles": a10_percentiles,
         "a9_grouping_sets": a9_grouping_sets,
-        "pv1_pivot": pv1_pivot,
         "ts1_gapfill": ts1_gapfill,
         "ts2_locf": ts2_locf,
         "st3_sliding_window": st3_sliding_window,
         "arr1_posexplode": arr1_posexplode,
-        "lat1_lateral_topn": lat1_lateral_topn,
         "a11_hll_sketch": a11_hll_sketch,
         "t7_rolling_fingerprint": t7_rolling_fingerprint,
         "str2_edit_distance": str2_edit_distance,

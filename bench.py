@@ -104,14 +104,30 @@ def main() -> None:
     # background load that min-of-3 did not filter — unchanged queries
     # drifted 1.3-1.6× between runs; min-of-5 recovers the floor).
     #
-    # Every DataFrame is kept referenced until exit: releasing one lets the
-    # ContextCleaner unregister its SQL-metric accumulators, and a straggler
-    # task-end event arriving after job completion then logs a spurious
-    # "ERROR DAGScheduler: Failed to update accumulator" — harmless but
-    # noisy.  Holding the (tiny) plan objects closes that race.
-    keep_alive = []
+    # During a query's runs every DataFrame is kept referenced: releasing
+    # one lets the ContextCleaner unregister its SQL-metric accumulators,
+    # and a straggler task-end event arriving after job completion then
+    # logs a spurious "ERROR DAGScheduler: Failed to update accumulator"
+    # — harmless but noisy.  BETWEEN queries the references are dropped
+    # and both GCs forced (the scale100 sweep's release_session_state):
+    # broadcast relations otherwise accumulate on the driver across the
+    # 27-query session (ContextCleaner frees them only after the
+    # referencing DataFrames are GC'd — a 100× sweep OOM'd at query ~26
+    # from exactly this), so late-sequence timings inherited whatever
+    # the first 20 queries left resident while the bench makes 10%-level
+    # cross-round claims.  The release runs OUTSIDE the timed region; by
+    # then the query's jobs have completed, so the accumulator race is
+    # closed.
+    def release_session_state() -> None:
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        keep_alive = []
         df = qs[name](spark, SF_DIR)
         keep_alive.append(df)
         df.write.format("noop").mode("overwrite").save()
@@ -125,6 +141,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        del keep_alive, df
+        release_session_state()
 
     total = round(sum(timings.values()), 3)
     try:
@@ -138,7 +156,8 @@ def main() -> None:
     # value is the steadiest available floor.  drift > 1.3 flags a query
     # for a closer look; it is a tripwire, not a verdict.
     best_prior: dict[str, float] = {}
-    prior_loads: dict[str, float] = {}
+    floor_src: dict[str, str] = {}  # query -> file that holds its floor
+    all_loads: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
 
@@ -153,15 +172,26 @@ def main() -> None:
         prior = rec.get("parsed") or {}
         if prior.get("sf") != sf:
             continue  # only like-for-like scale factors compare
+        base = os.path.basename(path)
         if isinstance(prior.get("load_avg_1m"), (int, float)):
-            prior_loads[os.path.basename(path)] = prior["load_avg_1m"]
+            all_loads[base] = prior["load_avg_1m"]
         for q, t in (prior.get("queries") or {}).items():
             if isinstance(t, (int, float)) and t > 0:
-                best_prior[q] = min(best_prior.get(q, t), t)
+                if q not in best_prior or t < best_prior[q]:
+                    best_prior[q] = t
+                    floor_src[q] = base
     drift = {
         q: round(t / best_prior[q], 2)
         for q, t in timings.items()
         if q in best_prior
+    }
+    # only loads from files that actually SET a comparison floor — a
+    # prior run whose every time was beaten contributes no floor, so
+    # its load cannot confound any drift flag (ADVICE r8)
+    prior_loads = {
+        base: all_loads[base]
+        for base in sorted(set(floor_src.values()))
+        if base in all_loads
     }
     print(
         json.dumps(

@@ -376,11 +376,19 @@ def minhash_lsh_pairs(
     sets — a cost-based physical choice (value-identical either way,
     equality-tested in scripts/d3_fused_experiment.py):
 
-    - ``True`` ("fused"): ONE per-doc groupBy computes signature mins AND
-      ``collect_set(fp60)``; banding and both verifier set joins read the
-      SAME exchange (AQE stage reuse), eliminating the verify path's
-      semi-join + second md5 pass + candidate collect_set shuffle — ~0.7 s
-      of fixed stage overhead at sf0.1 (2.13 s → 1.43 s min-of-5).
+    - ``True`` ("fused"): ONE per-doc groupBy (in the LOGICAL plan)
+      computes signature mins AND ``collect_set(fp60)``, eliminating the
+      verify path's semi-join + second md5 pass + candidate collect_set
+      shuffle — ~0.7 s of fixed stage overhead at sf0.1 (2.13 s → 1.43 s
+      min-of-5).  PHYSICALLY the agg still executes per consumer (the
+      band branch prunes ``__set``, so its partial-agg exchange differs
+      from the set consumers' — the multi-consumer trap; verified:
+      0 ReusedExchange, 3 scans), which is exactly why the
+      ``CARRY_SETS_MAX_BYTES`` routing cap exists: below 32 MiB the
+      re-executed map-side agg costs less than the split path's extra
+      stages (an eager ``persist`` of per_doc was A/B'd at sf0.1 and
+      does NOT win: 1.95 s vs 1.99 s min-of-3, plus a 5.8 s first-run
+      cache-population penalty).
     - ``False`` ("split"): banding shuffles 64 fixed-width mins per doc,
       and only CANDIDATE docs are re-scanned and set-aggregated
       (:func:`verify_jaccard`) — at 100 TB with a few % candidates this
@@ -557,12 +565,25 @@ def _band_buckets_arrow_udf(num_perm: int, bands: int):
     def _to_u64(a):
         """NULL-element-safe uint64 view of one fingerprint array: a NULL
         text's shingle array is [NULL] (one null ELEMENT, surfaced by
-        Arrow as NaN), and the SQL tier's ``array_min`` SKIPS null
-        elements — so drop them here too before the min."""
+        Arrow as NaN/None), and the SQL tier's ``array_min`` SKIPS null
+        elements — so drop them here too before the min.  Nulls are
+        dropped WITHOUT a float64 round-trip: fp60 values reach 2^60 but
+        float64 carries a 53-bit mantissa, so casting a mixed
+        (null + value) object array through float would silently corrupt
+        fingerprints into wrong buckets."""
         v = np.asarray(a)
-        if v.dtype.kind not in "iu":
-            v = v.astype(np.float64)
-            v = v[~np.isnan(v)]
+        if v.dtype.kind in "iu":
+            return v.astype(np.uint64)
+        if v.dtype.kind == "O":
+            return np.fromiter(
+                (x for x in a if x is not None and x == x), dtype=np.uint64
+            )
+        # genuinely-float input (Arrow surfaced an all-null or
+        # null-padded numeric array as float64): every non-NaN value in
+        # a float array was already mantissa-limited upstream, but
+        # assert the exactness invariant rather than assume it
+        v = v[~np.isnan(v)]
+        assert (v < 2**53).all(), "float-typed fp array would lose bits"
         return v.astype(np.uint64)
 
     @pandas_udf("array<bigint>")
@@ -703,15 +724,83 @@ def lsh_band_buckets_rowlocal(
     ).select(id_col, *carry_cols, "bb.band", "bb.bucket")
 
 
+def build_reference_snapshot(
+    ref_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+) -> None:
+    """Persist the reference corpus's derived tables — LSH band buckets
+    and per-doc fingerprint sets — as parquet under ``path``, so that
+    :func:`cross_dedup_stream` (and batch :func:`cross_dedup_pairs`
+    consumers) can guard MANY ingest increments against ONE snapshot
+    without re-scanning the reference corpus each time.  This is the
+    API that makes the 100 TB amortization claim executable: reference
+    prep (the dominant fixed cost — ~55 s of the 100× st7 wall) runs
+    once per snapshot; each increment pays only its own map work + two
+    equi-joins against these tables.
+
+    Layout: ``{path}/buckets.parquet`` (ref_id, band, bucket),
+    ``{path}/fp_sets.parquet`` (ref_id, __rset), and a one-row
+    ``{path}/meta.parquet`` pinning (num_perm, bands, k) — loading with
+    mismatched parameters is a silent-wrong-answer factory, so
+    :func:`load_reference_snapshot` fails loudly on mismatch.
+
+    Both builds use the fastest tier unconditionally (Arrow kernel when
+    available): a parquet WRITE is map-only — no join planning reads
+    the UDF-erased in-flight statistics, and every downstream consumer
+    plans against the written files' honest parquet metadata."""
+    spark = ref_df.sparkSession
+    lsh_band_buckets(ref_df, id_col, text_col, num_perm, bands, k).select(
+        F.col(id_col).alias("ref_id"), "band", "bucket"
+    ).write.mode("overwrite").parquet(f"{path}/buckets.parquet")
+    ref_df.select(
+        F.col(id_col).alias("ref_id"),
+        fp_set_best(text_col, k).alias("__rset"),
+    ).write.mode("overwrite").parquet(f"{path}/fp_sets.parquet")
+    spark.createDataFrame(
+        [(int(num_perm), int(bands), int(k))], "num_perm int, bands int, k int"
+    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+
+def load_reference_snapshot(
+    spark,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(buckets, fp_sets) from :func:`build_reference_snapshot` output,
+    after verifying the snapshot was built with the SAME (num_perm,
+    bands, k) the caller is about to band the stream side with — a
+    mismatch can only produce silently-empty or wrong candidate sets."""
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    got = (meta["num_perm"], meta["bands"], meta["k"])
+    want = (num_perm, bands, k)
+    if got != want:
+        raise ValueError(
+            f"reference snapshot {path} was built with "
+            f"(num_perm, bands, k)={got}, caller wants {want}"
+        )
+    return (
+        spark.read.parquet(f"{path}/buckets.parquet"),
+        spark.read.parquet(f"{path}/fp_sets.parquet"),
+    )
+
+
 def cross_dedup_stream(
     new_docs: DataFrame,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     id_col: str,
     text_col: str,
     num_perm: int = 64,
     bands: int = 16,
     k: int = 8,
     jaccard_threshold: float = 0.7,
+    reference_snapshot: str | None = None,
 ) -> DataFrame:
     """The STREAMING ingest-guard form of :func:`cross_dedup_pairs`:
     ``new_docs`` may be an unbounded stream; each arriving document is
@@ -746,11 +835,17 @@ def cross_dedup_stream(
     pair carries the same sets, hence the same jaccard.
 
     100 TB shape: the reference tables (buckets + fingerprint sets) are
-    plain DataFrames computed once per reference snapshot and persisted;
-    per micro-batch cost is the new rows' map work + two equi-joins
-    against them.  Jaccard here intersects 60-bit fingerprint sets
-    rather than string shingle sets — equal up to md5 collisions
-    (p ≈ |set|²/2^60 per pair)."""
+    computed once per reference snapshot and persisted —
+    ``reference_snapshot`` makes that executable: pass a path written by
+    :func:`build_reference_snapshot` (``ref_df`` may then be ``None``)
+    and the guard reads the two parquet tables instead of re-deriving
+    them, so per micro-batch cost is the new rows' map work + two
+    equi-joins (measured at 100×: prep excluded cuts the per-increment
+    wall by the ~55 s reference-prep share; see SCALE.md round 9).
+    Snapshot tables also carry honest parquet statistics, so no
+    UDF-stats tier routing is needed on the ref side at all.  Jaccard
+    here intersects 60-bit fingerprint sets rather than string shingle
+    sets — equal up to md5 collisions (p ≈ |set|²/2^60 per pair)."""
     # ref_sets stays the ROW-LOCAL (zero-exchange) set build, and that
     # is a measured 100× decision, not an accident
     # (scripts/st7_refprep_ab.py, interleaved min-of-N): at sf0.1 the
@@ -766,23 +861,44 @@ def cross_dedup_stream(
     # cost is a constant factor; a corpus-sized shuffle is not.
     from maple_spark.pipelines.util import parquet_files_stats
 
-    _stats = parquet_files_stats(new_docs)
-    big_input = _stats is None or _stats[0] > CARRY_SETS_MAX_BYTES
+    _new_stats = parquet_files_stats(new_docs)
+    big_stream = _new_stats is None or _new_stats[0] > CARRY_SETS_MAX_BYTES
+
+    if reference_snapshot is not None:
+        # Amortized path: both ref tables come from parquet written by
+        # build_reference_snapshot — honest file statistics, no tier
+        # routing needed, no reference re-scan per increment.
+        ref_buckets, ref_sets = load_reference_snapshot(
+            new_docs.sparkSession, reference_snapshot, num_perm, bands, k
+        )
+        if big_stream:
+            ref_buckets = ref_buckets.hint("merge")
+        return _cross_dedup_stream_joins(
+            new_docs, ref_buckets, ref_sets, id_col, text_col,
+            num_perm, bands, k, jaccard_threshold,
+        )
+
+    _ref_stats = parquet_files_stats(ref_df)
+    big_ref = _ref_stats is None or _ref_stats[0] > CARRY_SETS_MAX_BYTES
 
     ref_buckets = lsh_band_buckets(
         ref_df, id_col, text_col, num_perm, bands, k
     ).select(F.col(id_col).alias("ref_id"), "band", "bucket")
-    # Set-build tier routed by SOURCE metadata (the carry_sets pattern):
-    # small/statable inputs take the Arrow fp_set kernel on BOTH sides
-    # (fastest map, and broadcasts at that size are right anyway); big
-    # or UNSTATABLE inputs keep the ref side on the EXPRESSION tier —
-    # not for speed (the interpreted md5 is ~2× the kernel) but for
-    # HONEST STATISTICS: a Python-UDF output column erases Catalyst's
-    # size lineage (measured: ~62 MB estimated where reality — and the
-    # expr formulation's estimate — was ~2.5 GB), slips under
-    # autoBroadcastJoinThreshold, and the planner STATICALLY broadcasts
-    # the whole reference set table into the verify join — the
-    # broadcast build blew spark.driver.maxResultSize at 100×.  With
+    # Set-build tier routed by SOURCE metadata (the carry_sets pattern),
+    # and EACH SIDE routes off ITS OWN source: a small statable side
+    # takes the Arrow fp_set kernel (fastest map, and broadcasts at
+    # that size are right anyway); a big or UNSTATABLE side keeps the
+    # EXPRESSION tier — not for speed (the interpreted md5 is ~2× the
+    # kernel) but for HONEST STATISTICS: a Python-UDF output column
+    # erases Catalyst's size lineage (measured: ~62 MB estimated where
+    # reality — and the expr formulation's estimate — was ~2.5 GB),
+    # slips under autoBroadcastJoinThreshold, and the planner STATICALLY
+    # broadcasts the whole reference set table into the verify join —
+    # the broadcast build blew spark.driver.maxResultSize at 100×.
+    # Routing the ref tier off new_docs stats would re-open exactly that
+    # hole in the ADVERTISED production shape (small statable ingest
+    # batch × huge reference corpus): big_stream=False would put the
+    # kernel on corpus-sized ref_sets and static-broadcast it.  With
     # expr stats the planner shuffles ref_sets, the candidate side
     # arrives from shuffle stages, and AQE still broadcast-converts the
     # candidates when they are genuinely small (runtime sizes, the cp3
@@ -790,12 +906,50 @@ def cross_dedup_stream(
     # 100 TB its tables persist per snapshot, where parquet gives
     # honest stats and the kernel tier is right again.
     _ref_set_col = (
-        fp_set_expr(text_col, k) if big_input else fp_set_best(text_col, k)
+        fp_set_expr(text_col, k) if big_ref else fp_set_best(text_col, k)
     )
     ref_sets = ref_df.select(
         F.col(id_col).alias("ref_id"), _ref_set_col.alias("__rset")
     )
 
+    # The BUCKET join gets the same protection on the STREAM side
+    # (routed off the STREAM source's stats): nb's statistics are
+    # UDF-tainted too (~62 MB estimated vs ~1.6 GB real after the
+    # ×bands explode of the carried payload), so on a big/unstatable
+    # stream input the planner would statically broadcast the
+    # payload-carrying stream side — same maxResultSize blow-up, and
+    # AQE cannot correct it because the stream side is map-only (no
+    # shuffle stage to re-measure).  A merge hint pins it to the
+    # sort-merge plan the honest-stats formulation picks on its own.
+    # NOT hinted on small stream inputs: there the broadcast is right,
+    # and the gate-scale plan stays the fast one.  (Hinting the VERIFY
+    # join to merge as well was measured and REVERTED: it forces a
+    # corpus-sized sort of ref_sets where AQE's candidate
+    # broadcast-convert is the right plan — 316 s vs ~120 s at 100×.)
+    if big_stream:
+        ref_buckets = ref_buckets.hint("merge")
+
+    return _cross_dedup_stream_joins(
+        new_docs, ref_buckets, ref_sets, id_col, text_col,
+        num_perm, bands, k, jaccard_threshold,
+    )
+
+
+def _cross_dedup_stream_joins(
+    new_docs: DataFrame,
+    ref_buckets: DataFrame,
+    ref_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """The stream-side dataflow of :func:`cross_dedup_stream`, shared by
+    the inline and snapshot-loading reference paths: row-local banding
+    with the fingerprint set carried in-row, bucket equi-join,
+    candidate-pair dedup, set join + exact jaccard."""
     # ONE row-local pipeline carries the fingerprint set alongside the
     # bucket rows (the set rides the explode ×bands — fixed-width, never
     # text): joining buckets back to the source for the set would be a
@@ -815,23 +969,6 @@ def cross_dedup_stream(
         carry_cols=("__nset",),
         fp_set_col="__nset",
     )
-
-    # The BUCKET join gets the same protection on the STREAM side: nb's
-    # statistics are UDF-tainted too (~62 MB estimated vs ~1.6 GB real
-    # after the ×bands explode of the carried payload), so on a big/
-    # unstatable input the planner would statically broadcast the
-    # payload-carrying stream side — same maxResultSize blow-up, and
-    # AQE cannot correct it because the stream side is map-only (no
-    # shuffle stage to re-measure).  A merge hint pins it to the
-    # sort-merge plan the honest-stats formulation picks on its own.
-    # NOT hinted on small inputs: there the broadcast is right, and the
-    # gate-scale plan stays the fast one.  (Hinting the VERIFY join to
-    # merge as well was measured and REVERTED: it forces a corpus-sized
-    # sort of ref_sets where AQE's candidate broadcast-convert is the
-    # right plan — 316 s vs ~120 s at 100×.)
-    if big_input:
-        ref_buckets = ref_buckets.hint("merge")
-
     n_inter = F.size(F.array_intersect("__nset", "__rset"))
     return (
         nb.join(ref_buckets, ["band", "bucket"])

@@ -1,20 +1,26 @@
-"""Drift-flag adjudication (VERDICT r7 task 4, carried from r6 task 5).
+"""Drift-flag adjudication (VERDICT r7 task 4 / r8 task 2).
 
-BENCH_r07 flagged 7 queries >1.3x their best-prior floor (worst
-s1_scan_filter 1.54x) on a round whose code diff could not touch them —
-static bisect (git diff r6-end..r7-end) shows every flagged query's code
-byte-identical between rounds: __spark_entry__.py's r7 diff touches only
-cp3, dedup.py's only the d2 gram tier, and textstats/similarity were not
-modified at all.  A code-caused regression is therefore impossible; the
-open question is only the size of the same-code noise band.
+BENCH_r07 flagged 7 queries >1.3x their best-prior floor on a round
+whose code diff could not touch them — static bisect showed every
+flagged query's code byte-identical between rounds, and this script's
+r7 run measured a same-code pass-to-pass band up to 1.53x within ONE
+session, confirming host noise.
 
-This script measures that band directly: each flagged query runs
-min-of-5 in TWO interleaved passes within ONE session (pass structure
-q1..q7, q1..q7 — so slow host phases hit both passes), reporting the
-pass-to-pass ratio per query plus load_avg brackets.  A pass ratio band
-comparable to the cross-round drift flags (1.3-1.5x) confirms the flags
-are host noise, closing the loop the bench's prior_loads_1m field now
-documents per-round.
+BENCH_r08 raised 14 new flags (worst s1_scan_filter 1.70x, a pure
+untouched scan) on a load_avg-5.3 run vs a 4.2 floor round.  Three of
+them (t11/cp2/cp3) had a CANDIDATE code cause — "unstatable
+intermediate routes the Arrow kernel in at sf0.1" — which round 9
+refuted at the plan level before running this A/B: all three plans
+carry ZERO ArrowEvalPython/BatchEvalPython nodes at sf0.1
+(DataFrame.inputFiles() resolves file sources through joins and
+column appends, so with_repetition_stats(clean) sees the 584 KB
+parquet and keeps the expression tier).  With the code cause
+eliminated, the r8 flag set is adjudicated the same way as r7's:
+measure the same-code pass-to-pass band, interleaved, one session.
+
+Pass structure q1..qN, q1..qN (so slow host phases hit both passes),
+min-of-5 per query per pass; a pass ratio band comparable to the
+cross-round drift flags (1.3-1.7x) confirms the flags are host noise.
 
 Run: python scripts/drift_ab.py [sf_dir]  → one JSON line.
 """
@@ -28,14 +34,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: BENCH_r08 drift_flags (r7's seven are a subset of the union; the r8
+#: set supersedes it as the open adjudication)
 FLAGGED = [
     "s1_scan_filter",
     "a4_count_distinct",
+    "q5_local_supplier",
     "q6_forecast_revenue",
     "flagship_join_topk",
-    "d3_minhash_lsh",
     "sim1_cosine_topk",
+    "sim4_ivf_topk",
+    "sim5_semdedup",
+    "st1_hourly_agg",
     "t1_text_stats",
+    "t11_decontaminate",
+    "ts1_gapfill",
+    "cp1_corpus_pipeline",
+    "cp2_curation_pipeline",
 ]
 
 

@@ -35,11 +35,14 @@ def test_driver_window_composition():
     hash-defined + LLM-pipeline additions) INTO that window; round 8
     rotated in ten never-driver-checked entries (as-of/interval joins,
     analytic windows, 6-way TPC-H shapes, tf-idf, embedding near-dup,
-    SemDeDup, DML) for ten near-duplicate siblings.  Pin the
-    composition so a refactor can't silently evict an externally-checked
-    operator."""
+    SemDeDup, DML); round 9 rotated in the ten most-expensive
+    never-checked plans (both capstone/ANN heavyweights cp1 + sim4,
+    brute-force cosine, both multimodal decode kernels, heavy hitters,
+    lateral top-n, the two deepest TPC-H DP-join shapes q8/q21, pivot)
+    for ten r8-checked siblings.  Pin the composition so a refactor
+    can't silently evict an externally-checked operator."""
     window = list(e.queries())[:50]
-    # the rotated-in risk surface (VERDICT r5 task 1 + VERDICT r7 task 1)
+    # the rotated-in risk surface (VERDICT r5/r7/r8 task 1)
     for name in (
         "d6_cross_dedup",
         "st7_cross_dedup_stream",
@@ -52,17 +55,28 @@ def test_driver_window_composition():
         # round 6 addition: exact duplicated-span detection (newest op,
         # swapped in for the trivial t4 md5 map)
         "t17_dup_spans",
-        # round 8 rotation: never-driver-checked entries in
+        # round 8 rotation: kept in-window where no sibling covers the
+        # family's extension surface
         "aj1_asof_join",
         "rj2_interval_overlap",
         "w2_window_lead_movavg",
-        "q7_volume_shipping",
         "q9_product_profit",
         "q18_large_volume_customer",
         "t8_tfidf_topterms",
         "sim2_embedding_near_dup",
         "sim5_semdedup",
         "dml_update_where",
+        # round 9 rotation: never-driver-checked entries in
+        "cp1_corpus_pipeline",
+        "sim4_ivf_topk",
+        "sim1_cosine_topk",
+        "mm1_media_features",
+        "mm2_frame_stats",
+        "hh1_heavy_hitters",
+        "lat1_lateral_topn",
+        "q8_market_share",
+        "q21_waiting_supplier",
+        "pv1_pivot",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family

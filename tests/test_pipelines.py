@@ -800,6 +800,82 @@ def test_cross_dedup_stream_unstatable_input_never_broadcasts_stream_side(
     assert "SortMergeJoin" in plan
 
 
+def test_cross_dedup_stream_routes_ref_tier_off_ref_stats(spark, tmp_path):
+    """The ADVERTISED production shape is a small statable ingest batch
+    against a HUGE reference corpus.  Each side must route its
+    fingerprint-set tier off ITS OWN source stats: if the ref tier were
+    routed off new_docs stats (a real round-8 regression), a small
+    statable batch would put the Arrow kernel on corpus-sized ref_sets,
+    the UDF column would erase Catalyst's size estimate (~62 MB where
+    reality is GBs), and the planner would statically broadcast the
+    whole reference set table into the verify join.  Pin: with a small
+    STATABLE parquet batch and an UNSTATABLE ref, the plan carries
+    strictly fewer Python-eval nodes than the both-small-parquet plan
+    (the ref side dropped to the expression tier), and output values
+    are identical either way."""
+    from maple_spark.pipelines.dedup import cross_dedup_stream
+
+    rows = [(i, f"document number {i} with some shared text body") for i in range(20)]
+    newp = str(tmp_path / "new.parquet")
+    refp = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(rows[:10], "doc_id long, text string").write.parquet(newp)
+    spark.createDataFrame(rows[10:], "doc_id long, text string").write.parquet(refp)
+    new_small = spark.read.parquet(newp)
+    ref_small = spark.read.parquet(refp)
+    ref_unstatable = spark.createDataFrame(rows[10:], "doc_id long, text string")
+
+    def n_py_eval(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+
+    prod = cross_dedup_stream(
+        new_small, ref_unstatable, "doc_id", "text", jaccard_threshold=0.9
+    )
+    both_small = cross_dedup_stream(
+        new_small, ref_small, "doc_id", "text", jaccard_threshold=0.9
+    )
+    assert n_py_eval(prod) < n_py_eval(both_small)
+    assert sorted(map(tuple, prod.collect())) == sorted(
+        map(tuple, both_small.collect())
+    )
+
+
+def test_cross_dedup_stream_from_reference_snapshot(spark, tmp_path):
+    """The amortization API: build_reference_snapshot persists the
+    bucket + fingerprint-set tables once; cross_dedup_stream(...,
+    reference_snapshot=path) must then produce IDENTICAL output with
+    the reference corpus absent (ref_df=None), and must fail loudly
+    when the caller's (num_perm, bands, k) differ from the snapshot's."""
+    import pytest
+
+    from maple_spark.pipelines.dedup import (
+        build_reference_snapshot,
+        cross_dedup_stream,
+    )
+
+    sf = SF_DIR
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    snap = str(tmp_path / "ref_snapshot")
+    build_reference_snapshot(ref, snap, "doc_id", "text")
+
+    inline = cross_dedup_stream(new, ref, "doc_id", "text", jaccard_threshold=0.2)
+    from_snap = cross_dedup_stream(
+        new, None, "doc_id", "text",
+        jaccard_threshold=0.2, reference_snapshot=snap,
+    )
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, from_snap.collect()))
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match="num_perm"):
+        cross_dedup_stream(
+            new, None, "doc_id", "text",
+            bands=8, reference_snapshot=snap,
+        )
+
+
 def test_word_ngrams_arrow_kernel_equals_expr(spark):
     """The Python gram kernel must equal the Catalyst _word_ngrams
     expression element-for-element (same gram ORDER) for both
