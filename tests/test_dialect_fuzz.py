@@ -218,12 +218,14 @@ SELECTS_PER_SEED = 40
 
 @pytest.mark.parametrize("seed", range(SELECT_SEEDS))
 def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
-    """Reference-grammar SELECT fidelity fuzz (VERDICT r5 watch item):
-    randomized SELECTs — mixed-case keywords, ragged whitespace, nested
-    boolean predicates, BETWEEN/IN/LIKE, CASE projections, optional
+    """Reference-grammar SELECT fidelity fuzz (VERDICT r5 watch item;
+    grammar grown r9 per VERDICT r8 task 7): randomized SELECTs —
+    mixed-case keywords, ragged whitespace, nested boolean predicates,
+    BETWEEN/IN/LIKE, IS [NOT] NULL over genuine NULLs (nullif), CASE
+    projections, NATURAL / USING joins against a second store, optional
     GROUP BY/HAVING — routed through ``MapleEngine.execute_script``
     (the dialect front-end) and replayed on a DuckDB twin of the same
-    store.  Results compare as sorted row multisets (no ORDER BY in the
+    stores.  Results compare as sorted row multisets (no ORDER BY in the
     generated grammar, so tie order cannot diverge); any routing slip
     or semantic mismatch in the shared SQL surface fails byte-exactly.
 
@@ -241,9 +243,20 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
     engine.execute_script(
         f"CREATE STORE states FROM '{csv}' (id int, name varchar(200), val double)"
     )
+    # second store sharing ONLY the join column name `id` (so NATURAL
+    # JOIN means USING (id) in both engines) and covering a strict
+    # subset of ids — inner joins genuinely drop rows
+    tags_csv = tmp_path / f"tags{seed}.csv"
+    tags_data = [(i, f"tag{i % 3}") for i in range(1, 41, 2)]
+    tags_csv.write_text("".join(f"{i},{t}\n" for i, t in tags_data))
+    engine.execute_script(
+        f"CREATE STORE tags FROM '{tags_csv}' (id int, tag varchar(50))"
+    )
     con = duckdb.connect()
     con.execute("CREATE TABLE states (id INTEGER, name VARCHAR, val DOUBLE)")
     con.executemany("INSERT INTO states VALUES (?, ?, ?)", rows_data)
+    con.execute("CREATE TABLE tags (id INTEGER, tag VARCHAR)")
+    con.executemany("INSERT INTO tags VALUES (?, ?)", tags_data)
 
     def pred(depth=0):
         choices = [
@@ -252,6 +265,10 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
             lambda: f"id {_mixed_case(rnd, 'IN')} ({', '.join(str(rnd.randint(0, 45)) for _ in range(rnd.randint(1, 4)))})",
             lambda: f"name {_mixed_case(rnd, 'LIKE')} 'name{rnd.randint(0, 9)}%'",
             lambda: f"{_mixed_case(rnd, 'NOT')} (id = {rnd.randint(0, 45)})",
+            # IS [NOT] NULL over a genuine NULL (nullif is identical in
+            # both engines) — E11 through the front-end
+            lambda: f"nullif(name, 'name{rnd.randint(0, 6)}')"
+                    f" {_mixed_case(rnd, rnd.choice(['IS NULL', 'IS NOT NULL']))}",
         ]
         p = rnd.choice(choices)()
         if depth < 2 and rnd.random() < 0.4:
@@ -260,9 +277,37 @@ def test_dialect_select_fuzz_vs_duckdb(engine, tmp_path, seed):
         return p
 
     def run_one():
-        grouped = rnd.random() < 0.3
+        joined = rnd.random() < 0.25
+        grouped = not joined and rnd.random() < 0.3
         distinct_q = False
-        if grouped:
+        if joined:
+            # J5 through the front-end: NATURAL JOIN / JOIN..USING against
+            # the second store; the shared column is exactly `id`, so the
+            # two spellings are equivalent — which one is generated is
+            # random, and predicates stay on unambiguous columns
+            how = rnd.choice(["natural", "using"])
+            projs = rnd.sample(
+                ["id", "name", "val", "tag", "upper(tag) AS ut",
+                 "id * 2 AS dbl"],
+                rnd.randint(1, 3),
+            )
+            if how == "natural":
+                join_sql = (
+                    f"{_mixed_case(rnd, 'FROM')} states"
+                    f"{_ws(rnd)}{_mixed_case(rnd, 'NATURAL JOIN')}{_ws(rnd)}tags"
+                )
+            else:
+                join_sql = (
+                    f"{_mixed_case(rnd, 'FROM')} states"
+                    f"{_ws(rnd)}{_mixed_case(rnd, 'JOIN')}{_ws(rnd)}tags"
+                    f"{_ws(rnd)}{_mixed_case(rnd, 'USING')} (id)"
+                )
+            sql = (
+                f"{_mixed_case(rnd, 'SELECT')}{_ws(rnd)}{', '.join(projs)}"
+                f"{_ws(rnd)}{join_sql}"
+                f"{_ws(rnd)}{_mixed_case(rnd, 'WHERE')} {pred()}"
+            )
+        elif grouped:
             aggs = rnd.sample(
                 [
                     "COUNT(*) AS c",

@@ -199,11 +199,54 @@ def test_multimodal_frame_sampling(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
-    from maple_spark.pipelines.multimodal import documents_as_media, extract_features
+    """With no codec importable, decode_stub=False must FAIL, never fall
+    back to stub features (stub and decoded features are not
+    comparable)."""
+    from maple_spark.pipelines.multimodal import (
+        codecs_available,
+        documents_as_media,
+        extract_features,
+    )
 
+    if codecs_available()["image"]:
+        pytest.skip("image codec present: the real branch decodes instead")
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_features(documents_as_media(docs), decode_stub=False).collect()
+
+
+#: 1x1 red-pixel PNG, hand-assembled (no codec needed to EMIT it; PIL
+#: needed to DECODE it) — lets the codec-present branch run end-to-end
+#: on any CI host with PIL installed, against this container's same code.
+_TINY_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+    "53de0000000c4944415408d763f8cfc000000301010018dd8db00000000049"
+    "454e44ae426082"
+)
+
+
+def test_multimodal_real_decode_with_codec(spark):
+    """Codec-present CI path (VERDICT r8 task 6): when PIL imports, the
+    real image branch must decode an actual PNG through the same
+    mapInPandas plumbing and produce content-derived features (1×1 red
+    pixel → RGB byte sum 255).  Skipped where the codec is absent —
+    the gate is codecs_available(), the same one the kernel uses."""
+    from maple_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        codecs_available,
+        extract_features,
+    )
+
+    if not codecs_available()["image"]:
+        pytest.skip("image codec (PIL) not installed in this environment")
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(_TINY_PNG), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decode_stub=False).collect()[0]
+    assert row["n_bytes"] == len(_TINY_PNG)
+    assert row["feat_hash"] == 255 + 0 + 0  # decoded RGB byte sum
+    assert row["n_frames"] == 1
 
 
 def test_encoding_analyzer_mirrors_file_analyzer(spark):
