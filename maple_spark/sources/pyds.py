@@ -5,8 +5,11 @@ Reference analog: the reference's only sources are CSV loads
 adds the Spark-4 Python DataSource surface — the extension point a user
 reaches for when the data ISN'T files: service backfills, load tests,
 synthetic corpora, or custom protocols.  One class gives both the batch
-reader and a streaming reader (the Kafka-shaped contract: offsets,
-``partitions(start, end)``, ``commit``).
+reader (partition-parallel) and a streaming reader (offset cursor +
+exact range replay + ``commit`` — via ``SimpleDataSourceStreamReader``,
+the API where the engine OWNS the cursor; see _StreamReader's docstring
+for the measured duplicate-replay bug that rules out reader-local
+cursor state in the full API).
 
 Scale design: every partition generates its slice independently from
 (seed, row-id) arithmetic — no driver-side data, no RNG state to
@@ -25,8 +28,8 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA = (
@@ -83,42 +86,60 @@ class _BatchReader(DataSourceReader):
             yield _row(self.seed, gid, self.n_users)
 
 
-class _StreamReader(DataSourceStreamReader):
+class _StreamReader(SimpleDataSourceStreamReader):
     """Offsets are row counts; each micro-batch serves the next
     ``rows_per_batch`` ids.  Because rows derive from (seed, id), any
     replayed (start, end) range regenerates identical rows — the property
-    checkpoint recovery needs from a source."""
+    checkpoint recovery needs from a source.
+
+    WHY the Simple reader API (bug found by
+    test_python_datasource_stream_checkpoint_recovery): the first
+    implementation was a full ``DataSourceStreamReader`` that rate-limited
+    by ADVANCING a reader-local cursor in ``latestOffset``.  A restarted
+    query builds a FRESH reader (cursor 0) while the checkpoint's offset
+    log is already at N; ``latestOffset`` then returns a BACKWARDS offset,
+    Spark does not order-check Python-source offsets (opaque dicts), logs
+    the backwards batch, and every already-served row between the new
+    cursor and N is replayed — measured: a 300-row stream stopped at 240
+    re-emitted rows 60-239 as duplicates.  And the full API has NO hook
+    that hands the recovered position to a fresh reader before its first
+    ``latestOffset`` (the runner only ever calls initialOffset /
+    latestOffset / partitions / commit — ``deserializeOffset`` is never
+    invoked; offsets travel as raw JSON), so reader-local rate-limit
+    state is UNRECOVERABLE there by construction.  This API is the one
+    built for cursor-from-engine sources: Spark passes the recovered
+    offset INTO ``read(start)``, the next offset derives from it, and a
+    restart cannot go backwards.  Trade-off, documented: the wrapper
+    prefetches each micro-batch on the driver — bounded by
+    ``rows_per_batch``, the right cost model for a rate-limited control
+    stream (replay of committed ranges runs ``readBetweenOffsets`` on
+    executors; bulk generation at scale is the BATCH reader's job, which
+    stays partition-parallel)."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.max_rows = int(options.get("max_rows", 500))
         self.n_users = int(options.get("n_users", 50))
         self.seed = int(options.get("seed", 42))
-        self._offset = 0
 
     def initialOffset(self):
         return {"offset": 0}
 
-    def latestOffset(self):
-        # advance by one batch per trigger (rate limiting): returning
-        # max_rows outright would serve the whole stream as ONE micro-batch
-        self._offset = min(self._offset + self.rows_per_batch, self.max_rows)
-        return {"offset": self._offset}
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return (
+            iter([_row(self.seed, gid, self.n_users) for gid in range(lo, hi)]),
+            {"offset": hi},
+        )
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = start["offset"], end["offset"]
-        mid = (lo + hi) // 2
-        return [p for p in (_RangePartition(lo, mid), _RangePartition(mid, hi)) if p.end > p.start]
-
-    def read(self, partition: _RangePartition):
-        for gid in range(partition.start, partition.end):
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # exact replay of a committed range (executor-side on recovery)
+        for gid in range(start["offset"], end["offset"]):
             yield _row(self.seed, gid, self.n_users)
 
     def commit(self, end: dict) -> None:
         pass
-
-    def deserializeOffset(self, json_str: str) -> dict:
-        return json.loads(json_str)
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -135,5 +156,5 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _BatchReader(self.options)
 
-    def streamReader(self, schema) -> DataSourceStreamReader:
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _StreamReader(self.options)

@@ -282,6 +282,74 @@ def test_tcp_server_routes_dialect_statements(spark, tmp_path):
         server.server_close()
 
 
+def test_tcp_server_protocol_contract(spark, tmp_path):
+    """The wire-protocol corners the happy-path test skips (§3.2
+    TupleSender parity, r8 watch item): per-request row limit with the
+    truncated flag, structured error responses that keep the connection
+    usable, EXIT closing the loop with a bye, exotic types (date,
+    decimal) JSON-encoded not crashed, and concurrent clients sharing
+    one engine."""
+    import json as _json
+    import socket
+    from concurrent.futures import ThreadPoolExecutor
+
+    from maple_spark.engine import MapleEngine
+    from maple_spark.server import QueryServer, query_once
+
+    eng = MapleEngine(
+        spark, SF_DIR, tables=("region", "nation", "orders"),
+        warehouse=str(tmp_path / "w"),
+    )
+    server = QueryServer(eng)
+    server.start_background()
+    try:
+        # limit + truncated flag
+        resp = query_once(
+            "127.0.0.1", server.port, "SELECT n_nationkey FROM nation", limit=7
+        )
+        assert resp["ok"] and len(resp["rows"]) == 7 and resp["truncated"]
+        resp = query_once(
+            "127.0.0.1", server.port, "SELECT n_nationkey FROM nation", limit=25
+        )
+        assert resp["ok"] and len(resp["rows"]) == 25 and not resp["truncated"]
+
+        # error response, then the SAME connection keeps serving
+        with socket.create_connection(("127.0.0.1", server.port), timeout=120) as s:
+            f = s.makefile("rwb")
+            for sql, check in [
+                ("SELECT * FROM no_such_table", lambda r: not r["ok"] and "error" in r),
+                ("SELECT 1 AS one", lambda r: r["ok"] and r["rows"] == [[1]]),
+                ("EXIT", lambda r: r["ok"] and r.get("bye")),
+            ]:
+                f.write((_json.dumps({"sql": sql}) + "\n").encode())
+                f.flush()
+                assert check(_json.loads(f.readline())), sql
+
+        # exotic types encode (o_orderdate is a date; SUM over decimal)
+        resp = query_once(
+            "127.0.0.1",
+            server.port,
+            "SELECT o_orderdate, SUM(o_totalprice) AS s FROM orders"
+            " GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 3",
+        )
+        assert resp["ok"] and len(resp["rows"]) == 3
+        assert all(isinstance(r[0], str) for r in resp["rows"])  # ISO date
+
+        # concurrent clients share the engine without interference
+        def one(i):
+            return query_once(
+                "127.0.0.1", server.port,
+                f"SELECT COUNT(*) AS n FROM nation WHERE n_nationkey < {i}",
+            )
+
+        with ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(one, range(1, 9)))
+        assert [r["rows"][0][0] for r in results] == list(range(1, 9))
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_create_index_relayouts_store(engine, states_csv):
     """CREATE INDEX (nanosql.g:426-448) → sorted relayout of the store;
     data survives byte-identically and the files are range-sorted."""

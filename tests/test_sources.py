@@ -243,6 +243,68 @@ def test_python_datasource_stream_drains_offsets(spark):
     assert batch_sizes and max(batch_sizes) <= 100 and len(batch_sizes) >= 3
 
 
+def test_python_datasource_batch_empty(spark):
+    """n_rows=0 must yield an empty frame with the full schema — the
+    zero-partition edge the partitions() guard exists for."""
+    from maple_spark.sources.pyds import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = spark.read.format("maple_synth_events").option("n_rows", 0).load()
+    assert df.count() == 0
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def test_python_datasource_stream_checkpoint_recovery(spark, tmp_path):
+    """The module's exactly-once claim, executed: a checkpointed stream
+    is STOPPED mid-flight and restarted from its checkpoint; because
+    offsets name row ranges and ranges regenerate identical rows, the
+    restarted query must complete the stream with no duplicates and no
+    gaps in the durable (file-sink) output."""
+    import time
+
+    from maple_spark.sources.pyds import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("maple_synth_events")
+            .option("max_rows", 300)
+            .option("rows_per_batch", 60)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def n_out():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and n_out() < 60:
+        time.sleep(0.3)
+    q.stop()  # mid-stream kill (some batches committed, some not served)
+    n_mid = n_out()
+    assert 0 < n_mid < 300
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and n_out() < 300:
+        time.sleep(0.5)
+    q2.stop()
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(300))  # no dups, no gaps, full range
+
+
 def test_analyze_encoding_partition_parallel_equals_global(spark):
     """The partition-parallel runs/sortedness formulation must agree with
     a straightforward global-window reference on multi-partition input,

@@ -658,3 +658,55 @@ def test_cross_dedup_stream_matches_batch(spark, tmp_path_factory):
         map(tuple, spark.sql("SELECT * FROM cross_dedup_stream_test").collect())
     )
     assert got == want and len(want) > 0
+
+
+def test_cross_dedup_stream_snapshot_matches_batch(spark, tmp_path_factory):
+    """The AMORTIZED form of st7: the reference tables come from a
+    persisted snapshot (build_reference_snapshot) instead of being
+    derived in-query, and the guard must still be streaming-legal (the
+    snapshot tables are static parquet — stream-static joins, no
+    watermark) with EXACTLY the batch operator's output."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.dedup import (
+        build_reference_snapshot,
+        cross_dedup_pairs,
+        cross_dedup_stream,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    new_b = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    want = sorted(
+        map(tuple, cross_dedup_pairs(
+            new_b, ref, "doc_id", "text", jaccard_threshold=0.2).collect())
+    )
+    snap = str(tmp_path_factory.mktemp("ref_snapshot"))
+    build_reference_snapshot(ref, snap, "doc_id", "text")
+
+    dirp = str(tmp_path_factory.mktemp("cross_dedup_snap_stream"))
+    new_b.coalesce(1).write.parquet(f"{dirp}/f1")
+    stream = (
+        spark.readStream.schema(new_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{dirp}/f*")
+    )
+    q = (
+        cross_dedup_stream(
+            stream, None, "doc_id", "text",
+            jaccard_threshold=0.2, reference_snapshot=snap,
+        )
+        .writeStream.format("memory")
+        .queryName("cross_dedup_snap_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = sorted(
+        map(
+            tuple,
+            spark.sql("SELECT * FROM cross_dedup_snap_stream_test").collect(),
+        )
+    )
+    assert got == want and len(want) > 0
