@@ -560,6 +560,12 @@ def _band_buckets_arrow_udf(num_perm: int, bands: int):
     A = np.array([a for a, _ in consts], dtype=np.uint64)
     B = np.array([b for _, b in consts], dtype=np.uint64)
     P = np.uint64(phash.P31)
+    # captured as PLAIN VALUES at factory time: the UDF body must hold no
+    # maple_spark module references — cloudpickle serializes those by
+    # module+name, and a worker whose sys.path lacks the repo (vanilla
+    # driver session started outside /root/repo) then dies with
+    # ModuleNotFoundError (caught by scripts/vanilla_gate.py)
+    C1, C2 = np.uint64(phash.BAND_C), np.uint64(phash.BAND_C2)
     rows_per_band = num_perm // bands
 
     def _to_u64(a):
@@ -604,7 +610,7 @@ def _band_buckets_arrow_udf(num_perm: int, bands: int):
         mins = np.empty((num_perm, starts.size), dtype=np.uint64)
         for p in range(num_perm):
             mins[p] = np.minimum.reduceat((A[p] * flat + B[p]) % P, starts)
-        c1, c2 = np.uint64(phash.BAND_C), np.uint64(phash.BAND_C2)
+        c1, c2 = C1, C2
         buckets = np.empty((bands, starts.size), dtype=np.int64)
         for b in range(bands):
             h = mins[b * rows_per_band : (b + 1) * rows_per_band]

@@ -46,13 +46,41 @@ def _encode_batch(texts: pd.Series, dim: int) -> np.ndarray:
 def embed_texts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 16
 ) -> DataFrame:
-    """(id, embedding array<float>) via Arrow-batched fake inference."""
+    """(id, embedding array<float>) via Arrow-batched fake inference.
+
+    The worker closure rebinds :func:`_encode_batch`'s logic LOCALLY
+    (no maple_spark module reference in the UDF body): cloudpickle
+    serializes module-level helpers by module+name, and a worker whose
+    sys.path lacks the repo (vanilla driver session started outside
+    /root/repo) dies with ModuleNotFoundError — scripts/vanilla_gate.py
+    is the tripwire."""
     schema = f"{id_col} long, embedding array<float>"
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def encode_batch(texts):
+            out = _np.empty((len(texts), dim), dtype=_np.float32)
+            for i, t in enumerate(texts):
+                if t is None:
+                    t = ""
+                seed = int.from_bytes(
+                    _hashlib.md5(
+                        t.encode("utf-8", "surrogatepass")
+                    ).digest()[:8],
+                    "big",
+                )
+                rng = _np.random.default_rng(seed)
+                v = rng.standard_normal(dim).astype(_np.float32)
+                out[i] = v / (_np.linalg.norm(v) or 1.0)
+            return out
+
         for pdf in batches:
-            vecs = _encode_batch(pdf[text_col], dim)
-            yield pd.DataFrame(
+            vecs = encode_batch(pdf[text_col])
+            yield _pd.DataFrame(
                 {id_col: pdf[id_col].values, "embedding": list(map(list, vecs))}
             )
 

@@ -132,49 +132,67 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     comparable to decoded features.
     """
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # The kernel must be CLOSURE-ONLY (no maple_spark module globals):
+    # cloudpickle serializes module-level helpers by module+name, and a
+    # worker whose sys.path lacks the repo (vanilla driver session
+    # started outside /root/repo) dies with ModuleNotFoundError — caught
+    # by scripts/vanilla_gate.py.  Hence the local pandas import and the
+    # nested copies of _fake_feature / _decode_image_features.
+    def kernel(batches):
+        import pandas as _pd
+
+        def fake_feature(b):
+            return int(sum(b)) if b is not None else 0
+
+        def decode_image(b):
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(b)) as im:
+                rgb = im.convert("RGB")
+                return int(sum(rgb.tobytes())), getattr(im, "n_frames", 1)
+
+        def real(row_content, row_modality):
+            if row_modality == "image":
+                try:
+                    return decode_image(row_content)
+                except ImportError:
+                    raise NotImplementedError(
+                        "image codec (PIL) not available"
+                    ) from None
+            # soundfile.read / av.open belong here
+            raise NotImplementedError(f"{row_modality} codec not available")
+
         for pdf in batches:
             content = pdf["content"]
             if not decode_stub:
-                def real(row_content, row_modality):
-                    if row_modality == "image":
-                        try:
-                            return _decode_image_features(row_content)
-                        except ImportError:
-                            raise NotImplementedError(
-                                "image codec (PIL) not available"
-                            ) from None
-                    # soundfile.read / av.open belong here
-                    raise NotImplementedError(
-                        f"{row_modality} codec not available"
-                    )
-
                 decoded = [
                     real(c, m)
                     for c, m in zip(content, pdf["modality"])
                 ]
-                yield pd.DataFrame(
+                yield _pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],
                         "modality": pdf["modality"],
                         "n_bytes": content.map(
                             lambda b: len(b) if b is not None else 0
                         ).astype("int64"),
-                        "feat_hash": pd.Series(
+                        "feat_hash": _pd.Series(
                             [f for f, _ in decoded], dtype="int64"
                         ),
-                        "n_frames": pd.Series(
+                        "n_frames": _pd.Series(
                             [n for _, n in decoded], dtype="int32"
                         ),
                     }
                 )
                 continue
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": content.map(lambda b: len(b) if b is not None else 0).astype("int64"),
-                    "feat_hash": content.map(_fake_feature).astype("int64"),
+                    "feat_hash": content.map(fake_feature).astype("int64"),
                     "n_frames": (
                         content.map(lambda b: (len(b) % 10) + 1 if b is not None else 0)
                     ).astype("int32"),
