@@ -1018,9 +1018,15 @@ def cross_dedup_pairs(
     bucket tables, so cost follows cross-corpus collisions, not
     |new|×|ref|.  Candidates are verified with exact Jaccard on shingle
     sets (per-side semi-join prefilters touch only candidate docs), so
-    precision is 1.0.  At 100 TB the reference side's bucket table is
-    computed once and reused across crawl increments — it is a plain
-    DataFrame, persistable as Parquet.
+    precision is 1.0.  At 100 TB the reference side's tables are
+    computed once per snapshot and reused across crawl increments — use
+    :func:`build_reference_snapshot` +
+    ``cross_dedup_stream(new_batch, None, ..., reference_snapshot=path)``
+    for that shape (it accepts plain batch frames, same output
+    orientation; measured ~11× per-increment at 100×,
+    SNAPSHOT_AMORT_r09.json).  This in-line form re-derives both sides
+    and verifies on exact shingle STRING sets, which is what the
+    value-exact oracle gate checks.
 
     Output orientation is (new_id, ref_id): asymmetric by definition,
     no id ordering between sides is assumed (ids may even collide
