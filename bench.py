@@ -176,7 +176,9 @@ def main() -> None:
         if isinstance(prior.get("load_avg_1m"), (int, float)):
             all_loads[base] = prior["load_avg_1m"]
         for q, t in (prior.get("queries") or {}).items():
-            if isinstance(t, (int, float)) and t > 0:
+            # only queries measured THIS run can flag drift, so only
+            # their floors determine which prior loads are relevant
+            if q in timings and isinstance(t, (int, float)) and t > 0:
                 if q not in best_prior or t < best_prior[q]:
                     best_prior[q] = t
                     floor_src[q] = base

@@ -587,9 +587,16 @@ def _band_buckets_arrow_udf(num_perm: int, bands: int):
         # genuinely-float input (Arrow surfaced an all-null or
         # null-padded numeric array as float64): every non-NaN value in
         # a float array was already mantissa-limited upstream, but
-        # assert the exactness invariant rather than assume it
+        # enforce the exactness invariant rather than assume it — a
+        # raise, not a bare assert, because workers may run under
+        # python -O and a stripped assert here is exactly the
+        # silent-bucket-corruption mode this path must fail loudly on
         v = v[~np.isnan(v)]
-        assert (v < 2**53).all(), "float-typed fp array would lose bits"
+        if not (v < 2**53).all():
+            raise ValueError(
+                "float-typed fingerprint array holds values >= 2^53; "
+                "uint64 cast would lose bits and corrupt LSH buckets"
+            )
         return v.astype(np.uint64)
 
     @pandas_udf("array<bigint>")
@@ -884,6 +891,11 @@ def cross_dedup_stream(
             num_perm, bands, k, jaccard_threshold,
         )
 
+    if ref_df is None:
+        raise ValueError(
+            "cross_dedup_stream needs a reference: pass ref_df, or "
+            "reference_snapshot= from build_reference_snapshot"
+        )
     _ref_stats = parquet_files_stats(ref_df)
     big_ref = _ref_stats is None or _ref_stats[0] > CARRY_SETS_MAX_BYTES
 

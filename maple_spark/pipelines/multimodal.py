@@ -154,6 +154,11 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 return int(sum(rgb.tobytes())), getattr(im, "n_frames", 1)
 
         def real(row_content, row_modality):
+            if row_content is None:
+                # nothing to decode: same zero-feature row as the stub
+                # tier (a NULL blob must not fail the job in one tier
+                # and pass in the other)
+                return 0, 0
             if row_modality == "image":
                 try:
                     return decode_image(row_content)

@@ -22,7 +22,6 @@ regenerate the same rows.
 
 from __future__ import annotations
 
-import json
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql.datasource import (

@@ -35,8 +35,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: BENCH_r08 drift_flags (r7's seven are a subset of the union; the r8
-#: set supersedes it as the open adjudication)
-FLAGGED = [
+#: set supersedes it as the open adjudication).  Used only when no
+#: committed BENCH file carries flags — flagged_queries() below reads
+#: the LATEST round's drift_flags so future rounds adjudicate their own
+#: flag set without editing this file.
+FLAGGED_FALLBACK = [
     "s1_scan_filter",
     "a4_count_distinct",
     "q5_local_supplier",
@@ -52,6 +55,26 @@ FLAGGED = [
     "cp1_corpus_pipeline",
     "cp2_curation_pipeline",
 ]
+
+
+def flagged_queries() -> list[str]:
+    """drift_flags from the newest committed BENCH_r*.json (the open
+    adjudication is always the latest round's), else the fallback."""
+    import glob
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if rec.get("rc") not in (0, None):
+            continue  # same rule as bench.py: a failed run sets nothing
+        flags = (rec.get("parsed") or {}).get("drift_flags")
+        if flags:
+            return list(flags)
+    return FLAGGED_FALLBACK
 
 
 def min5(build):
@@ -72,23 +95,25 @@ def main():
     load0 = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="drift_ab")
     qs = entrymod.queries()
+    flagged = [n for n in flagged_queries() if n in qs]
     # warmup: codegen + parquet footers for every flagged query
-    for name in FLAGGED:
+    for name in flagged:
         qs[name](spark, sf).write.format("noop").mode("overwrite").save()
     passes: list[dict[str, float]] = []
     for _ in range(2):
         p = {}
-        for name in FLAGGED:
+        for name in flagged:
             p[name] = round(min5(lambda: qs[name](spark, sf)), 3)
         passes.append(p)
     ratio = {
         n: round(max(passes[0][n], passes[1][n]) / min(passes[0][n], passes[1][n]), 2)
-        for n in FLAGGED
+        for n in flagged
     }
     print(
         json.dumps(
             {
                 "sf_dir": sf,
+                "flagged": flagged,
                 "pass1": passes[0],
                 "pass2": passes[1],
                 "same_code_pass_ratio": ratio,

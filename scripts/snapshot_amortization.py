@@ -76,11 +76,13 @@ def main() -> None:
     # copy-salts text, so sf0.1 originals match nothing and the
     # equality assertion would compare two empty sets).
     ref = spark.read.parquet(f"{x100}/documents.parquet")
+    # ALWAYS rewritten (cheap, ~5k rows): a stale increment from a
+    # previously-built corpus would match nothing and silently degrade
+    # the benchmark to a zero-candidate workload
     inc_path = "/tmp/maple_increment.parquet"
-    if not os.path.exists(inc_path):
-        ref.where("doc_id % 100 = 1").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(inc_path)
+    ref.where("doc_id % 100 = 1").coalesce(1).write.mode("overwrite").parquet(
+        inc_path
+    )
     new = spark.read.parquet(inc_path)
 
     shutil.rmtree(snap, ignore_errors=True)
@@ -104,6 +106,7 @@ def main() -> None:
     a = sorted(map(tuple, inline().collect()))
     b = sorted(map(tuple, from_snap().collect()))
     assert a == b, f"snapshot path diverges: {len(a)} vs {len(b)} pairs"
+    assert a, "zero match pairs: the timing below would measure a degenerate no-candidate workload"
     release(spark)
 
     inline_secs, snap_secs = [], []

@@ -25,34 +25,22 @@ Usage: python scripts/vanilla_gate.py [sf_dir] [first_n]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+# ONE canonicalization shared with the maple-session gate: the two gates
+# must be the same comparison run under two sessions, so a semantics
+# change to selfcheck.normalize applies here automatically
+from selfcheck import normalize as norm  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events"
     " documents embeddings"
 ).split()
-
-
-def norm(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = []
-    for tup in df.itertuples(index=False, name=None):
-        rows.append(
-            tuple(
-                None
-                if v is None or (isinstance(v, float) and math.isnan(v))
-                else (round(v, 9) if isinstance(v, float) else v)
-                for v in tup
-            )
-        )
-    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return cols, rows
 
 
 def main() -> None:

@@ -365,6 +365,29 @@ def test_embed_texts_batch_inference_plumbing(spark):
     assert set(got) <= {5, 10, 15}  # its text-duplicates rank first (self excluded)
 
 
+def test_embed_texts_custom_encoder_is_used(spark):
+    """The model seam: a user-supplied encoder callable must actually
+    run on the workers (a review found the documented swap-point had
+    silently become dead code after the closure-only rewrite)."""
+    from maple_spark.pipelines.inference import embed_texts
+
+    def constant_encoder(texts):
+        import numpy as np
+
+        out = np.zeros((len(texts), 4), dtype=np.float32)
+        out[:, 0] = 1.0  # recognizably NOT the md5-seeded fake
+        return out
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_texts(docs, dim=4, encoder=constant_encoder).collect()
+    }
+    assert got[1] == [1.0, 0.0, 0.0, 0.0] and got[2] == got[1]
+
+
 def test_observe_metrics_on_corpus_pipeline(spark):
     """Production observability: df.observe() collects per-stage metrics
     (rows in, rows surviving quality, quality mean) DURING the pipeline
@@ -917,6 +940,11 @@ def test_cross_dedup_stream_from_reference_snapshot(spark, tmp_path):
             new, None, "doc_id", "text",
             bands=8, reference_snapshot=snap,
         )
+
+    # ref_df=None WITHOUT a snapshot must fail at the API boundary, not
+    # deep inside banding with an opaque NoneType error
+    with pytest.raises(ValueError, match="reference"):
+        cross_dedup_stream(new, None, "doc_id", "text")
 
 
 def test_word_ngrams_arrow_kernel_equals_expr(spark):

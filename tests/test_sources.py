@@ -268,7 +268,7 @@ def test_python_datasource_stream_checkpoint_recovery(spark, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
-    def start():
+    def start(trigger):
         return (
             spark.readStream.format("maple_synth_events")
             .option("max_rows", 300)
@@ -278,7 +278,7 @@ def test_python_datasource_stream_checkpoint_recovery(spark, tmp_path):
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
-            .trigger(processingTime="200 milliseconds")
+            .trigger(processingTime=trigger)
             .start()
         )
 
@@ -288,15 +288,19 @@ def test_python_datasource_stream_checkpoint_recovery(spark, tmp_path):
         except Exception:
             return 0
 
-    q = start()
+    # slow trigger for run 1 so the kill reliably lands MID-stream (5
+    # batches x 2 s >= 8 s of runway; the poll + parquet count take well
+    # under that) — a kill after completion would silently test no
+    # recovery at all
+    q = start("2 seconds")
     deadline = time.time() + 120
     while time.time() < deadline and n_out() < 60:
-        time.sleep(0.3)
+        time.sleep(0.2)
     q.stop()  # mid-stream kill (some batches committed, some not served)
     n_mid = n_out()
     assert 0 < n_mid < 300
 
-    q2 = start()
+    q2 = start("200 milliseconds")  # fast drain for the recovery run
     deadline = time.time() + 120
     while time.time() < deadline and n_out() < 300:
         time.sleep(0.5)
