@@ -1097,6 +1097,18 @@ def sim1_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(e, q, k=5)
 
 
+def sim6_quantized_topk(spark, sf_dir):
+    """Scalar-quantized (int8) ANN: coarse top-20 per query by exact-
+    integer cosine over max-abs-quantized levels (4x less scan/shuffle
+    than float32 at scale — the quantized corpus persists like the
+    dedup reference snapshot), then full-precision exact rerank to
+    top-5.  Quantization is floor(x*127/max|x| + 0.5) — exact integer
+    arithmetic in doubles, so the oracle replays it bit-identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.quantized_topk(e, q, k=5, rerank_mult=4)
+
+
 def sim2_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — exact, via the blocked
     gram-matrix cogroup join (BLAS kernel per block pair; recall and
@@ -3027,6 +3039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
+        # round 9 addition: scalar-quantized ANN (int8 coarse + exact rerank)
+        "sim6_quantized_topk": sim6_quantized_topk,
     }
 
 
@@ -3912,6 +3926,51 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rk
               FROM scored) WHERE rk <= 5
+        """,
+        "sim6_quantized_topk": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS s
+              FROM embeddings
+            ), q8 AS (
+              -- floor(x*127/s + 0.5): the operator's DEFINED rounding,
+              -- exact integer levels in doubles on both engines
+              SELECT vec_id,
+                     CASE WHEN s IS NULL OR s = 0
+                          THEN list_transform(v, x -> 0.0)
+                          ELSE list_transform(v,
+                               x -> floor(x * 127.0 / s + 0.5)) END AS qv
+              FROM base
+            ), approx AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                               sqrt(list_dot_product(c.qv, c.qv)) = 0
+                          THEN -2.0
+                          ELSE list_dot_product(q.qv, c.qv) /
+                               (sqrt(list_dot_product(q.qv, q.qv)) *
+                                sqrt(list_dot_product(c.qv, c.qv))) END AS ac
+              FROM q8 q CROSS JOIN q8 c
+              WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ), cand AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ac DESC,
+                                                   neighbor_id ASC) AS rk
+                FROM approx) WHERE rk <= 20
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r FROM (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(qe.v, ne.v) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+                                cand.neighbor_id ASC) AS rk
+              FROM cand
+              JOIN base qe ON qe.vec_id = cand.query_id
+              JOIN base ne ON ne.vec_id = cand.neighbor_id
+            ) WHERE rk <= 5
         """,
         "sim2_embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -103,6 +103,115 @@ def cosine_topk(
     return _score_and_rerank(F.broadcast(q).crossJoin(c), k)
 
 
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar (symmetric max-abs) int8 quantization of an embedding
+    column: per vector, scale s = max(|x_i|) and q_i = floor(x_i·127/s
+    + 0.5) ∈ [-127, 127] — the standard 4×-compression trick for
+    corpus-scale vector search.  Output: (id, qvec, qnorm) where qvec
+    holds the integer levels and qnorm = sqrt(Σ q_i²).
+
+    Exactness contract (what makes this ORACLE-CHECKABLE): every level
+    is an integer with |q| ≤ 127, so dot products and norms over qvec
+    are EXACT integer arithmetic in doubles (< 2^53) — summation-order
+    independent, bit-identical across Spark and DuckDB.  Cosine over
+    quantized vectors needs no scale factors at all (they cancel in the
+    ratio).  The levels are carried as integer-valued doubles to keep
+    the arithmetic identical on both engines; a PERSISTED quantized
+    corpus casts them to ``array<tinyint>`` (plus one float scale per
+    row if reconstruction is needed) — 4× less scan and shuffle than
+    float32, which is the point at 100 TB.  Zero/degenerate vectors
+    (s = 0) quantize to all-zero levels."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, F.abs))
+    # the rounding is DEFINED as floor(t + 0.5) — one spelling shared
+    # verbatim with the DuckDB oracle, no banker's-rounding ambiguity;
+    # F.floor returns LONG, recast to double so downstream folds stay
+    # one numeric type on both engines
+    qv = F.when(
+        s.isNull() | (s == 0.0), F.transform(v, lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / s + F.lit(0.5)).cast("double"),
+        )
+    )
+    out = df.select(F.col(id_col), qv.alias("qvec"))
+    return out.withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over scalar-quantized vectors: (1) coarse top-k'
+    (k' = k·rerank_mult) per query by EXACT-integer cosine over the
+    int8 levels (:func:`quantize_vectors` — scales cancel, so this is
+    the true cosine of the quantized vectors), then (2) the shared
+    full-precision exact rerank (:func:`_score_and_rerank`) over the
+    surviving candidates only.  Same output contract as sim1/sim3/sim4:
+    (query_id, neighbor_id, cosine_r).
+
+    Scale story: the coarse pass scans the QUANTIZED corpus — 4× fewer
+    bytes than float32 (persist the quantized table next to the corpus,
+    like the dedup reference snapshot, and the float table is only
+    touched for the candidate-bounded rerank join); queries broadcast;
+    per-query top-k' plans as a partial top-k before one bounded
+    shuffle.  Recall: max-abs int8 keeps cosine ordering to ~1e-2,
+    and the k'-deep exact rerank recovers exact top-k whenever the
+    true neighbors sit inside the coarse top-k' (pytest measures
+    overlap vs brute force on the fixture)."""
+    from maple_spark.pipelines.util import spread
+
+    q8 = quantize_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("qnorm").alias("qn"),
+    )
+    c8 = spread(
+        quantize_vectors(corpus, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("qvec").alias("qc"),
+            F.col("qnorm").alias("cn"),
+        )
+    )
+    denom = F.col("qn") * F.col("cn")
+    approx = (
+        F.broadcast(q8)
+        .crossJoin(c8)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "acos",
+            F.when(denom == 0.0, F.lit(-2.0)).otherwise(
+                _dot(F.col("qq"), F.col("qc")) / denom
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        approx.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    qf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cf = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+    )
+    cand = survivors.join(F.broadcast(qf), "query_id").join(cf, "neighbor_id")
+    return _score_and_rerank(cand, k)
+
+
 def srp_signature(
     df: DataFrame, id_col: str, vec_col: str, num_planes: int = 16
 ) -> DataFrame:

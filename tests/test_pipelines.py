@@ -562,6 +562,57 @@ def test_lsh_multi_probe_improves_recall(spark):
     assert r1 >= 0.9
 
 
+def test_quantized_topk_recall_and_levels(spark):
+    """Scalar-quantized ANN (sim6): int8 levels are bounded integers,
+    degenerate vectors quantize to zeros, and the coarse-then-rerank
+    search recovers brute-force top-k on a clustered corpus (max-abs
+    int8 keeps cosine ordering to ~1e-2, far finer than the cluster
+    separation here; the exact rerank makes surviving-candidate scores
+    exactly the brute-force ones)."""
+    import random
+
+    from maple_spark.pipelines.similarity import (
+        cosine_topk,
+        quantize_vectors,
+        quantized_topk,
+    )
+
+    rnd = random.Random(29)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(30):           # 30 clusters of 5 near-identical vectors
+        center = [rnd.gauss(0, 1) for _ in range(dim)]
+        for _ in range(5):
+            rows.append((vid, [x + rnd.gauss(0, 0.05) for x in center]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # degenerate zero vector checked on the QUANTIZER only: cosine to a
+    # zero vector is undefined, so the exact searchers (sim1's brute
+    # force included) reject it by ANSI divide-by-zero — a zero
+    # embedding is an upstream data bug, not a searchable row
+    with_zero = vecs.union(
+        spark.createDataFrame([(vid, [0.0] * dim)], vecs.schema)
+    )
+    qv = {r["vec_id"]: r for r in quantize_vectors(with_zero).collect()}
+    for r in qv.values():
+        assert all(v == int(v) and -127 <= v <= 127 for v in r["qvec"])
+        assert max(abs(v) for v in r["qvec"]) in (0, 127)  # max-abs hits full scale
+    assert qv[vid]["qvec"] == [0.0] * dim and qv[vid]["qnorm"] == 0.0
+
+    queries = vecs.where(F.col("vec_id") % 5 == 0).where(F.col("vec_id") < 50)
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["cosine_r"])
+        for r in cosine_topk(vecs, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine_r"])
+        for r in quantized_topk(vecs, queries, k=3, rerank_mult=4).collect()
+    }
+    # recall incl. the exact reranked score (not just ids)
+    assert len(got & truth) / len(truth) >= 0.95
+
+
 def test_decontaminate_known_overlap(spark):
     """Planted 13-gram overlap: the contaminated doc is flagged with the
     right gram count; clean docs are not."""
