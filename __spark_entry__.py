@@ -843,6 +843,20 @@ def t15_weighted_sample(spark, sf_dir):
     )
 
 
+def t18_temperature_sample(spark, sf_dir):
+    """Temperature (α = 0.5) mixture sampling over languages — the
+    XLM-R-style multilingual rebalance: per-language quotas ∝ √n_lang
+    of a 300-row budget, kept rows chosen by the content-stable md5
+    draw.  sqrt keeps the weights IEEE-exact, so the whole operator has
+    a value-exact DuckDB twin."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.temperature_sample(
+        d.select("doc_id", "lang"), "lang", "doc_id", alpha=0.5, budget=300
+    )
+
+
 def cp1_corpus_pipeline(spark, sf_dir):
     """Capstone composition — the full curation pass a training corpus
     gets, as ONE oracle-checked dataflow: quality-score filter (t3) →
@@ -3039,8 +3053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
-        # round 9 addition: scalar-quantized ANN (int8 coarse + exact rerank)
+        # round 9 additions: scalar-quantized ANN (int8 coarse + exact
+        # rerank) and temperature mixture sampling
         "sim6_quantized_topk": sim6_quantized_topk,
+        "t18_temperature_sample": t18_temperature_sample,
     }
 
 
@@ -4976,6 +4992,30 @@ def oracle_sql() -> dict[str, str]:
                      '[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]',
                      '<PHONE>', 'g')) AS scrub_md5
             FROM mixed
+        """,
+        "t18_temperature_sample": """
+            WITH n AS (
+              SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang, sqrt(CAST(cnt AS DOUBLE)) AS wt FROM n
+            ), q AS (
+              SELECT lang,
+                     floor(300.0 * wt / (SELECT SUM(wt) FROM w) + 0.5)
+                       AS quota
+              FROM w
+            ), ranked AS (
+              SELECT d.doc_id, d.lang,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY CAST(('0x' || substring(md5('temp|' ||
+                                d.lang || '|' || CAST(d.doc_id AS VARCHAR)),
+                                1, 4)) AS BIGINT) ASC,
+                                d.doc_id ASC) AS rk
+              FROM documents d
+            )
+            SELECT r.doc_id, r.lang
+            FROM ranked r JOIN q ON q.lang = r.lang
+            WHERE r.rk <= q.quota
         """,
         "t14_domain_mix": """
             SELECT doc_id, source, lang FROM (

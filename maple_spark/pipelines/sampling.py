@@ -111,6 +111,71 @@ def domain_mix(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-pretraining
+    rebalance (XLM-R / mBERT α-sampling): per-group quotas ∝ n_g^α of a
+    total row ``budget``, where n_g is the observed group size.  α = 1
+    keeps natural proportions, α → 0 approaches uniform-per-group;
+    quotas round as floor(budget·share + 0.5) independently per group
+    (Σ quotas may differ from budget by rounding — by design), and a
+    group can never exceed its own size.  WITHIN each group the kept
+    rows are chosen by the content-stable md5 draw (salted ``temp|``,
+    id tie-break since the draw has 16-bit resolution), so re-runs and
+    corpus growth never flip a kept document — the same property as
+    ``hash_split``/``domain_mix``.
+
+    Scale shape: one tiny groupBy count (rows = number of groups), one
+    1-row total broadcast (the scalar-subquery pattern), quotas
+    broadcast back to the corpus, and ONE rank window per group — the
+    same single bounded shuffle as :func:`quota_sample`; skewed groups
+    cost their quota, not their size, downstream.
+
+    Exactness: α = 0.5 computes weights with ``sqrt`` — IEEE-exact and
+    bit-identical across engines, so the DuckDB oracle replays the
+    whole operator value-exactly (the driver gate checks it).  Other α
+    use ``pow``, whose last-bit rounding is implementation-defined —
+    fine for production, excluded from the cross-engine gate (pytest
+    covers α ≠ 0.5 determinism Spark-side)."""
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wt = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    w = n.withColumn("__w", wt)
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    quotas = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(group_col),
+            F.floor(
+                F.lit(float(budget)) * F.col("__w") / F.col("__tw") + F.lit(0.5)
+            ).alias("__quota"),
+        )
+    )
+    draw = md5_draw16(
+        F.concat_ws(
+            "|", F.lit("temp"), F.col(group_col), F.col(id_col).cast("string")
+        )
+    )
+    rk_w = Window.partitionBy(group_col).orderBy(
+        F.col("__draw").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__draw", draw)
+        .withColumn("__rk", F.row_number().over(rk_w).cast("bigint"))
+        .where(F.col("__rk") <= F.col("__quota"))
+        .drop("__draw", "__rk", "__quota")
+    )
+
+
 def weighted_reservoir(
     df: DataFrame,
     weight_col: str,

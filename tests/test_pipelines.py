@@ -690,6 +690,59 @@ def test_domain_mix_deterministic_and_proportional(spark):
     assert {i for i in kept3 if i < 2000} == kept1
 
 
+def test_temperature_sample_quotas_and_stability(spark):
+    """α-sampling semantics: per-group quotas follow n^α shares of the
+    budget (α=0.5 → a 4:1 group-size ratio flattens to 2:1 kept), a
+    group never exceeds its own size, α=1 reproduces natural
+    proportions, and the kept set is re-run stable and never flips when
+    the corpus grows (content-stable draw)."""
+    from maple_spark.pipelines.sampling import temperature_sample
+
+    rows = [(i, "big" if i % 5 != 0 else "small") for i in range(1000)]
+    # big: 800 rows, small: 200 rows (4:1)
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    kept = temperature_sample(df, "lang", "doc_id", alpha=0.5, budget=300).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    # sqrt weights: √800:√200 = 2:1 → quotas 200/100
+    assert len(by["big"]) == 200 and len(by["small"]) == 100
+
+    # α=1: natural proportions 240/60
+    nat = temperature_sample(df, "lang", "doc_id", alpha=1.0, budget=300).collect()
+    cnt = {}
+    for r in nat:
+        cnt[r["lang"]] = cnt.get(r["lang"], 0) + 1
+    assert cnt == {"big": 240, "small": 60}
+
+    # a tiny group is clamped to its own size
+    tiny = df.union(
+        spark.createDataFrame([(10_000, "rare")], "doc_id long, lang string")
+    )
+    kept_t = temperature_sample(tiny, "lang", "doc_id", alpha=0.5, budget=300)
+    assert kept_t.where("lang = 'rare'").count() <= 1
+
+    # re-run + growth stability on the original groups' ids
+    again = temperature_sample(df, "lang", "doc_id", alpha=0.5, budget=300).collect()
+    assert {(r["doc_id"], r["lang"]) for r in again} == {
+        (r["doc_id"], r["lang"]) for r in kept
+    }
+    grown = df.union(
+        spark.createDataFrame(
+            [(i, "big") for i in range(10_000, 10_600)],
+            "doc_id long, lang string",
+        )
+    )
+    kept_g = temperature_sample(grown, "lang", "doc_id", alpha=0.5, budget=300)
+    # growth moves SHARES (big grew, so small's quota shrinks), but the
+    # within-group draw order is content-stable — small's new kept set
+    # is a strict PREFIX of the old one, never a reshuffle
+    small_g = {r["doc_id"] for r in kept_g.where("lang = 'small'").collect()}
+    assert 0 < len(small_g) < len(by["small"])
+    assert small_g < by["small"]  # proper subset: same prefix order
+
+
 def test_simhash_exact_match_config(spark):
     """max_hamming=0 (exact-fingerprint pairs) must work: width=64 needs
     the all-ones mask as signed -1, not (1<<64)-1 (review finding,
