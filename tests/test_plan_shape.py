@@ -363,6 +363,7 @@ def test_single_partition_exchanges_are_audited(spark):
         "q6_forecast_revenue": 1,       # final one-row sum
         "t8_tfidf_topterms": 1,         # corpus doc-count attach
         "t9_bm25_search": 2,            # doc count + avgdl attaches
+        "t18_temperature_sample": 1,    # Σ n^α total — one row over n_groups inputs
         "ts1_gapfill": 1,               # series min/max bounds row
     }
     got = {}
