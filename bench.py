@@ -74,6 +74,7 @@ HEADLINE = [
     "cp2_curation_pipeline",
     "sim4_ivf_topk",
     "sim5_semdedup",
+    "sim6_quantized_topk",
     "cp3_pretraining_ingest",
 ]
 

@@ -141,6 +141,37 @@ def quantize_vectors(
     return out.withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
 
 
+def build_quantized_snapshot(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus's int8 quantization as parquet — the
+    amortized form of :func:`quantized_topk`'s coarse table (the same
+    pattern as ``dedup.build_reference_snapshot``): quantize once per
+    corpus snapshot, search many query batches against it.  Levels are
+    stored as ``array<tinyint>`` (the actual 4× on-disk/scan win; they
+    are integers in [-127, 127] by construction) plus the precomputed
+    integer norm."""
+    quantize_vectors(corpus, id_col, vec_col).select(
+        F.col(id_col),
+        F.transform(F.col("qvec"), lambda x: x.cast("tinyint")).alias("qvec"),
+        F.col("qnorm"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_quantized_snapshot(spark, path: str) -> DataFrame:
+    """The quantized corpus back in :func:`quantized_topk`'s working
+    shape (levels widened back to integer-valued doubles so the exact-
+    integer dot arithmetic is identical to the inline path)."""
+    df = spark.read.parquet(path)
+    return df.select(
+        *[c for c in df.columns if c not in ("qvec",)],
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("qvec"),
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,6 +179,7 @@ def quantized_topk(
     rerank_mult: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized_snapshot: str | None = None,
 ) -> DataFrame:
     """Two-stage ANN over scalar-quantized vectors: (1) coarse top-k'
     (k' = k·rerank_mult) per query by EXACT-integer cosine over the
@@ -158,13 +190,16 @@ def quantized_topk(
     (query_id, neighbor_id, cosine_r).
 
     Scale story: the coarse pass scans the QUANTIZED corpus — 4× fewer
-    bytes than float32 (persist the quantized table next to the corpus,
-    like the dedup reference snapshot, and the float table is only
-    touched for the candidate-bounded rerank join); queries broadcast;
-    per-query top-k' plans as a partial top-k before one bounded
-    shuffle.  Recall: max-abs int8 keeps cosine ordering to ~1e-2,
-    and the k'-deep exact rerank recovers exact top-k whenever the
-    true neighbors sit inside the coarse top-k' (pytest measures
+    bytes than float32; ``quantized_snapshot`` makes that concrete:
+    pass a path written by :func:`build_quantized_snapshot` and the
+    coarse stage reads the persisted ``array<tinyint>`` table instead
+    of re-quantizing the float corpus per query batch (the float table
+    is then touched only by the candidate-bounded rerank join — the
+    dedup-reference-snapshot pattern; equality-tested).  Queries
+    broadcast; per-query top-k' plans as a partial top-k before one
+    bounded shuffle.  Recall: max-abs int8 keeps cosine ordering to
+    ~1e-2, and the k'-deep exact rerank recovers exact top-k whenever
+    the true neighbors sit inside the coarse top-k' (pytest measures
     overlap vs brute force on the fixture)."""
     from maple_spark.pipelines.util import spread
 
@@ -173,8 +208,14 @@ def quantized_topk(
         F.col("qvec").alias("qq"),
         F.col("qnorm").alias("qn"),
     )
+    if quantized_snapshot is not None:
+        c8_src = load_quantized_snapshot(
+            corpus.sparkSession, quantized_snapshot
+        )
+    else:
+        c8_src = quantize_vectors(corpus, id_col, vec_col)
     c8 = spread(
-        quantize_vectors(corpus, id_col, vec_col).select(
+        c8_src.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("qvec").alias("qc"),
             F.col("qnorm").alias("cn"),

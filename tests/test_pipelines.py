@@ -743,6 +743,41 @@ def test_temperature_sample_quotas_and_stability(spark):
     assert small_g < by["small"]  # proper subset: same prefix order
 
 
+def test_quantized_snapshot_roundtrip(spark, tmp_path):
+    """The amortized sim6 shape: the coarse table persists as
+    array<tinyint> (the real 4x storage/scan win) and searching from
+    the snapshot returns EXACTLY the inline path's results."""
+    import random
+
+    from maple_spark.pipelines.similarity import (
+        build_quantized_snapshot,
+        quantized_topk,
+    )
+
+    rnd = random.Random(31)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    snap = str(tmp_path / "qsnap.parquet")
+    build_quantized_snapshot(vecs, snap)
+
+    stored = spark.read.parquet(snap)
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+
+    queries = vecs.where(F.col("vec_id") < 5)
+    inline = sorted(map(tuple, quantized_topk(vecs, queries, k=4).collect()))
+    snapped = sorted(
+        map(
+            tuple,
+            quantized_topk(
+                vecs, queries, k=4, quantized_snapshot=snap
+            ).collect(),
+        )
+    )
+    assert inline == snapped and len(inline) == 20
+
+
 def test_simhash_exact_match_config(spark):
     """max_hamming=0 (exact-fingerprint pairs) must work: width=64 needs
     the all-ones mask as signed -1, not (1<<64)-1 (review finding,
