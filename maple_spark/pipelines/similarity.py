@@ -439,6 +439,41 @@ def _lloyd_cells(
     return assign(centroids).select("neighbor_id", "embedding", "cell"), centroids
 
 
+def build_ivf_snapshot(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+) -> None:
+    """Persist the trained IVF index — cell assignments + centroids —
+    as parquet (the FAISS train/add split, and the same amortization
+    pattern as the dedup/quantized snapshots): the Lloyd rounds run
+    ONCE per corpus snapshot, and every query batch afterwards pays
+    only centroid probing + the in-cell rerank.  Layout:
+    ``{path}/assignment.parquet`` (neighbor_id, embedding, cell) and
+    ``{path}/centroids.parquet`` (cell, centroid) — the centroid table
+    is k×d values, driver metadata by construction."""
+    assigned, centroids = _lloyd_cells(
+        corpus, id_col, vec_col, n_cells, lloyd_iters=lloyd_iters
+    )
+    assigned.write.mode("overwrite").parquet(f"{path}/assignment.parquet")
+    corpus.sparkSession.createDataFrame(
+        [(i, ctr) for i, ctr in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+
+
+def load_ivf_snapshot(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """(assignment, centroids) back in :func:`ivf_topk`'s working shape;
+    centroids come back in cell order so probe indices line up with the
+    assignment's cell ids."""
+    assigned = spark.read.parquet(f"{path}/assignment.parquet")
+    cents = spark.read.parquet(f"{path}/centroids.parquet").orderBy("cell")
+    return assigned, [list(r["centroid"]) for r in cents.collect()]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -448,6 +483,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    ivf_snapshot: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
     corpus vector to a cell; queries probe their ``n_probe`` nearest
@@ -474,10 +510,19 @@ def ivf_topk(
     tripped through the driver (the standard k-means dataflow — MLlib
     does the same); the search join touches ~n_probe/n_cells of the
     corpus per query.  Recall rises with n_probe (= n_cells ⇒ exact).
+    ``ivf_snapshot`` (a path written by :func:`build_ivf_snapshot`)
+    skips training entirely — the per-query-batch cost drops to probe +
+    in-cell rerank, the amortized production shape (equality-tested
+    against the inline path).
     """
-    assigned, centroids = _lloyd_cells(
-        corpus, id_col, vec_col, n_cells, lloyd_iters=2
-    )
+    if ivf_snapshot is not None:
+        assigned, centroids = load_ivf_snapshot(
+            queries.sparkSession, ivf_snapshot
+        )
+    else:
+        assigned, centroids = _lloyd_cells(
+            corpus, id_col, vec_col, n_cells, lloyd_iters=2
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

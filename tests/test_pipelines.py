@@ -778,6 +778,35 @@ def test_quantized_snapshot_roundtrip(spark, tmp_path):
     assert inline == snapped and len(inline) == 20
 
 
+def test_ivf_snapshot_roundtrip(spark, tmp_path):
+    """The FAISS-style train/search split: a persisted IVF index
+    (assignments + centroids) must produce EXACTLY the inline path's
+    results, with no Lloyd jobs at search time."""
+    import random
+
+    from maple_spark.pipelines.similarity import build_ivf_snapshot, ivf_topk
+
+    rnd = random.Random(37)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    snap = str(tmp_path / "ivf")
+    build_ivf_snapshot(vecs, snap, n_cells=8)
+
+    queries = vecs.where(F.col("vec_id") < 5)
+    inline = sorted(
+        map(tuple, ivf_topk(vecs, queries, k=4, n_cells=8, n_probe=2).collect())
+    )
+    snapped = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                vecs, queries, k=4, n_cells=8, n_probe=2, ivf_snapshot=snap
+            ).collect(),
+        )
+    )
+    assert inline == snapped and len(inline) == 20
+
+
 def test_simhash_exact_match_config(spark):
     """max_hamming=0 (exact-fingerprint pairs) must work: width=64 needs
     the all-ones mask as signed -1, not (1<<64)-1 (review finding,
