@@ -789,6 +789,47 @@ def d6_cross_dedup(spark, sf_dir):
     )
 
 
+def d7_canonical_docs(spark, sf_dir):
+    """Cluster canonicalization (dedup.canonical_docs): near-dup pairs →
+    connected components → keep the highest-quality member per cluster
+    (ties to the smallest doc_id), singletons passed through.  The
+    "keep the best copy" ending of a dedup pipeline — near-dup cluster
+    members DIFFER, so the keeper must be chosen by a quality signal
+    (t3's composite score), not d1's arbitrary min-id.  Edges from the
+    density-auto-selected exact Jaccard join; label join + one
+    row_number window — both AQE-sized, no new shuffle shape."""
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(d).select("doc_id", "quality")
+    pairs = dedup.ngram_jaccard_pairs_best(d, "doc_id", "text", k=8, threshold=0.2)
+    return dedup.canonical_docs(scored, pairs, "doc_id", "quality").select(
+        "doc_id", "cluster_id", "quality", "kept"
+    )
+
+
+def st8_stream_dedup(spark, sf_dir):
+    """Batch dual of the streaming exact-dedup ingest guard
+    (streaming.events.dedup_stream): an at-least-once source redelivers
+    rows byte-identically (Kafka replay / producer retry — modeled here
+    by re-appending every third event), and the guard keeps one row per
+    event_id.  On the stream this is dropDuplicatesWithinWatermark —
+    seen-key state evicted past the watermark, so state is bounded by
+    rate×delay, not stream length (duality tested in
+    tests/test_streaming.py).  Copies are identical on EVERY column, so
+    the batch keeper is deterministic and the oracle is one DISTINCT."""
+    from maple_spark.streaming.events import dedup_stream
+
+    e = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "event_type", "value"]
+    once = e.select(*cols)
+    delivered = once.unionAll(once.where(F.col("event_id") % 3 == 0))
+    return dedup_stream(delivered, ["event_id"]).select(
+        "event_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def st7_cross_dedup_stream(spark, sf_dir):
     """Batch dual of the streaming cross-corpus ingest guard
     (dedup.cross_dedup_stream): row-local stateless banding on the
@@ -3057,6 +3098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rerank) and temperature mixture sampling
         "sim6_quantized_topk": sim6_quantized_topk,
         "t18_temperature_sample": t18_temperature_sample,
+        # round 9 additions (second wave): cluster canonicalization and
+        # the streaming exact-dedup ingest guard's batch dual
+        "d7_canonical_docs": d7_canonical_docs,
+        "st8_stream_dedup": st8_stream_dedup,
     }
 
 
@@ -5042,6 +5087,78 @@ def oracle_sql() -> dict[str, str]:
                      '[0-9][0-9][0-9][-][0-9][0-9][0-9][-][0-9][0-9][0-9][0-9]',
                      '<PHONE>', 'g')) AS scrub_md5
             FROM documents
+        """,
+        # d7: d5's transitive-closure clusters + t3's quality score +
+        # one window pick — the keeper is ROW_NUMBER()=1 per cluster
+        "d7_canonical_docs": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), prs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE) /
+                    (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
+            ), sym AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION ALL
+              SELECT id_b, id_a FROM prs
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            ), clusters AS (
+              SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ), q AS (
+              SELECT doc_id,
+                     round((least(n_words / 20.0, 1.0)
+                            + (1.0 - least(punct_ratio * 5, 1.0))
+                            + least(stopword_ratio * 4, 1.0)) / 3.0, 6) AS quality
+              FROM (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_words,
+                       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(CAST(len(list_filter(string_split(text, ' '),
+                             w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                             AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                         AS stopword_ratio
+                FROM documents
+              )
+            ), assigned AS (
+              SELECT q.doc_id,
+                     coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+                     q.quality
+              FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+            )
+            SELECT doc_id, cluster_id, quality,
+                   (row_number() OVER (
+                      PARTITION BY cluster_id
+                      ORDER BY quality DESC, doc_id ASC) = 1) AS kept
+            FROM assigned
+        """,
+        # st8: byte-identical redelivery collapses to one DISTINCT
+        "st8_stream_dedup": """
+            WITH delivered AS (
+              SELECT event_id, ts, event_type, value FROM events
+              UNION ALL
+              SELECT event_id, ts, event_type, value FROM events
+              WHERE event_id % 3 = 0
+            )
+            SELECT DISTINCT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   event_type, value
+            FROM delivered
         """,
         **_hash_defined_oracles(),
     }

@@ -1491,6 +1491,47 @@ def connected_components_star(
     ).select(F.col("u").alias("node"), "cluster_id")
 
 
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Cluster canonicalization — the step every dedup pipeline ends
+    with: given the corpus (with a per-doc quality signal) and the
+    near-dup pair list, keep ONE representative per duplicate cluster —
+    the highest-``quality_col`` member, ties broken by smallest id —
+    and pass singletons through untouched.  Output = all input columns
+    plus ``cluster_id`` (component min id; the doc's own id for
+    singletons) and boolean ``kept``.
+
+    Choosing the BEST copy (not an arbitrary one, as d1's min-id keeper
+    does for byte-identical rows) matters for near-dups: members differ,
+    and training pipelines keep the longest / cleanest variant.
+
+    Scale design: the component labels come from
+    :func:`connected_components` over the PAIR list (O(near-dups) rows,
+    not O(corpus)), so the label table is small relative to the corpus
+    and the join back is broadcast-able — left to AQE, which sees real
+    sizes at runtime.  The keeper choice is one ``row_number`` window
+    partitioned by ``cluster_id``: keys are fine-grained (clusters are
+    small; singletons are 1-row groups), so no skew concentration —
+    this is the same shape as d1's keeper at corpus scale."""
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs)
+    labeled = docs.join(
+        cc, docs[id_col] == cc["node"], "left"
+    ).select(
+        docs["*"],
+        F.coalesce(cc["cluster_id"], docs[id_col]).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn("kept", F.row_number().over(w) == F.lit(1))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Tier 3: 64-bit SimHash per document over word tokens.
 

@@ -284,6 +284,34 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_canonical_docs_keeps_best_per_cluster(spark):
+    """Keeper = highest quality per component, ties to the smallest id;
+    singletons (no edges) pass through as their own kept cluster."""
+    from maple_spark.pipelines.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: 2 has the top quality; cluster {10,11}: tied
+        # quality, 10 wins on id; 99 is a singleton
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4), (99, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in canonical_docs(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+        99: (99, True),
+    }
+
+
 def test_hash_split_deterministic_and_complete(spark):
     """Split is stable across runs and across corpus growth: every id keeps
     its bucket when the table doubles (content-stable hashing, the property
