@@ -59,8 +59,6 @@ def test_driver_window_composition():
         # family's extension surface
         "aj1_asof_join",
         "rj2_interval_overlap",
-        "w2_window_lead_movavg",
-        "q9_product_profit",
         "q18_large_volume_customer",
         "t8_tfidf_topterms",
         "sim2_embedding_near_dup",
@@ -77,6 +75,10 @@ def test_driver_window_composition():
         "q8_market_share",
         "q21_waiting_supplier",
         "pv1_pivot",
+        # round 9 second wave: the two newest ops swap in for two
+        # r8-checked siblings (w2 -> w1 stays; q9 -> q3/q8/q18/q21 stay)
+        "d7_canonical_docs",
+        "st8_stream_dedup",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family
