@@ -789,6 +789,19 @@ def d6_cross_dedup(spark, sf_dir):
     )
 
 
+def bpe1_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction (textstats.bpe_merges): the first 5
+    merge rules over the corpus word-frequency table — Sennrich et al.
+    2016, the "BPE-ish" end of the token-counting surface.  One
+    corpus-proportional word-count shuffle, then k vocab-sized rounds
+    (each a pair-explode + sum + 1-row argmax collect); the oracle
+    unrolls the identical rounds as CTEs, sharing the greedy replace()
+    merge formulation verbatim (the ``|sym|`` wrapper encoding makes
+    plain replace exact — see the function docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_merges(d, "text", k=5)
+
+
 def d7_canonical_docs(spark, sf_dir):
     """Cluster canonicalization (dedup.canonical_docs): near-dup pairs →
     connected components → keep the highest-quality member per cluster
@@ -3105,7 +3118,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ops (both externally checked in r8; families stay in-window)
         "w2_window_lead_movavg": w2_window_lead_movavg,
         "q9_product_profit": q9_product_profit,
+        # round 9 third wave: BPE vocabulary induction
+        "bpe1_bpe_merges": bpe1_bpe_merges,
     }
+
+
+def _bpe_oracle_sql(k: int = 5) -> str:
+    """Unrolled-CTE twin of textstats.bpe_merges: round i counts symbol
+    pairs of w{i-1}, b{i} is the (cnt DESC, l ASC, r ASC) argmax, w{i}
+    applies the greedy replace() merge — formulation shared verbatim
+    with the Spark side via the per-symbol ``|...|`` wrapper encoding."""
+
+    def rnd(i: int) -> str:
+        return f"""
+            c{i} AS (
+              SELECT l, r, SUM(freq) AS cnt FROM (
+                SELECT freq, syms[i] AS l, syms[i+1] AS r
+                FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS syms
+                      FROM w{i - 1}),
+                     unnest(generate_series(1, len(syms) - 1)) AS t(i)
+              ) GROUP BY l, r
+            ), b{i} AS (
+              SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM c{i}
+              ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+            ), w{i} AS (
+              SELECT replace(seq,
+                  '|' || (SELECT l FROM b{i}) || '||' || (SELECT r FROM b{i}) || '|',
+                  '|' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '|') AS seq,
+                  freq
+              FROM w{i - 1}
+            )"""
+
+    head = """
+            WITH w0 AS (
+              SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seq,
+                     CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE text IS NOT NULL)
+              WHERE length(w) > 0 AND NOT contains(w, '|')
+              GROUP BY 1
+            ),"""
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return head + ",".join(rnd(i) for i in range(1, k + 1)) + "\n" + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5163,6 +5221,7 @@ def oracle_sql() -> dict[str, str]:
                    event_type, value
             FROM delivered
         """,
+        "bpe1_bpe_merges": _bpe_oracle_sql(5),
         **_hash_defined_oracles(),
     }
 

@@ -119,3 +119,86 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fp_rolling",
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
     )
+
+
+def bpe_merges(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+    word-frequency formulation): learn the first ``k`` merge rules —
+    each round merges the globally most frequent adjacent symbol pair
+    (ties broken (left, right) ascending, so the rule sequence is
+    deterministic).  Returns the learned table
+    (merge_rank, left_sym, right_sym, pair_count).
+
+    Scale design: the only corpus-proportional work is ONE word-count
+    shuffle (map-side partials, words never re-scanned); the merge loop
+    runs on the DISTINCT-WORD table — vocabulary-sized, orders of
+    magnitude smaller than a 100 TB corpus — which is localCheckpointed
+    once so the k rounds never re-execute the corpus scan.  Each round
+    is one vocab-sized pair-explode + sum shuffle plus a ONE-ROW argmax
+    collect (bounded metadata, same contract as sim4's centroids).
+
+    Symbol sequences are stored delimited as ``|a||b||c|``: every
+    symbol carries its own ``|...|`` wrapper, so the merge rewrite
+    ``replace('|l||r|' -> '|lr|')`` shares NO characters between
+    adjacent matches and plain left-to-right replace() implements the
+    greedy non-overlapping BPE merge exactly — the same call in Spark
+    and DuckDB, which is what makes the oracle value-exact.  (A
+    space-joined encoding would need lookaround regexes, which RE2
+    lacks.)  Words containing the delimiter are excluded up front.
+    Simplification vs Sennrich: no end-of-word marker — merges are
+    intra-word either way because sequences are per word."""
+    spark = docs.sparkSession
+    words = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where((F.length("w") > 0) & (~F.col("w").contains("|")))
+    )
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", r"|$1|").alias("seq"), "freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = (
+        "explode(zip_with("
+        "  slice(syms, 1, size(syms) - 1),"
+        "  slice(syms, 2, size(syms) - 1),"
+        "  (a, b) -> struct(a AS l, b AS r)))"
+    )
+    out_rows = []
+    cur = wf
+    for rank in range(1, k + 1):
+        counts = (
+            cur.select(
+                "freq",
+                F.expr("split(btrim(seq, '|'), '\\\\|\\\\|')").alias("syms"),
+            )
+            .select("freq", F.expr(pair_expr).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # fewer than k mergeable pairs in the corpus
+        b = best[0]
+        out_rows.append((rank, b["l"], b["r"], b["cnt"]))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{b['l']}||{b['r']}|"),
+                F.lit(f"|{b['l']}{b['r']}|"),
+            ),
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -199,6 +199,8 @@ def test_queries_are_lazy(spark):
         "o1_sort_rownum",
         "sim4_ivf_topk",
         "sim5_semdedup",
+        # k one-row argmax collects over the vocab-sized word table
+        "bpe1_bpe_merges",
     }
     per_builder_budget_sec = 20.0
     slow = {}

@@ -284,6 +284,25 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_bpe_merges_greedy_and_compositional(spark):
+    """Hand-checkable corpus: 3x'aaab' + 2x'ab'.  Round 1 must count
+    (a,a)=6 via GREEDY non-overlapping positions (the 'aaa' prefix
+    yields TWO (a,a) pairs but merges only once), round 2 picks (a,b)=5
+    across both words, and round 3 merges the two MERGED symbols
+    (aa,ab) — the compositional property that makes BPE BPE."""
+    from maple_spark.pipelines.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [("aaab aaab aaab ab ab",)], "text string"
+    )
+    got = [tuple(r) for r in bpe_merges(docs, k=3).collect()]
+    assert got == [
+        (1, "a", "a", 6),
+        (2, "a", "b", 5),
+        (3, "aa", "ab", 3),
+    ]
+
+
 def test_canonical_docs_keeps_best_per_cluster(spark):
     """Keeper = highest quality per component, ties to the smallest id;
     singletons (no edges) pass through as their own kept cluster."""
