@@ -53,12 +53,31 @@ def main() -> None:
     targets = {
         "st8_stream_dedup": lambda sf: qs["st8_stream_dedup"](spark, sf),
         "d7_canonical_docs_lsh": lambda sf: d7_lsh_edges(spark, sf),
+        # bpe1 is builder-eager (k argmax collects), so timeit's noop
+        # writes only re-run the final LocalTableScan; time the BUILD
+        "bpe1_bpe_merges": lambda sf: qs["bpe1_bpe_merges"](spark, sf),
     }
+    construct_timed = {"bpe1_bpe_merges"}
+
+    def measure(fn, sf, runs):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(sf).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
     results = {"load_avg_1m_start": round(os.getloadavg()[0], 2)}
     for name, fn in targets.items():
         release_session_state(spark)
-        small = timeit(fn(SRC), runs=3)
-        big = timeit(fn(out_dir), runs=2)
+        if name in construct_timed:
+            fn(SRC)  # warm codegen/caches once, untimed
+            small = measure(fn, SRC, runs=3)
+            fn(out_dir)
+            big = measure(fn, out_dir, runs=2)
+        else:
+            small = timeit(fn(SRC), runs=3)
+            big = timeit(fn(out_dir), runs=2)
         results[name] = {
             "sf01": round(small, 3),
             "x100": round(big, 3),
