@@ -202,3 +202,45 @@ def bpe_merges(
         out_rows,
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under a learned BPE merge list (the
+    "how many tokens is this corpus" question every training-data
+    budget starts with): apply the merges to each word and count the
+    resulting symbols.  Returns (id_col, n_tokens); NULL text → NULL,
+    empty text → 0.
+
+    Formulated as explode → per-word codegen expression → sum, NOT an
+    ``aggregate()`` higher-order lambda over the word array: Catalyst
+    runs higher-order-function lambdas INTERPRETED (the measured
+    round-8 trap — 2.5-50× on hot paths), while the exploded form keeps
+    the regexp + replace chain inside whole-stage codegen and the
+    map-side partial sum shrinks the shuffle to one (id, count) row per
+    document.  The merge chain is baked into the plan as literals —
+    merges are a learned artifact of bounded size (k rules), the same
+    contract as sim4's centroids."""
+    for l, r in merges:
+        if any(ch in l + r for ch in "'\\|"):
+            raise ValueError(f"merge symbols must be delimiter-free: {(l, r)}")
+    seq = "regexp_replace(w, '(.)', '|$1|')"
+    for l, r in merges:
+        seq = f"replace({seq}, '|{l}||{r}|', '|{l}{r}|')"
+    word_cnt = (
+        f"CASE WHEN length(w) = 0 OR contains(w, '|') THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(size(split(btrim({seq}, '|'), '\\\\|\\\\|')) AS BIGINT) END"
+    )
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    counts = (
+        words.select(id_col, F.expr(word_cnt).alias("__wc"))
+        .groupBy(id_col)
+        .agg(F.sum("__wc").alias("n_tokens"))
+    )
+    return docs.select(id_col).join(counts, id_col, "left")

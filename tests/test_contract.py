@@ -201,6 +201,7 @@ def test_queries_are_lazy(spark):
         "sim5_semdedup",
         # k one-row argmax collects over the vocab-sized word table
         "bpe1_bpe_merges",
+        "bpe2_bpe_token_counts",
     }
     per_builder_budget_sec = 20.0
     slow = {}

@@ -303,6 +303,29 @@ def test_bpe_merges_greedy_and_compositional(spark):
     ]
 
 
+def test_bpe_token_counts_applies_merge_chain(spark):
+    """Counting under a merge list: the learned chain collapses 'aaab'
+    and 'ab' to 1 token each; unmerged words count their chars; NULL
+    text stays NULL and empty text counts 0."""
+    from maple_spark.pipelines.textstats import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaab aaab aaab ab ab"),
+            (2, None),
+            (3, ""),
+            (4, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [("a", "a"), ("a", "b"), ("aa", "ab")]
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert got == {1: 5, 2: None, 3: 0, 4: 2}
+
+
 def test_canonical_docs_keeps_best_per_cluster(spark):
     """Keeper = highest quality per component, ties to the smallest id;
     singletons (no edges) pass through as their own kept cluster."""
