@@ -56,8 +56,13 @@ def main() -> None:
         # bpe1 is builder-eager (k argmax collects), so timeit's noop
         # writes only re-run the final LocalTableScan; time the BUILD
         "bpe1_bpe_merges": lambda sf: qs["bpe1_bpe_merges"](spark, sf),
+        # bpe2 learns (eager) then counts (lazy); build-timed for the
+        # honest end-to-end cost, like bench.py's CONSTRUCT_TIMED set
+        "bpe2_bpe_token_counts": lambda sf: qs["bpe2_bpe_token_counts"](
+            spark, sf
+        ),
     }
-    construct_timed = {"bpe1_bpe_merges"}
+    construct_timed = {"bpe1_bpe_merges", "bpe2_bpe_token_counts"}
 
     def measure(fn, sf, runs):
         best = float("inf")

@@ -59,8 +59,6 @@ def test_driver_window_composition():
         # family's extension surface
         "aj1_asof_join",
         "rj2_interval_overlap",
-        "q18_large_volume_customer",
-        "t8_tfidf_topterms",
         "sim2_embedding_near_dup",
         "sim5_semdedup",
         "dml_update_where",
@@ -76,9 +74,13 @@ def test_driver_window_composition():
         "q21_waiting_supplier",
         "pv1_pivot",
         # round 9 second wave: the two newest ops swap in for two
-        # r8-checked siblings (w2 -> w1 stays; q9 -> q3/q8/q18/q21 stay)
+        # r8-checked siblings (w2 -> w1 stays; q9 -> q3/q8/q21 stay)
         "d7_canonical_docs",
         "st8_stream_dedup",
+        # round 9 third wave: the BPE pair swaps in for t8/q18 (text
+        # family keeps t1/t17, TPC-H keeps q3/q8/q21)
+        "bpe1_bpe_merges",
+        "bpe2_bpe_token_counts",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family
