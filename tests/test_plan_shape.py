@@ -400,3 +400,37 @@ def test_interval_overlap_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bpe_token_counts_single_count_exchange(spark):
+    """bpe2's corpus pass must stay codegen + map-side partial: no
+    Python eval stages (the merge chain is column expressions, not an
+    interpreted higher-order lambda), partial_sum before the single
+    (doc_id) hash exchange."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.bpe2_bpe_token_counts(spark, SF_DIR))
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_canonical_docs_window_is_cluster_partitioned(spark):
+    """d7's keeper pick must partition by cluster_id — an unpartitioned
+    window would serialize the corpus through one task (the
+    accidental-single-partition trap)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.d7_canonical_docs(spark, SF_DIR))
+    assert "windowspecdefinition(cluster_id" in plan
+
+
+def test_stream_dedup_batch_single_exchange(spark):
+    """st8's batch dual: one key exchange over the union — dedup must
+    not add a second shuffle or a sort of the full payload beyond the
+    keyed aggregate."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.st8_stream_dedup(spark, SF_DIR))
+    assert plan.count("hashpartitioning") == 1
