@@ -2999,7 +2999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_window_rank": w1_window_rank,
         # round 9 second-wave rotation: the two newest ops take the
         # window slots of two r8-checked siblings whose families stay
-        # represented (w2 -> w1 stays; q9 -> q3/q8/q18/q21 stay)
+        # represented (w2 -> w1 stays; q9 -> q3/q8/q21 stay; q18 is
+        # rotated out by the third wave below)
         "d7_canonical_docs": d7_canonical_docs,
         "pv1_pivot": pv1_pivot,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3129,8 +3130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rerank) and temperature mixture sampling
         "sim6_quantized_topk": sim6_quantized_topk,
         "t18_temperature_sample": t18_temperature_sample,
-        # rotated out of the first-50 window for the round-9 second-wave
-        # ops (both externally checked in r8; families stay in-window)
+        # rotated out of the first-50 window for the round-9 second- and
+        # third-wave ops (all externally checked in r8; families stay
+        # in-window: w1 for windows, q3/q8/q21 for TPC-H, t1/t17 for text)
         "w2_window_lead_movavg": w2_window_lead_movavg,
         "q9_product_profit": q9_product_profit,
         # rotated out of the first-50 window for the round-9 third-wave
@@ -3174,7 +3176,7 @@ def _bpe_oracle_sql(k: int = 5, tokens: bool = False) -> str:
 
     head = """
             WITH w0 AS (
-              SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seq,
+              SELECT regexp_replace(w, '(?s)(.)', '|\\1|', 'g') AS seq,
                      CAST(COUNT(*) AS BIGINT) AS freq
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents WHERE text IS NOT NULL)
@@ -3197,11 +3199,17 @@ def _bpe_oracle_sql(k: int = 5, tokens: bool = False) -> str:
         )
         + ")"
     )
-    seq = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    # each level is NULL-guarded: a corpus with fewer than k mergeable
+    # pairs leaves b{i} empty, m's l{i}/r{i} NULL, and an unguarded
+    # replace(seq, NULL, NULL) would poison the whole chain to NULL
+    # n_tokens — the Spark side applies only the actually-learned
+    # merges, so the oracle must no-op the missing rounds too
+    seq = "regexp_replace(w, '(?s)(.)', '|\\1|', 'g')"
     for i in range(1, k + 1):
         seq = (
-            f"replace({seq}, '|' || l{i} || '||' || r{i} || '|',"
-            f" '|' || l{i} || r{i} || '|')"
+            f"CASE WHEN l{i} IS NULL THEN {seq}"
+            f" ELSE replace({seq}, '|' || l{i} || '||' || r{i} || '|',"
+            f" '|' || l{i} || r{i} || '|') END"
         )
     return (
         body

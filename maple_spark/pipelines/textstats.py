@@ -147,8 +147,14 @@ def bpe_merges(
     and DuckDB, which is what makes the oracle value-exact.  (A
     space-joined encoding would need lookaround regexes, which RE2
     lacks.)  Words containing the delimiter are excluded up front.
-    Simplification vs Sennrich: no end-of-word marker — merges are
-    intra-word either way because sequences are per word."""
+    The wrapper regex is ``(?s)(.)`` — WITH dotall — because Java's
+    bare ``.`` skips \\r/\\u0085/\\u2028/\\u2029 while RE2's skips only
+    \\n: a carriage return inside a word would wrap differently per
+    engine (breaking the value-exact twin) and an unwrapped terminator
+    would weld its neighbors into a composite symbol embedding the
+    delimiter.  Under dotall every character is its own symbol on both
+    engines.  Simplification vs Sennrich: no end-of-word marker —
+    merges are intra-word either way because sequences are per word."""
     spark = docs.sparkSession
     words = (
         docs.where(F.col(text_col).isNotNull())
@@ -159,7 +165,7 @@ def bpe_merges(
         words.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
-            F.regexp_replace("w", "(.)", r"|$1|").alias("seq"), "freq"
+            F.regexp_replace("w", "(?s)(.)", r"|$1|").alias("seq"), "freq"
         )
         .localCheckpoint(eager=True)
     )
@@ -222,24 +228,34 @@ def bpe_token_counts(
     round-8 trap — 2.5-50× on hot paths), while the exploded form keeps
     the regexp + replace chain inside whole-stage codegen and the
     map-side partial sum shrinks the shuffle to one (id, count) row per
-    document.  The merge chain is baked into the plan as literals —
-    merges are a learned artifact of bounded size (k rules), the same
-    contract as sim4's centroids."""
+    document.  The merge chain is built with the Column API (literal
+    args via ``F.lit``), never spliced into a SQL string — symbols like
+    an apostrophe or a backslash are legitimate learned merges on
+    natural-language corpora and must not need quoting; only ``|`` is
+    structurally excluded (it is the wrapper delimiter).  Merges are a
+    learned artifact of bounded size (k rules), the same contract as
+    sim4's centroids."""
     for l, r in merges:
-        if any(ch in l + r for ch in "'\\|"):
+        if "|" in l + r:
             raise ValueError(f"merge symbols must be delimiter-free: {(l, r)}")
-    seq = "regexp_replace(w, '(.)', '|$1|')"
+    w = F.col("w")
+    seq = F.regexp_replace(w, "(?s)(.)", r"|$1|")
     for l, r in merges:
-        seq = f"replace({seq}, '|{l}||{r}|', '|{l}{r}|')"
+        seq = F.replace(seq, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
     word_cnt = (
-        f"CASE WHEN length(w) = 0 OR contains(w, '|') THEN CAST(0 AS BIGINT) "
-        f"ELSE CAST(size(split(btrim({seq}, '|'), '\\\\|\\\\|')) AS BIGINT) END"
+        F.when(
+            (F.length(w) == 0) | w.contains("|"), F.lit(0).cast("bigint")
+        )
+        .otherwise(
+            F.size(F.split(F.btrim(seq, F.lit("|")), r"\|\|")).cast("bigint")
+        )
+        .alias("__wc")
     )
     words = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     counts = (
-        words.select(id_col, F.expr(word_cnt).alias("__wc"))
+        words.select(id_col, word_cnt)
         .groupBy(id_col)
         .agg(F.sum("__wc").alias("n_tokens"))
     )

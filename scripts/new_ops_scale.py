@@ -62,11 +62,26 @@ def main() -> None:
             spark, sf
         ),
     }
-    construct_timed = {"bpe1_bpe_merges", "bpe2_bpe_token_counts"}
+    # d7 is here too: connected_components runs EAGERLY at build time
+    # (label-propagation loop with localCheckpoint+count actions), so a
+    # noop-write-only clock would miss the clustering — the heart of
+    # the operator (code-review r9 finding)
+    construct_timed = {
+        "bpe1_bpe_merges",
+        "bpe2_bpe_token_counts",
+        "d7_canonical_docs_lsh",
+    }
 
     def measure(fn, sf, runs):
         best = float("inf")
         for _ in range(runs):
+            # construct-timed builders allocate broadcasts and
+            # localCheckpoint RDDs PER BUILD; without a release between
+            # repeated builds they accumulate on the driver and the
+            # 100x d7 run dies in a BroadcastExchange (the scale100
+            # sweep's artifact, one level down).  Runs outside the
+            # timed region.
+            release_session_state(spark)
             t0 = time.time()
             fn(sf).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -326,6 +326,40 @@ def test_bpe_token_counts_applies_merge_chain(spark):
     assert got == {1: 5, 2: None, 3: 0, 4: 2}
 
 
+def test_bpe_handles_terminators_and_quote_symbols(spark):
+    """Two review-caught edge classes: (a) the wrapper regex is dotall,
+    so a carriage return inside a word is its own symbol (Java's bare
+    '.' would skip it and weld its neighbors into a composite symbol
+    embedding the delimiter — and diverge from RE2); (b) merge symbols
+    containing an apostrophe or backslash are legal — the chain is
+    Column-API literals, not spliced SQL."""
+    from maple_spark.pipelines.textstats import (
+        bpe_merges,
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "ab\rcd")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, []).collect()
+    }
+    assert got == {1: 5}  # a, b, \r, c, d — every char its own symbol
+
+    quoted = spark.createDataFrame(
+        [(1, "n't n't n't")], "doc_id long, text string"
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(quoted, k=2).collect()
+    ]
+    assert ("n", "'") in merges or ("'", "t") in merges
+    cnt = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(quoted, merges).collect()
+    }
+    assert cnt == {1: 3}  # both merges apply: each "n't" is one token
+
+
 def test_canonical_docs_keeps_best_per_cluster(spark):
     """Keeper = highest quality per component, ties to the smallest id;
     singletons (no edges) pass through as their own kept cluster."""

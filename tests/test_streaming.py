@@ -263,6 +263,24 @@ def test_stream_dedup_drops_replayed_events(spark, tmp_path_factory):
     ) == [(1, 1.0), (2, 2.0), (3, 3.0)]
 
 
+def test_events_fixture_event_ids_unique(spark):
+    """st8's oracle equivalence (dropDuplicates on event_id == DISTINCT
+    over all columns) depends on the base events table having unique
+    event_ids, so the synthetic redelivered copies are byte-identical
+    and ANY keeper is deterministic.  Pin the invariant the twin
+    depends on — if the fixture generator ever emits two payloads for
+    one id, this fails before the driver gate mismatches."""
+    from conftest import SF_DIR
+
+    from maple_spark.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    n, d = e.selectExpr(
+        "count(*) AS n", "count(DISTINCT event_id) AS d"
+    ).collect()[0]
+    assert n == d
+
+
 def test_stream_stream_join_equals_batch(spark):
     """Stream-stream banded join (watermarked both sides) produces the
     batch answer on the finite fixture — the duality guarantee for the
