@@ -110,7 +110,8 @@ def main() -> None:
     # and a straggler task-end event arriving after job completion then
     # logs a spurious "ERROR DAGScheduler: Failed to update accumulator"
     # — harmless but noisy.  BETWEEN queries the references are dropped
-    # and both GCs forced (the scale100 sweep's release_session_state):
+    # and both GCs forced (maple_spark.session.release_session_state,
+    # the one definition shared with the scale sweeps):
     # broadcast relations otherwise accumulate on the driver across the
     # 27-query session (ContextCleaner frees them only after the
     # referencing DataFrames are GC'd — a 100× sweep OOM'd at query ~26
@@ -119,12 +120,7 @@ def main() -> None:
     # cross-round claims.  The release runs OUTSIDE the timed region; by
     # then the query's jobs have completed, so the accumulator race is
     # closed.
-    def release_session_state() -> None:
-        import gc
-
-        spark.catalog.clearCache()
-        gc.collect()
-        spark._jvm.System.gc()
+    from maple_spark.session import release_session_state
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -143,7 +139,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         del keep_alive, df
-        release_session_state()
+        release_session_state(spark)
 
     total = round(sum(timings.values()), 3)
     try:

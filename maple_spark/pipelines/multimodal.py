@@ -81,12 +81,6 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_feature(content: bytes) -> int:
-    """Deterministic stand-in for a decoded-feature hash (sum of bytes —
-    stable across runs and engines)."""
-    return int(sum(content)) if content is not None else 0
-
-
 def codecs_available() -> dict[str, bool]:
     """Which real media codecs import in THIS environment — the gate the
     real decode branch (and the ``codec``-marked tests) key off.  This
@@ -100,21 +94,6 @@ def codecs_available() -> dict[str, bool]:
         except ImportError:
             out[modality] = False
     return out
-
-
-def _decode_image_features(b: bytes) -> tuple[int, int]:
-    """(feat_hash, n_frames) from a REAL image decode: PIL opens the
-    bytes, converts to RGB, and the feature hash is the sum of decoded
-    pixel bytes — deterministic, content-sensitive, and computed from
-    DECODED data (so a corrupt blob fails here, not downstream).
-    ImportError propagates to the caller's NotImplementedError gate."""
-    import io
-
-    from PIL import Image
-
-    with Image.open(io.BytesIO(b)) as im:
-        rgb = im.convert("RGB")
-        return int(sum(rgb.tobytes())), getattr(im, "n_frames", 1)
 
 
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -137,7 +116,9 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     # worker whose sys.path lacks the repo (vanilla driver session
     # started outside /root/repo) dies with ModuleNotFoundError — caught
     # by scripts/vanilla_gate.py.  Hence the local pandas import and the
-    # nested copies of _fake_feature / _decode_image_features.
+    # nested helpers (fake_feature: sum of raw bytes, NULL → 0;
+    # decode_image: PIL decode → sum of DECODED RGB bytes + n_frames,
+    # so a corrupt blob fails at decode, not downstream).
     def kernel(batches):
         import pandas as _pd
 

@@ -212,6 +212,10 @@ def quantized_topk(
         c8_src = load_quantized_snapshot(
             corpus.sparkSession, quantized_snapshot
         )
+        # the rerank join against the float corpus is INNER: a stale
+        # snapshot would silently shrink results, so trip on a row-count
+        # mismatch when parquet footers make the check free
+        _snapshot_rows_guard(corpus, c8_src, "quantized")
     else:
         c8_src = quantize_vectors(corpus, id_col, vec_col)
     c8 = spread(
@@ -459,19 +463,56 @@ def build_ivf_snapshot(
         corpus, id_col, vec_col, n_cells, lloyd_iters=lloyd_iters
     )
     assigned.write.mode("overwrite").parquet(f"{path}/assignment.parquet")
-    corpus.sparkSession.createDataFrame(
+    spark = corpus.sparkSession
+    spark.createDataFrame(
         [(i, ctr) for i, ctr in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    # pin the training params the way dedup.build_reference_snapshot
+    # pins (num_perm, bands, k): probing with a different n_cells than
+    # the snapshot was trained with silently probes the wrong geometry
+    spark.createDataFrame(
+        [(n_cells, lloyd_iters)], "n_cells int, lloyd_iters int"
+    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
-def load_ivf_snapshot(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+def load_ivf_snapshot(
+    spark, path: str, n_cells: int = 16, lloyd_iters: int = 2
+) -> tuple[DataFrame, list[list[float]]]:
     """(assignment, centroids) back in :func:`ivf_topk`'s working shape;
     centroids come back in cell order so probe indices line up with the
-    assignment's cell ids."""
+    assignment's cell ids.  Raises if the snapshot was trained with
+    different (n_cells, lloyd_iters) than the caller is probing with."""
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    got = (meta["n_cells"], meta["lloyd_iters"])
+    want = (n_cells, lloyd_iters)
+    if got != want:
+        raise ValueError(
+            f"IVF snapshot {path} was trained with "
+            f"(n_cells, lloyd_iters)={got}, caller wants {want}"
+        )
     assigned = spark.read.parquet(f"{path}/assignment.parquet")
     cents = spark.read.parquet(f"{path}/centroids.parquet").orderBy("cell")
     return assigned, [list(r["centroid"]) for r in cents.collect()]
+
+
+def _snapshot_rows_guard(corpus: DataFrame, snap: DataFrame, what: str) -> None:
+    """Cheap identity tripwire between a live corpus and its persisted
+    snapshot: when BOTH row counts are knowable from parquet footers
+    (metadata only, no scan — pipelines.util.parquet_files_stats), a
+    mismatch means the snapshot is stale and the downstream inner joins
+    would silently drop results; fail loudly instead.  Unstatable
+    inputs (in-memory frames, remote paths) skip the check — the
+    docstring contract (rebuild the snapshot when the corpus changes)
+    is then the only guard, same as dedup's reference snapshot."""
+    from maple_spark.pipelines.util import parquet_files_stats
+
+    cs, ss = parquet_files_stats(corpus), parquet_files_stats(snap)
+    if cs and ss and cs[1] is not None and ss[1] is not None and cs[1] != ss[1]:
+        raise ValueError(
+            f"{what} snapshot holds {ss[1]} rows but the corpus has "
+            f"{cs[1]} — stale snapshot; rebuild it from the current corpus"
+        )
 
 
 def ivf_topk(
@@ -482,7 +523,6 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 2,
-    seed: int = 42,
     ivf_snapshot: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
@@ -513,12 +553,18 @@ def ivf_topk(
     ``ivf_snapshot`` (a path written by :func:`build_ivf_snapshot`)
     skips training entirely — the per-query-batch cost drops to probe +
     in-cell rerank, the amortized production shape (equality-tested
-    against the inline path).
+    against the inline path).  With a snapshot, the SNAPSHOT is the
+    searched corpus: the ``corpus`` argument is consulted only for a
+    row-count staleness tripwire — rebuild the snapshot when the
+    corpus changes, or new vectors are silently never candidates.
+    The loader raises on an (n_cells) mismatch with the snapshot's
+    training meta.
     """
     if ivf_snapshot is not None:
         assigned, centroids = load_ivf_snapshot(
-            queries.sparkSession, ivf_snapshot
+            queries.sparkSession, ivf_snapshot, n_cells=n_cells
         )
+        _snapshot_rows_guard(corpus, assigned, "IVF")
     else:
         assigned, centroids = _lloyd_cells(
             corpus, id_col, vec_col, n_cells, lloyd_iters=2

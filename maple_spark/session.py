@@ -131,3 +131,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_session_state(spark) -> None:
+    """Drop cached relations and force both GCs — the between-queries
+    hygiene every multi-query harness needs: broadcast relations pile
+    up on the driver across a long session (ContextCleaner frees them
+    only after the referencing DataFrames are GC'd), and a 100× sweep
+    OOM'd in a BroadcastExchange at query ~26 from exactly this.  One
+    definition shared by bench.py, the scale sweeps, and the snapshot
+    amortization scripts so a future fix to the release protocol lands
+    everywhere at once."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()

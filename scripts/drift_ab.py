@@ -72,7 +72,10 @@ def flagged_queries() -> list[str]:
         if rec.get("rc") not in (0, None):
             continue  # same rule as bench.py: a failed run sets nothing
         flags = (rec.get("parsed") or {}).get("drift_flags")
-        if flags:
+        if flags is not None:
+            # an explicit [] is a RECORD (a clean round with nothing to
+            # adjudicate), not absence — falling through to an older
+            # round would re-present already-closed flags as open
             return list(flags)
     return FLAGGED_FALLBACK
 

@@ -221,18 +221,10 @@ def timeit(df, runs: int = 2) -> float:
     return best
 
 
-def release_session_state(spark) -> None:
-    """Broadcast relations pile up on the driver across a ~35-query
-    sweep (ContextCleaner only releases them after the referencing
-    DataFrames are GC'd), and query ~26's BroadcastExchange build then
-    fails with notEnoughMemoryToBuildAndBroadcastTableError — a harness
-    artifact, not an operator defect (the failing query passes alone).
-    Drop Python references and force both GCs between queries."""
-    import gc
-
-    spark.catalog.clearCache()
-    gc.collect()
-    spark._jvm.System.gc()
+# one shared definition (maple_spark.session): broadcast relations pile
+# up across a ~35-query sweep and query ~26's BroadcastExchange build
+# then fails — a harness artifact, not an operator defect
+from maple_spark.session import release_session_state  # noqa: E402,F401
 
 
 def main() -> None:

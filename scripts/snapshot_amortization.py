@@ -51,12 +51,7 @@ def noop(df) -> float:
     return time.time() - t0
 
 
-def release(spark) -> None:
-    import gc
-
-    spark.catalog.clearCache()
-    gc.collect()
-    spark._jvm.System.gc()
+from maple_spark.session import release_session_state as release  # noqa: E402
 
 
 def main() -> None:

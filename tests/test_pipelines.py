@@ -910,6 +910,28 @@ def test_ivf_snapshot_roundtrip(spark, tmp_path):
     )
     assert inline == snapped and len(inline) == 20
 
+    # param pinning (the dedup-snapshot contract): probing with a
+    # different n_cells than the snapshot was trained with must raise,
+    # not silently probe the wrong geometry
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_topk(vecs, queries, k=4, n_cells=16, ivf_snapshot=snap)
+
+    # staleness tripwire: a corpus that grew after the snapshot was
+    # built must trip the rows guard (both sides statable parquet)
+    grown = str(tmp_path / "grown.parquet")
+    rows2 = rows + [(900 + i, [0.1 * i] * 8) for i in range(10)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>"
+    ).write.parquet(grown)
+    with pytest.raises(ValueError, match="stale"):
+        ivf_topk(
+            spark.read.parquet(grown),
+            queries,
+            k=4,
+            n_cells=8,
+            ivf_snapshot=snap,
+        )
+
 
 def test_simhash_exact_match_config(spark):
     """max_hamming=0 (exact-fingerprint pairs) must work: width=64 needs
