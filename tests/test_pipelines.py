@@ -881,6 +881,18 @@ def test_quantized_snapshot_roundtrip(spark, tmp_path):
     )
     assert inline == snapped and len(inline) == 20
 
+    # staleness tripwire: the rerank join is INNER, so a stale snapshot
+    # would silently shrink results — with both sides statable parquet a
+    # row-count mismatch must raise instead
+    fat = str(tmp_path / "fat.parquet")
+    spark.createDataFrame(
+        rows + [(500, [1.0] * 8)], "vec_id long, embedding array<float>"
+    ).write.parquet(fat)
+    with pytest.raises(ValueError, match="stale"):
+        quantized_topk(
+            spark.read.parquet(fat), queries, k=4, quantized_snapshot=snap
+        )
+
 
 def test_ivf_snapshot_roundtrip(spark, tmp_path):
     """The FAISS-style train/search split: a persisted IVF index

@@ -480,3 +480,74 @@ def test_random_distributed_rank_agrees(spark, ks, n_buckets):
         ).select("id", "rn").collect()
     )
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# BPE encoding invariants (d7/bpe round): random ASCII corpora
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab'c\\-.x "),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_zero_merges_counts_chars(spark, words):
+    """With NO merges, every character is its own token, so the doc's
+    token count is the summed length of its (non-empty, '|'-free)
+    words — the base-case anchor of the |sym| wrapper encoding, over
+    corpora that include quotes, backslashes, dots, and empty words."""
+    from maple_spark.pipelines.textstats import bpe_token_counts
+
+    text = " ".join(w.replace(" ", "") for w in words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_token_counts(docs, []).collect()[0]["n_tokens"]
+    want = sum(len(w) for w in text.split(" ") if w and "|" not in w)
+    assert got == want, repr(text)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet=st.sampled_from("abc'"), min_size=1, max_size=5),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_bpe_merges_never_increase_token_count(spark, words):
+    """Each learned merge coalesces adjacent symbols, so the corpus
+    token count is non-increasing round over round (and the learned
+    pair counts are positive)."""
+    from maple_spark.pipelines.textstats import (
+        bpe_merges,
+        bpe_token_counts,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, k=3).collect()
+    ]
+    assert all(c > 0 for _, _, c in merges)
+    prev = bpe_token_counts(docs, []).collect()[0]["n_tokens"]
+    for i in range(1, len(merges) + 1):
+        cur = bpe_token_counts(
+            docs, [(l, r) for l, r, _ in merges[:i]]
+        ).collect()[0]["n_tokens"]
+        assert cur <= prev, (merges[:i], text)
+        prev = cur
