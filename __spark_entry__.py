@@ -817,6 +817,41 @@ def bpe2_bpe_token_counts(spark, sf_dir):
     return textstats.bpe_token_counts(d, merges, "text", "doc_id")
 
 
+def cp4_dedup_token_budget(spark, sf_dir):
+    """Capstone composing the round-9 operators into the question a
+    training run actually asks — "after dedup, how many tokens do I
+    have per language?": quality-score (t3) → near-dup canonicalization
+    keeping the best copy per cluster (d7) → BPE vocab learned ON THE
+    DEDUPED corpus (bpe1 — learning on raw data would overweight
+    duplicated text's pairs) → per-doc token counts (bpe2) → per-lang
+    (n_docs, n_tokens).  Every stage is individually oracle-exact; this
+    entry proves they compose deterministically (the cp1-cp3 contract).
+    One oracle replays the whole chain: _d7_ctes + kept + the BPE
+    rounds sourced FROM kept."""
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(d).select("doc_id", "quality")
+    pairs = dedup.ngram_jaccard_pairs_best(d, "doc_id", "text", k=8, threshold=0.2)
+    canon = dedup.canonical_docs(scored, pairs, "doc_id", "quality")
+    kept = (
+        canon.where(F.col("kept"))
+        .select("doc_id")
+        .join(d.select("doc_id", "lang", "text"), "doc_id")
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in textstats.bpe_merges(kept, "text", k=5).collect()
+    ]
+    counts = textstats.bpe_token_counts(kept, merges, "text", "doc_id")
+    return (
+        counts.join(kept.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def d7_canonical_docs(spark, sf_dir):
     """Cluster canonicalization (dedup.canonical_docs): near-dup pairs →
     connected components → keep the highest-quality member per cluster
@@ -3140,10 +3175,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t1/t17, TPC-H keeps q3/q8/q21 in-window)
         "t8_tfidf_topterms": t8_tfidf_topterms,
         "q18_large_volume_customer": q18_large_volume_customer,
+        # round 9 fourth wave: the capstone composing d7 + bpe1 + bpe2
+        # (its pieces are all individually in-window this round)
+        "cp4_dedup_token_budget": cp4_dedup_token_budget,
     }
 
 
-def _bpe_oracle_sql(k: int = 5, tokens: bool = False) -> str:
+def _d7_ctes() -> str:
+    """The d7 CTE chain (shared with cp4's oracle): d5's transitive
+    closure over exact 8-gram Jaccard >= 0.2 pairs + t3's quality score
+    + the coalesced cluster assignment.  Ends with ``assigned``
+    (doc_id, cluster_id, quality)."""
+    return """
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), prs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE) /
+                    (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
+            ), sym AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION ALL
+              SELECT id_b, id_a FROM prs
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            ), clusters AS (
+              SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ), q AS (
+              SELECT doc_id,
+                     round((least(n_words / 20.0, 1.0)
+                            + (1.0 - least(punct_ratio * 5, 1.0))
+                            + least(stopword_ratio * 4, 1.0)) / 3.0, 6) AS quality
+              FROM (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_words,
+                       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(CAST(len(list_filter(string_split(text, ' '),
+                             w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
+                             AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
+                         AS stopword_ratio
+                FROM documents
+              )
+            ), assigned AS (
+              SELECT q.doc_id,
+                     coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+                     q.quality
+              FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+            )"""
+
+
+def _bpe_oracle_sql(
+    k: int = 5,
+    tokens: bool = False,
+    source: str = "documents",
+    prefix_ctes: str = "",
+    tokens_extra_cols: str = "",
+) -> str:
     """Unrolled-CTE twin of textstats.bpe_merges: round i counts symbol
     pairs of w{i-1}, b{i} is the (cnt DESC, l ASC, r ASC) argmax, w{i}
     applies the greedy replace() merge — formulation shared verbatim
@@ -3152,7 +3254,9 @@ def _bpe_oracle_sql(k: int = 5, tokens: bool = False) -> str:
     scalar subqueries and re-runs the whole learning chain per consumer
     row (measured: the tokens variant went 128 s → 0.2 s at sf0.01).
     With ``tokens=True`` returns the bpe2 twin instead: per-document
-    token counts under the k learned merges."""
+    token counts under the k learned merges.  ``source`` names the
+    table/CTE the corpus is read from; ``prefix_ctes`` splices upstream
+    CTEs (e.g. cp4's canonicalization chain) before the BPE rounds."""
 
     def rnd(i: int) -> str:
         return f"""
@@ -3174,12 +3278,12 @@ def _bpe_oracle_sql(k: int = 5, tokens: bool = False) -> str:
               FROM w{i - 1}
             )"""
 
-    head = """
-            WITH w0 AS (
+    head = f"""
+            WITH {prefix_ctes + "," if prefix_ctes else ""} w0 AS (
               SELECT regexp_replace(w, '(?s)(.)', '|\\1|', 'g') AS seq,
                      CAST(COUNT(*) AS BIGINT) AS freq
               FROM (SELECT unnest(string_split(text, ' ')) AS w
-                    FROM documents WHERE text IS NOT NULL)
+                    FROM {source} WHERE text IS NOT NULL)
               WHERE length(w) > 0 AND NOT contains(w, '|')
               GROUP BY 1
             ),"""
@@ -3215,12 +3319,12 @@ def _bpe_oracle_sql(k: int = 5, tokens: bool = False) -> str:
         body
         + m
         + f"""
-            SELECT doc_id,
+            SELECT doc_id,{tokens_extra_cols}
                    CAST(list_sum(list_transform(string_split(text, ' '),
                      w -> CASE WHEN length(w) = 0 OR contains(w, '|') THEN 0
                                ELSE len(string_split(trim({seq}, '|'), '||'))
                           END)) AS BIGINT) AS n_tokens
-            FROM documents, m
+            FROM {source}, m
         """
     )
 
@@ -5208,59 +5312,12 @@ def oracle_sql() -> dict[str, str]:
                      '<PHONE>', 'g')) AS scrub_md5
             FROM documents
         """,
-        # d7: d5's transitive-closure clusters + t3's quality score +
-        # one window pick — the keeper is ROW_NUMBER()=1 per cluster
-        "d7_canonical_docs": """
-            WITH RECURSIVE sh AS (
-              SELECT DISTINCT doc_id,
-                     substr(text, CAST(i AS INTEGER), 8) AS shingle
-              FROM documents,
-                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
-            ), counts AS (
-              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
-            ), prs AS (
-              SELECT id_a, id_b FROM inter
-              JOIN counts ca ON ca.doc_id = id_a
-              JOIN counts cb ON cb.doc_id = id_b
-              WHERE CAST(n_inter AS DOUBLE) /
-                    (ca.n_shingles + cb.n_shingles - n_inter) >= 0.2
-            ), sym AS (
-              SELECT id_a AS src, id_b AS dst FROM prs
-              UNION ALL
-              SELECT id_b, id_a FROM prs
-            ), reach(src, dst) AS (
-              SELECT src, dst FROM sym
-              UNION
-              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-            ), clusters AS (
-              SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
-              FROM reach GROUP BY src
-            ), q AS (
-              SELECT doc_id,
-                     round((least(n_words / 20.0, 1.0)
-                            + (1.0 - least(punct_ratio * 5, 1.0))
-                            + least(stopword_ratio * 4, 1.0)) / 3.0, 6) AS quality
-              FROM (
-                SELECT doc_id,
-                       len(string_split(text, ' ')) AS n_words,
-                       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                             AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-                       round(CAST(len(list_filter(string_split(text, ' '),
-                             w -> lower(w) IN ('the','and','of','to','a','in','is','it','for','on')))
-                             AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6)
-                         AS stopword_ratio
-                FROM documents
-              )
-            ), assigned AS (
-              SELECT q.doc_id,
-                     coalesce(c.cluster_id, q.doc_id) AS cluster_id,
-                     q.quality
-              FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
-            )
+        # d7: shared CTE chain (_d7_ctes: d5's transitive closure + t3's
+        # quality) + one window pick — the keeper is ROW_NUMBER()=1
+        # per cluster
+        "d7_canonical_docs": "WITH RECURSIVE "
+        + _d7_ctes()
+        + """
             SELECT doc_id, cluster_id, quality,
                    (row_number() OVER (
                       PARTITION BY cluster_id
@@ -5282,6 +5339,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe1_bpe_merges": _bpe_oracle_sql(5),
         "bpe2_bpe_token_counts": _bpe_oracle_sql(5, tokens=True),
+        # cp4: d7's chain + kept + the BPE rounds sourced FROM kept,
+        # wrapped in the per-lang budget agg
+        "cp4_dedup_token_budget": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM (\n"
+            + _bpe_oracle_sql(
+                5,
+                tokens=True,
+                source="kept",
+                tokens_extra_cols=" lang,",
+                prefix_ctes=(
+                    "RECURSIVE "
+                    + _d7_ctes()
+                    + """, kept AS (
+              SELECT d.doc_id, d.lang, d.text
+              FROM documents d JOIN (
+                SELECT doc_id,
+                       row_number() OVER (
+                         PARTITION BY cluster_id
+                         ORDER BY quality DESC, doc_id ASC) AS rk
+                FROM assigned
+              ) r ON d.doc_id = r.doc_id
+              WHERE r.rk = 1
+            )"""
+                ),
+            )
+            + "\n) GROUP BY lang"
+        ),
         **_hash_defined_oracles(),
     }
 
