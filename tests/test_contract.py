@@ -204,6 +204,8 @@ def test_queries_are_lazy(spark):
         # k one-row argmax collects over the vocab-sized word table
         "bpe1_bpe_merges",
         "bpe2_bpe_token_counts",
+        # composes d5's CC fixpoint loop + bpe1's argmax collects
+        "cp4_dedup_token_budget",
     }
     per_builder_budget_sec = 20.0
     slow = {}
