@@ -477,16 +477,28 @@ def build_ivf_snapshot(
 
 
 def load_ivf_snapshot(
-    spark, path: str, n_cells: int = 16, lloyd_iters: int = 2
+    spark, path: str, n_cells: int = 16, lloyd_iters: int | None = 2
 ) -> tuple[DataFrame, list[list[float]]]:
     """(assignment, centroids) back in :func:`ivf_topk`'s working shape;
     centroids come back in cell order so probe indices line up with the
     assignment's cell ids.  Raises if the snapshot was trained with
-    different (n_cells, lloyd_iters) than the caller is probing with."""
-    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
-    got = (meta["n_cells"], meta["lloyd_iters"])
-    want = (n_cells, lloyd_iters)
-    if got != want:
+    different (n_cells, lloyd_iters) than the caller is probing with;
+    ``lloyd_iters=None`` skips that half of the check — probe-time
+    callers (:func:`ivf_topk`) don't care how many rounds trained the
+    centroids, only that the cell geometry (n_cells) matches."""
+    try:
+        meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    except Exception as exc:  # AnalysisException: path missing/unreadable
+        raise ValueError(
+            f"IVF snapshot {path} has no readable meta.parquet — it "
+            "predates training-param pinning (or is not an IVF snapshot); "
+            "rebuild it with build_ivf_snapshot"
+        ) from exc
+    if meta["n_cells"] != n_cells or (
+        lloyd_iters is not None and meta["lloyd_iters"] != lloyd_iters
+    ):
+        got = (meta["n_cells"], meta["lloyd_iters"])
+        want = (n_cells, lloyd_iters)
         raise ValueError(
             f"IVF snapshot {path} was trained with "
             f"(n_cells, lloyd_iters)={got}, caller wants {want}"
@@ -561,8 +573,10 @@ def ivf_topk(
     training meta.
     """
     if ivf_snapshot is not None:
+        # probe time only needs the cell geometry to match — a snapshot
+        # trained with a non-default lloyd_iters is still valid here
         assigned, centroids = load_ivf_snapshot(
-            queries.sparkSession, ivf_snapshot, n_cells=n_cells
+            queries.sparkSession, ivf_snapshot, n_cells=n_cells, lloyd_iters=None
         )
         _snapshot_rows_guard(corpus, assigned, "IVF")
     else:

@@ -122,7 +122,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_merges(
-    docs: DataFrame, text_col: str = "text", k: int = 5
+    docs: DataFrame, text_col: str = "text", k: int = 5, strict: bool = False
 ) -> DataFrame:
     """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
     word-frequency formulation): learn the first ``k`` merge rules —
@@ -154,14 +154,51 @@ def bpe_merges(
     would weld its neighbors into a composite symbol embedding the
     delimiter.  Under dotall every character is its own symbol on both
     engines.  Simplification vs Sennrich: no end-of-word marker —
-    merges are intra-word either way because sequences are per word."""
+    merges are intra-word either way because sequences are per word.
+
+    Words containing the structural ``|`` delimiter are EXCLUDED from
+    learning by default — silent on pipe-heavy corpora (code, markdown
+    tables).  ``strict=True`` raises on the first such word instead, so
+    budget consumers can choose loud failure over silent undercount."""
     spark = docs.sparkSession
-    words = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .where((F.length("w") > 0) & (~F.col("w").contains("|")))
+    wf = _bpe_word_table(docs, text_col, strict=strict)
+    out_rows, _ = _bpe_distributed_rounds(wf, k, start_rank=1)
+    return spark.createDataFrame(
+        out_rows, _BPE_MERGE_SCHEMA
     )
-    wf = (
+
+
+_BPE_MERGE_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+)
+
+
+def _bpe_word_table(
+    docs: DataFrame, text_col: str, strict: bool = False
+) -> DataFrame:
+    """The ONE corpus-proportional pass shared by every BPE tier: the
+    word-count shuffle (map-side partials) producing the distinct-word
+    table (seq, freq), localCheckpointed so the merge rounds never
+    re-scan the corpus."""
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    if strict:
+        words = words.withColumn(
+            "w",
+            F.when(
+                F.col("w").contains("|"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("bpe_merges(strict): word contains the "),
+                        F.lit("structural '|' delimiter: "),
+                        F.col("w"),
+                    )
+                ),
+            ).otherwise(F.col("w")),
+        )
+    words = words.where((F.length("w") > 0) & (~F.col("w").contains("|")))
+    return (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
@@ -169,6 +206,23 @@ def bpe_merges(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _bpe_distributed_rounds(
+    wf: DataFrame,
+    k: int,
+    start_rank: int = 1,
+    checkpoint_every: int | None = None,
+) -> tuple[list[tuple], DataFrame]:
+    """Run up to ``k`` distributed merge rounds over the word table and
+    return (merge rows, final word table).  Each round: one vocab-sized
+    pair-explode + sum shuffle, a ONE-ROW argmax collect, and a codegen
+    replace() rewrite.  ``checkpoint_every`` bounds the replace-chain
+    plan depth for long runs (the hybrid tier's distributed leg): every
+    N rounds the table is re-checkpointed with fully-merged words
+    (single-symbol sequences — they can never contribute a pair again)
+    dropped, which is what makes the table SHRINK as frequent words
+    collapse."""
     pair_expr = (
         "explode(zip_with("
         "  slice(syms, 1, size(syms) - 1),"
@@ -177,7 +231,7 @@ def bpe_merges(
     )
     out_rows = []
     cur = wf
-    for rank in range(1, k + 1):
+    for i, rank in enumerate(range(start_rank, start_rank + k)):
         counts = (
             cur.select(
                 "freq",
@@ -204,10 +258,179 @@ def bpe_merges(
                 F.lit(f"|{b['l']}{b['r']}|"),
             ),
         )
-    return spark.createDataFrame(
-        out_rows,
-        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
-    )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            cur = cur.where(
+                F.col("seq").contains("||")  # ≥2 symbols ⇔ has a pair
+            ).localCheckpoint(eager=True)
+    return out_rows, cur
+
+
+def _bpe_driver_merges(
+    word_freqs: list[tuple[str, int]], k: int, start_rank: int = 1
+) -> list[tuple]:
+    """Driver-local BPE merge loop over a collected word table — the
+    Sennrich incremental algorithm on the SAME ``|...|`` wrapper-encoded
+    strings the distributed tier uses: each round's rewrite is literally
+    ``str.replace('|l||r|', '|lr|')`` (C speed, and the exact greedy
+    left-to-right non-overlapping semantics of Spark/DuckDB ``replace()``
+    by construction), and the pair counts are updated SITE-LOCALLY —
+    only the neighbor pairs around each merge site change, so a round
+    costs O(merge sites), not O(vocabulary · word length).  The argmax
+    is a lazy-deletion heap whose entry order (-cnt, l, r) IS the
+    distributed tie-break (cnt DESC, l ASC, r ASC) — Python's code-point
+    string order matches DuckDB's binary UTF-8 collation exactly, and
+    Spark's UTF-16 comparison agrees on all BMP text (supplementary-
+    plane symbols could order differently vs Java, the same caveat the
+    distributed tie-break already carries vs DuckDB).  Equality with
+    the distributed rounds is pinned at k=64 on the sf0.01 fixture.
+
+    Site-local update rules (overlap-safe, mirroring replace()):
+    subtract the old (prev, l) for every site, and (r, next) only when
+    the next site is NOT immediately adjacent (adjacent sites share
+    that old pair — the previous site's next IS this site's prev, one
+    subtraction total); add (prev_new, lr) where prev_new is the merged
+    symbol when the previous site is adjacent, and (lr, next) only for
+    non-adjacent next sites (an adjacent pair of sites contributes the
+    single new pair (lr, lr) via the second site's prev-add).  The
+    merged pair's own entry is popped wholesale after the round — the
+    greedy rewrite leaves no (l, r) adjacency anywhere, including the
+    counted-but-unmerged overlap occurrences ('aaa' counts (a,a)
+    twice, merges once, and afterwards contains none)."""
+    import heapq
+    from collections import defaultdict
+
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    indices: dict[tuple[str, str], set[int]] = defaultdict(set)
+    words: list[list] = []  # [seq_string, freq]
+    for wid, (seq, freq) in enumerate(word_freqs):
+        words.append([seq, freq])
+        syms = seq[1:-1].split("||")
+        for pair in zip(syms, syms[1:]):
+            stats[pair] += freq
+            indices[pair].add(wid)
+
+    heap = [(-cnt, l, r) for (l, r), cnt in stats.items()]
+    heapq.heapify(heap)
+    out: list[tuple] = []
+    for rank in range(start_rank, start_rank + k):
+        best = None
+        while heap:
+            negcnt, l, r = heapq.heappop(heap)
+            if -negcnt > 0 and stats.get((l, r), 0) == -negcnt:
+                best = (l, r, -negcnt)
+                break
+        if best is None:
+            break
+        l, r, cnt = best
+        out.append((rank, l, r, cnt))
+        pat, rep, lr = f"|{l}||{r}|", f"|{l}{r}|", l + r
+        lp = len(pat)
+        touched: set[tuple[str, str]] = set()
+        for wid in indices.pop((l, r), ()):
+            seq, freq = words[wid]
+            sites: list[int] = []
+            idx = seq.find(pat)
+            while idx != -1:
+                sites.append(idx)
+                idx = seq.find(pat, idx + lp)
+            if not sites:  # stale index entry (pair gone via earlier merge)
+                continue
+            n = len(seq)
+            for si, s in enumerate(sites):
+                adj_prev = si > 0 and sites[si - 1] == s - lp
+                adj_next = si + 1 < len(sites) and sites[si + 1] == s + lp
+                if s > 0:
+                    prev_old = seq[seq.rfind("|", 0, s - 1) + 1 : s - 1]
+                    p = (prev_old, l)
+                    stats[p] -= freq
+                    touched.add(p)
+                    p = (lr if adj_prev else prev_old, lr)
+                    stats[p] += freq
+                    touched.add(p)
+                    indices[p].add(wid)
+                if s + lp < n and not adj_next:
+                    nxt = seq[s + lp + 1 : seq.index("|", s + lp + 1)]
+                    p = (r, nxt)
+                    stats[p] -= freq
+                    touched.add(p)
+                    p = (lr, nxt)
+                    stats[p] += freq
+                    touched.add(p)
+                    indices[p].add(wid)
+            words[wid][0] = seq.replace(pat, rep)
+        stats.pop((l, r), None)
+        touched.discard((l, r))
+        for pair in touched:
+            c = stats.get(pair, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, pair[0], pair[1]))
+    return out
+
+
+def bpe_merges_hybrid(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    driver_rows: int = 2_000_000,
+    checkpoint_every: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """BPE vocabulary induction at REAL vocab sizes (k ≈ 30k): same
+    semantics and output as :func:`bpe_merges` (equality-tested), but
+    the merge loop switches tiers on the size of the distinct-word
+    table instead of paying ~0.13 s of fixed scheduling per round for
+    all k rounds (SCALE.md's bpe regime bound — k=30k would be ~65 min
+    of pure overhead that no cluster shrinks):
+
+    1. The corpus-proportional work is unchanged: ONE word-count
+       shuffle producing the distinct-word table (vocabulary-sized).
+    2. DISTRIBUTED rounds run while that table exceeds ``driver_rows``
+       — each round is the same vocab-sized pair-sum + 1-row argmax as
+       :func:`bpe_merges`, and every ``checkpoint_every`` rounds the
+       table is re-checkpointed with fully-merged (single-symbol)
+       words dropped, so it shrinks as frequent words collapse.
+    3. Once the table fits (``<= driver_rows`` rows — bounded driver
+       metadata by the caller's own threshold, the same contract as
+       sim4's k×d centroids), it is collected ONCE and the remaining
+       merges finish DRIVER-LOCAL with the incremental pair-count
+       algorithm (:func:`_bpe_driver_merges`) — per-round cost there is
+       proportional to the words containing the merged pair, i.e.
+       microseconds, not a Spark job.
+
+    On a 100 TB corpus the distinct-word table after frequency
+    accumulation is typically tens of millions of rows — a few
+    distributed rounds in, the single-symbol drop + the skew of Zipf
+    means it crosses any reasonable ``driver_rows`` quickly; on test
+    scales it collects immediately and the whole k=1024 run is
+    sub-minute (measured in SCALE.md)."""
+    spark = docs.sparkSession
+    wf = _bpe_word_table(docs, text_col, strict=strict)
+    out_rows: list[tuple] = []
+    cur = wf
+    rank = 1
+    remaining = cur.count()
+    while rank <= k and remaining > driver_rows:
+        step = min(checkpoint_every, k - rank + 1)
+        rows, cur = _bpe_distributed_rounds(cur, step, start_rank=rank)
+        out_rows.extend(rows)
+        rank += step
+        if len(rows) < step:  # corpus ran out of mergeable pairs
+            rank = k + 1
+            break
+        # prune fully-merged words + re-checkpoint: bounds the
+        # replace-chain plan depth AND shrinks the table toward the
+        # driver threshold
+        cur = cur.where(F.col("seq").contains("||")).localCheckpoint(
+            eager=True
+        )
+        remaining = cur.count()
+    if rank <= k:
+        collected = cur.where(F.col("seq").contains("||")).collect()
+        word_freqs = [(r["seq"], r["freq"]) for r in collected]
+        out_rows.extend(
+            _bpe_driver_merges(word_freqs, k - rank + 1, start_rank=rank)
+        )
+    return spark.createDataFrame(out_rows, _BPE_MERGE_SCHEMA)
 
 
 def bpe_token_counts(
@@ -215,6 +438,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    excluded_col: str | None = None,
 ) -> DataFrame:
     """Per-document token counts under a learned BPE merge list (the
     "how many tokens is this corpus" question every training-data
@@ -234,7 +458,13 @@ def bpe_token_counts(
     natural-language corpora and must not need quoting; only ``|`` is
     structurally excluded (it is the wrapper delimiter).  Merges are a
     learned artifact of bounded size (k rules), the same contract as
-    sim4's centroids."""
+    sim4's centroids.
+
+    Delimiter-bearing words count as 0 tokens — a silent undercount on
+    pipe-heavy corpora.  ``excluded_col`` surfaces it: when set, the
+    output carries that extra column with the per-document count of
+    excluded words, so budget consumers can SEE when the structural
+    exclusion is material (same partial-agg shape, no extra shuffle)."""
     for l, r in merges:
         if "|" in l + r:
             raise ValueError(f"merge symbols must be delimiter-free: {(l, r)}")
@@ -254,9 +484,19 @@ def bpe_token_counts(
     words = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    counts = (
-        words.select(id_col, word_cnt)
-        .groupBy(id_col)
-        .agg(F.sum("__wc").alias("n_tokens"))
-    )
-    return docs.select(id_col).join(counts, id_col, "left")
+    aggs = [F.sum("__wc").alias("n_tokens")]
+    cols = [F.col(id_col), word_cnt]
+    if excluded_col is not None:
+        cols.append(
+            w.contains("|").cast("bigint").alias("__excl")
+        )
+        aggs.append(F.sum("__excl").alias(excluded_col))
+    counts = words.select(*cols).groupBy(id_col).agg(*aggs)
+    out = docs.select(id_col).join(counts, id_col, "left")
+    if excluded_col is not None:
+        # NULL-text docs have no exploded words: excluded count is 0,
+        # n_tokens stays NULL (the documented NULL-text contract)
+        out = out.withColumn(
+            excluded_col, F.coalesce(F.col(excluded_col), F.lit(0))
+        )
+    return out

@@ -146,4 +146,8 @@ def release_session_state(spark) -> None:
 
     spark.catalog.clearCache()
     gc.collect()
-    spark._jvm.System.gc()
+    # Spark Connect sessions have no _jvm gateway — clearCache + Python
+    # GC are the portable part; the JVM GC is a classic-mode extra.
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        jvm.System.gc()

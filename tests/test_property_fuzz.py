@@ -551,3 +551,30 @@ def test_bpe_merges_never_increase_token_count(spark, words):
         ).collect()[0]["n_tokens"]
         assert cur <= prev, (merges[:i], text)
         prev = cur
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet=st.sampled_from("aab'c."), min_size=1, max_size=7),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_bpe_hybrid_driver_tier_matches_distributed(spark, words):
+    """The hybrid's driver-local tier (site-local incremental pair
+    counts + lazy-deletion heap) must reproduce the distributed rounds
+    verbatim on random repetitive corpora — the alphabet is skewed
+    toward 'a' so adjacent/overlapping merge sites (the subtle update
+    cases) occur constantly."""
+    from maple_spark.pipelines.textstats import bpe_merges, bpe_merges_hybrid
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    base = [tuple(r) for r in bpe_merges(docs, k=6).collect()]
+    got = [tuple(r) for r in bpe_merges_hybrid(docs, k=6).collect()]
+    assert got == base, (text, base, got)
