@@ -1255,6 +1255,75 @@ def sim4_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3)
 
 
+def _snapshot_root(sf_dir: str, name: str) -> str:
+    """Deterministic scratch path for a per-fixture snapshot build —
+    keyed on the sf dir so selfcheck at sf0.01 and sf0.1 never collide."""
+    import os
+
+    return os.path.join(
+        "/tmp/maple_snapshots", os.path.basename(sf_dir.rstrip("/")), name
+    )
+
+
+def sim4s_ivf_snapshot_topk(spark, sf_dir):
+    """The PRODUCTION shape of sim4 — FAISS-style train/add persisted
+    once per corpus snapshot (similarity.build_ivf_snapshot: assignment
+    + centroid + pinned-params parquet), probe + in-cell exact rerank
+    per query batch (measured 6.5x amortization at 100x,
+    ANN_SNAPSHOT_AB_r09.json) — made driver-checkable: this entry
+    builds the snapshot and searches WITH ivf_snapshot=, so the
+    externally-verified plan is the snapshot-read one a 100 TB
+    deployment actually runs (staleness rows-guard included).  Same
+    geometry as sim4_ivf_topk; the oracle is shared verbatim (the
+    parquet roundtrip of assignments/centroids is lossless)."""
+    e = _t(spark, sf_dir, "embeddings")
+    snap = _snapshot_root(sf_dir, "ivf")
+    similarity.build_ivf_snapshot(e, snap, n_cells=8, lloyd_iters=2)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        e, q, k=5, n_cells=8, n_probe=3, ivf_snapshot=snap
+    )
+
+
+def sim6s_quantized_snapshot_topk(spark, sf_dir):
+    """sim6's amortized form: the int8 corpus persisted as
+    array<tinyint> parquet (the actual 4x scan win;
+    similarity.build_quantized_snapshot, 2.2x amortization measured at
+    100x) and the coarse search reading THAT table — the float corpus
+    is touched only by the candidate-bounded exact rerank.  Same
+    contract as sim6_quantized_topk; oracle shared verbatim (tinyint
+    levels widen back to the identical integer-valued doubles)."""
+    e = _t(spark, sf_dir, "embeddings")
+    snap = _snapshot_root(sf_dir, "quantized")
+    similarity.build_quantized_snapshot(e, snap)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.quantized_topk(
+        e, q, k=5, rerank_mult=4, quantized_snapshot=snap
+    )
+
+
+def d6s_snapshot_guard(spark, sf_dir):
+    """The amortized ingest guard: dedup.build_reference_snapshot
+    persists the reference corpus's LSH bucket + fingerprint-set tables
+    ONCE (params pinned in meta.parquet; ~11x per-increment speedup at
+    100x, SNAPSHOT_AMORT_r09.json), and cross_dedup_stream(ref_df=None,
+    reference_snapshot=...) guards the increment against the parquet
+    tables — no reference re-scan.  Output == d6_cross_dedup on the
+    same parity split (equality-tested in pytest); oracle shared
+    verbatim with d6/st7."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    snap = _snapshot_root(sf_dir, "dedup_ref")
+    dedup.build_reference_snapshot(
+        ref, snap, "doc_id", "text", num_perm=64, bands=16, k=8
+    )
+    return dedup.cross_dedup_stream(
+        new, None, "doc_id", "text", num_perm=64, bands=16, k=8,
+        jaccard_threshold=0.2, reference_snapshot=snap,
+    )
+
+
 def sim5_semdedup(spark, sf_dir):
     """SemDeDup cluster-then-prune semantic dedup (Abbas et al. 2023):
     deterministic-Lloyd cells (the sim4 quantizer) + per-cell gram-matrix
@@ -3002,44 +3071,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-checked entries earn external verification: round 6
     # rotated in the hash-defined + LLM-pipeline risk surface (d6/st7/
     # t16/a14/a15/st6/t15/sim3/t17); round 8 rotated in aj1/rj2/w2/q7/
-    # q9/q18/t8/sim2/sim5/dml_update; round 9 rotates in the ten
+    # q9/q18/t8/sim2/sim5/dml_update; round 9 rotated in the ten
     # most-expensive never-checked plans (cp1/sim4/sim1/mm1/mm2/hh1/
-    # lat1/q8/q21/pv1 — cp1 and sim4 being the two priciest plans that
-    # had never seen external verification) and rotates OUT ten
-    # r8-checked siblings whose §2 family keeps ≥1 externally-checked
-    # representative (e6/str1/j3/j5_using/j7_semi/a4/a9_rollup/t3/t6/q7
-    # — all stay selfchecked).  Rotated-out entries live right after
-    # the window; composition is pinned by
+    # lat1/q8/q21/pv1); round 10 rotates in the five selfcheck-only
+    # risk concentrations the r9 verdict named (cp2/cp3 — cp3 being the
+    # most expensive bench plan never externally checked — plus the
+    # round-9 additions cp4/sim6/t18) and the curation + streaming
+    # families' never-checked members (t11/t12/t13/st1/st2), rotating
+    # OUT ten r9-checked siblings whose §2 family keeps ≥1
+    # externally-checked representative (e3→e13 stays, e10→j7_anti
+    # stays, aj1→rj2 stays, hh1→a14/a15 stay, lat1+q8→q3/q21 stay,
+    # pv1, d2→d1/d3-d7 stay, sim1→sim2-sim5 stay, mm2→mm1 stays — all
+    # stay selfchecked).  Rotated-out entries live right after the
+    # window; composition is pinned by
     # tests/test_contract.py::test_driver_window_composition.
     return {
         "flagship_join_topk": flagship_join_topk,
         "s1_scan_filter": s1_scan_filter,
         "p1_project_expr": p1_project_expr,
-        "e3_null_compare": e3_null_compare,
         "e13_scalar_funcs": e13_scalar_funcs,
         "j2_join_inner": j2_join_inner,
         "j4_join_left": j4_join_left,
         "j7_anti_not_exists": j7_anti_not_exists,
-        "e10_scalar_subquery": e10_scalar_subquery,
-        "aj1_asof_join": aj1_asof_join,
         "rj2_interval_overlap": rj2_interval_overlap,
-        "lat1_lateral_topn": lat1_lateral_topn,
         "a2_groupby_q1": a2_groupby_q1,
         "a6_minmax_sumavg": a6_minmax_sumavg,
         "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
-        "hh1_heavy_hitters": hh1_heavy_hitters,
         "o1_sort_rownum": o1_sort_rownum,
         "set_union": set_union,
         "w1_window_rank": w1_window_rank,
-        # round 9 second-wave rotation: the two newest ops take the
-        # window slots of two r8-checked siblings whose families stay
-        # represented (w2 -> w1 stays; q9 -> q3/q8/q21 stay; q18 is
-        # rotated out by the third wave below)
         "d7_canonical_docs": d7_canonical_docs,
-        "pv1_pivot": pv1_pivot,
         "q3_shipping_priority": q3_shipping_priority,
-        "q8_market_share": q8_market_share,
         "st8_stream_dedup": st8_stream_dedup,
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -3047,7 +3110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe2_bpe_token_counts": bpe2_bpe_token_counts,
         "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
-        "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_lsh": d3_minhash_lsh,
         "d4_simhash_pairs": d4_simhash_pairs,
         "d5_dedup_clusters": d5_dedup_clusters,
@@ -3055,18 +3117,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_hash_split": t5_hash_split,
         "t15_weighted_sample": t15_weighted_sample,
         "t16_ngram_counts": t16_ngram_counts,
-        "sim1_cosine_topk": sim1_cosine_topk,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
         "sim4_ivf_topk": sim4_ivf_topk,
         "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
-        "mm2_frame_stats": mm2_frame_stats,
         "st6_hll_stream": st6_hll_stream,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         "dml_update_where": dml_update_where,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
+        # round 10 rotation: the five selfcheck-only risk concentrations
+        # (two never-checked capstones + the three r9 additions) ...
+        "cp2_curation_pipeline": cp2_curation_pipeline,
+        "cp3_pretraining_ingest": cp3_pretraining_ingest,
+        "cp4_dedup_token_budget": cp4_dedup_token_budget,
+        "sim6_quantized_topk": sim6_quantized_topk,
+        "t18_temperature_sample": t18_temperature_sample,
+        # ... plus the curation + streaming families' never-checked
+        # members
+        "t11_decontaminate": t11_decontaminate,
+        "t12_repetition_stats": t12_repetition_stats,
+        "t13_pii_scrub": t13_pii_scrub,
+        "st1_hourly_agg": st1_hourly_agg,
+        "st2_sessionize": st2_sessionize,
         # --- end of the driver-checked first-50 window ---
+        # rotated out of the window in round 10 (all externally checked
+        # in round 9, still selfchecked):
+        "e3_null_compare": e3_null_compare,
+        "e10_scalar_subquery": e10_scalar_subquery,
+        "aj1_asof_join": aj1_asof_join,
+        "hh1_heavy_hitters": hh1_heavy_hitters,
+        "lat1_lateral_topn": lat1_lateral_topn,
+        "pv1_pivot": pv1_pivot,
+        "q8_market_share": q8_market_share,
+        "d2_ngram_jaccard": d2_ngram_jaccard,
+        "sim1_cosine_topk": sim1_cosine_topk,
+        "mm2_frame_stats": mm2_frame_stats,
         # rotated out of the window in round 9 (still selfchecked):
         "e6_like": e6_like,
         "str1_string_funcs": str1_string_funcs,
@@ -3110,8 +3196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "fn1_funnel": fn1_funnel,
         "rj1_range_join": rj1_range_join,
-        "st1_hourly_agg": st1_hourly_agg,
-        "st2_sessionize": st2_sessionize,
         "s2_column_pruned_scan": s2_column_pruned_scan,
         "e4_boolean_ops": e4_boolean_ops,
         "sql_dialect": sql_dialect,
@@ -3152,32 +3236,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_all": set_intersect_all,
         "set_except_all": set_except_all,
         "pv2_unpivot": pv2_unpivot,
-        "t11_decontaminate": t11_decontaminate,
-        "t12_repetition_stats": t12_repetition_stats,
-        "t13_pii_scrub": t13_pii_scrub,
         "t14_domain_mix": t14_domain_mix,
-        "cp2_curation_pipeline": cp2_curation_pipeline,
-        "cp3_pretraining_ingest": cp3_pretraining_ingest,
         "st4_quota_admit": st4_quota_admit,
         "st5_stream_join": st5_stream_join,
         "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
-        # round 9 additions: scalar-quantized ANN (int8 coarse + exact
-        # rerank) and temperature mixture sampling
-        "sim6_quantized_topk": sim6_quantized_topk,
-        "t18_temperature_sample": t18_temperature_sample,
         # rotated out of the first-50 window for the round-9 second- and
         # third-wave ops (all externally checked in r8; families stay
-        # in-window: w1 for windows, q3/q8/q21 for TPC-H, t1/t17 for text)
+        # in-window: w1 for windows, q3/q21 for TPC-H, t1/t17 for text)
         "w2_window_lead_movavg": w2_window_lead_movavg,
         "q9_product_profit": q9_product_profit,
-        # rotated out of the first-50 window for the round-9 third-wave
-        # BPE ops (both externally checked in r8; text family keeps
-        # t1/t17, TPC-H keeps q3/q8/q21 in-window)
         "t8_tfidf_topterms": t8_tfidf_topterms,
         "q18_large_volume_customer": q18_large_volume_customer,
-        # round 9 fourth wave: the capstone composing d7 + bpe1 + bpe2
-        # (its pieces are all individually in-window this round)
-        "cp4_dedup_token_budget": cp4_dedup_token_budget,
+        # round 10 additions: the amortized snapshot paths as
+        # first-class driver-checkable probes (VERDICT r9 task 3) —
+        # each builds its persisted index/reference, then runs the
+        # production probe against the parquet snapshot; oracles are
+        # shared verbatim with the inline siblings (the snapshot
+        # roundtrip is lossless by construction and equality-tested in
+        # pytest)
+        "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
+        "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
+        "d6s_snapshot_guard": d6s_snapshot_guard,
     }
 
 
@@ -3683,8 +3762,13 @@ def oracle_sql() -> dict[str, str]:
                    dup.dup_of IS NULL AS keep, dup.dup_of AS dup_of
             FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vec_id
         """
-    return {
+    out = {
         "sim4_ivf_topk": sim4_oracle,
+        # the snapshot probes share their inline siblings' oracles
+        # verbatim: the persisted index is a lossless parquet roundtrip
+        # of the same training/banding, so the correct answer set is
+        # identical by construction (and equality-tested in pytest)
+        "sim4s_ivf_snapshot_topk": sim4_oracle,
         "sim5_semdedup": sim5_oracle,
         "flagship_join_topk": FLAGSHIP_ORACLE,
         "s1_scan_filter": """
@@ -5369,6 +5453,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         **_hash_defined_oracles(),
     }
+    # the remaining snapshot probes share their inline siblings' oracles
+    # verbatim (same rationale as sim4s above)
+    out["sim6s_quantized_snapshot_topk"] = out["sim6_quantized_topk"]
+    out["d6s_snapshot_guard"] = out["d6_cross_dedup"]
+    return out
 
 
 def _hll_oracle(src: str, out_col: str, est_col: str, with_all: bool) -> str:

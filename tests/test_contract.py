@@ -33,16 +33,17 @@ def test_driver_window_composition():
     """The driver's gate value-checks the FIRST 50 queries() entries in
     dict order.  Round 6 rotated the riskiest operators (rounds-4/5
     hash-defined + LLM-pipeline additions) INTO that window; round 8
-    rotated in ten never-driver-checked entries (as-of/interval joins,
-    analytic windows, 6-way TPC-H shapes, tf-idf, embedding near-dup,
-    SemDeDup, DML); round 9 rotated in the ten most-expensive
-    never-checked plans (both capstone/ANN heavyweights cp1 + sim4,
-    brute-force cosine, both multimodal decode kernels, heavy hitters,
-    lateral top-n, the two deepest TPC-H DP-join shapes q8/q21, pivot)
-    for ten r8-checked siblings.  Pin the composition so a refactor
-    can't silently evict an externally-checked operator."""
+    rotated in ten never-driver-checked entries; round 9 rotated in the
+    ten most-expensive never-checked plans (cp1, sim4, sim1, mm1, mm2,
+    hh1, lat1, q8, q21, pv1); round 10 rotates in the five
+    selfcheck-only risk concentrations the r9 verdict named (cp2/cp3 —
+    cp3 the most expensive bench plan never externally checked — plus
+    the round-9 additions cp4/sim6/t18) and the curation + streaming
+    families' never-checked members (t11/t12/t13/st1/st2), for ten
+    r9-checked siblings whose families keep in-window coverage.  Pin
+    the composition so a refactor can't silently evict an operator."""
     window = list(e.queries())[:50]
-    # the rotated-in risk surface (VERDICT r5/r7/r8 task 1)
+    # the rotated-in risk surface (VERDICT r5/r7/r8/r9 task 1)
     for name in (
         "d6_cross_dedup",
         "st7_cross_dedup_stream",
@@ -52,52 +53,50 @@ def test_driver_window_composition():
         "st6_hll_stream",
         "t15_weighted_sample",
         "sim3_lsh_topk",
-        # round 6 addition: exact duplicated-span detection (newest op,
-        # swapped in for the trivial t4 md5 map)
         "t17_dup_spans",
         # round 8 rotation: kept in-window where no sibling covers the
         # family's extension surface
-        "aj1_asof_join",
         "rj2_interval_overlap",
         "sim2_embedding_near_dup",
         "sim5_semdedup",
         "dml_update_where",
-        # round 9 rotation: never-driver-checked entries in
+        # round 9 rotation survivors (capstone/ANN/multimodal cover)
         "cp1_corpus_pipeline",
         "sim4_ivf_topk",
-        "sim1_cosine_topk",
         "mm1_media_features",
-        "mm2_frame_stats",
-        "hh1_heavy_hitters",
-        "lat1_lateral_topn",
-        "q8_market_share",
         "q21_waiting_supplier",
-        "pv1_pivot",
-        # round 9 second wave: the two newest ops swap in for two
-        # r8-checked siblings (w2 -> w1 stays; q9 -> q3/q8/q21 stay)
         "d7_canonical_docs",
         "st8_stream_dedup",
-        # round 9 third wave: the BPE pair swaps in for t8/q18 (text
-        # family keeps t1/t17, TPC-H keeps q3/q8/q21)
         "bpe1_bpe_merges",
         "bpe2_bpe_token_counts",
+        # round 10 rotation: the never-checked risk concentrations in
+        "cp2_curation_pipeline",
+        "cp3_pretraining_ingest",
+        "cp4_dedup_token_budget",
+        "sim6_quantized_topk",
+        "t18_temperature_sample",
+        "t11_decontaminate",
+        "t12_repetition_stats",
+        "t13_pii_scrub",
+        "st1_hourly_agg",
+        "st2_sessionize",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family
     for family_rep in (
-        "s1_scan_filter",      # scans
-        "p1_project_expr",     # project/rename
-        "e3_null_compare",     # expressions (e1 rotated out r8; 3VL sibling stays)
-        "e10_scalar_subquery", # subqueries
-        "j2_join_inner",       # joins
-        "a2_groupby_q1",       # aggregates
-        "o1_sort_rownum",      # order/limit
-        "set_union",           # set ops
-        "w1_window_rank",      # windows
-        "q3_shipping_priority",# multi-operator queries
-        "t1_text_stats",       # text analysis
-        "d1_dedup_exact",      # dedup
-        "t5_hash_split",       # sampling
+        "s1_scan_filter",       # scans
+        "p1_project_expr",      # project/rename
+        "e13_scalar_funcs",     # expressions (e3 rotated out r10)
+        "j7_anti_not_exists",   # subqueries (e10 rotated out r10)
+        "j2_join_inner",        # joins
+        "a2_groupby_q1",        # aggregates
+        "o1_sort_rownum",       # order/limit
+        "set_union",            # set ops
+        "w1_window_rank",       # windows
+        "q3_shipping_priority", # multi-operator queries
+        "t1_text_stats",        # text analysis
+        "d1_dedup_exact",       # dedup
+        "t5_hash_split",        # sampling
     ):
         assert family_rep in window, family_rep
     # every window entry must carry a driver-runnable oracle (the
@@ -206,6 +205,12 @@ def test_queries_are_lazy(spark):
         "bpe2_bpe_token_counts",
         # composes d5's CC fixpoint loop + bpe1's argmax collects
         "cp4_dedup_token_budget",
+        # the snapshot probes PERSIST their index/reference at build
+        # time by design — that parquet write is the amortized cost the
+        # probe exists to driver-check (the search itself stays lazy)
+        "sim4s_ivf_snapshot_topk",
+        "sim6s_quantized_snapshot_topk",
+        "d6s_snapshot_guard",
     }
     per_builder_budget_sec = 20.0
     slow = {}
