@@ -1282,7 +1282,10 @@ def ngram_jaccard_pairs_prefix(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15, cadence: int = 3
+    pairs: DataFrame,
+    max_iter: int = 15,
+    cadence: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node, cluster_id) with
     cluster_id = min doc id in the component.  This is the step that turns
@@ -1392,6 +1395,12 @@ def connected_components(
             "connected_components_star (O(log n) rounds) for long-chain "
             "graphs"
         )
+    if stats is not None:
+        # observability hook (scale-sweep instrumentation): how many
+        # label-propagation rounds actually ran — `done` counts stacked
+        # rounds including the up-to-cadence-1 post-fixpoint no-ops
+        stats["rounds"] = done
+        stats["cadence"] = cadence
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
@@ -1496,6 +1505,7 @@ def canonical_docs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     quality_col: str = "quality",
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """Cluster canonicalization — the step every dedup pipeline ends
     with: given the corpus (with a per-doc quality signal) and the
@@ -1519,7 +1529,7 @@ def canonical_docs(
     this is the same shape as d1's keeper at corpus scale."""
     from pyspark.sql.window import Window
 
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, stats=cc_stats)
     labeled = docs.join(
         cc, docs[id_col] == cc["node"], "left"
     ).select(

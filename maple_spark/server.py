@@ -55,7 +55,11 @@ class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection, many request lines
         engine: MapleEngine = self.server.engine  # type: ignore[attr-defined]
         for raw in self.rfile:
-            line = raw.decode("utf-8").strip()
+            # decode INSIDE the error boundary's reach: invalid UTF-8
+            # must produce an ok:false response line, not a dropped
+            # connection (replacement chars make json.loads fail
+            # cleanly, which the except below turns into a response)
+            line = raw.decode("utf-8", errors="replace").strip()
             if not line:
                 continue
             try:

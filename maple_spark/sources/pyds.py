@@ -126,7 +126,15 @@ class _StreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = start["offset"]
-        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # the cursor must be MONOTONE even when the recovered offset
+        # exceeds max_rows (a restart with a smaller max_rows than the
+        # run that wrote the checkpoint): min() alone would hand Spark a
+        # BACKWARDS offset — it doesn't order-check Python-source
+        # offsets, so the next batch would re-serve every row between
+        # the clamped cursor and the checkpoint as duplicates (the same
+        # bug class as the reader-local-cursor design this API replaced;
+        # pinned by test_pyds_stream_exhaustion_is_stable)
+        hi = max(lo, min(lo + self.rows_per_batch, self.max_rows))
         return (
             iter([_row(self.seed, gid, self.n_users) for gid in range(lo, hi)]),
             {"offset": hi},

@@ -350,6 +350,67 @@ def test_tcp_server_protocol_contract(spark, tmp_path):
         server.server_close()
 
 
+def test_tcp_server_malformed_line_fuzz(spark, tmp_path):
+    """Wire-boundary fuzz (VERDICT r9 task 6): every garbage request
+    line — invalid UTF-8, non-object JSON, missing/null sql, bogus or
+    hostile limits, a 1 MiB line — must produce ONE parseable response
+    line on the SAME connection (never a dropped connection or a dead
+    server), and both that connection and fresh ones must keep serving
+    valid queries afterwards."""
+    import json as _json
+    import socket
+
+    from maple_spark.engine import MapleEngine
+    from maple_spark.server import QueryServer, query_once
+
+    eng = MapleEngine(
+        spark, SF_DIR, tables=("region",), warehouse=str(tmp_path / "w")
+    )
+    server = QueryServer(eng)
+    server.start_background()
+    try:
+        cases: list[tuple[bytes, str]] = [
+            (b"\xff\xfe\x00garbage", "err"),        # invalid UTF-8
+            (b"not json at all", "err"),
+            (b"42", "err"),                          # JSON, not an object
+            (b"[]", "err"),
+            (b'{"nosql": 1}', "err"),                # missing sql key
+            (b'{"sql": null}', "err"),
+            (b'{"sql": "SELECT 1 AS x", "limit": "abc"}', "err"),
+            (b'{"sql": 7}', "err"),                  # sql not a string
+            # 1 MiB of x — must come back as one error line, not a hang
+            (b'{"sql": "' + b"x" * (1 << 20) + b'"}', "err"),
+            # negative limit: structured error, connection intact
+            (b'{"sql": "SELECT 1 AS x", "limit": -5}', "err"),
+            # oversized limit: result NOT truncated, no materialization blowup
+            (b'{"sql": "SELECT 1 AS x", "limit": 1000000000}', "ok"),
+        ]
+        with socket.create_connection(("127.0.0.1", server.port), timeout=120) as s:
+            f = s.makefile("rwb")
+            for payload, want in cases:
+                f.write(payload + b"\n")
+                f.flush()
+                resp = _json.loads(f.readline().decode("utf-8"))
+                if want == "err":
+                    assert resp["ok"] is False and resp["error"], payload[:40]
+                else:
+                    assert resp["ok"] is True, payload[:60]
+                    assert resp["truncated"] is False
+            # same connection still serves real queries
+            f.write(b'{"sql": "SELECT COUNT(*) AS n FROM region"}\n')
+            f.flush()
+            resp = _json.loads(f.readline().decode("utf-8"))
+            assert resp["ok"] and resp["rows"] == [[5]]
+        # and so does a fresh one
+        resp = query_once(
+            "127.0.0.1", server.port, "SELECT COUNT(*) AS n FROM region"
+        )
+        assert resp["ok"] and resp["rows"] == [[5]]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_create_index_relayouts_store(engine, states_csv):
     """CREATE INDEX (nanosql.g:426-448) → sorted relayout of the store;
     data survives byte-identically and the files are range-sorted."""
