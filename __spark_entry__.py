@@ -817,6 +817,22 @@ def bpe2_bpe_token_counts(spark, sf_dir):
     return textstats.bpe_token_counts(d, merges, "text", "doc_id")
 
 
+def bpe3_bpe_merges_hybrid(spark, sf_dir):
+    """Hybrid-tier BPE vocabulary induction
+    (textstats.bpe_merges_hybrid) — same contract and output as bpe1,
+    but the merge loop switches tiers on the distinct-word table's
+    size: distributed rounds while it exceeds driver_rows (pruning
+    fully-merged words each checkpoint), then ONE bounded collect and a
+    driver-local Sennrich finish with site-local incremental pair
+    counts (O(merge sites)/round — what makes k≈30k tokenizers
+    practical; SCALE.md §bpe).  At fixture scale the collect happens
+    immediately, so this entry oracle-checks the DRIVER tier against
+    the same unrolled-CTE oracle bpe1 uses; tier equality at k=64 plus
+    adjacent/overlapping-site property fuzz are pinned in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_merges_hybrid(d, "text", k=5)
+
+
 def cp4_dedup_token_budget(spark, sf_dir):
     """Capstone composing the round-9 operators into the question a
     training run actually asks — "after dedup, how many tokens do I
@@ -3257,6 +3273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
         "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
         "d6s_snapshot_guard": d6s_snapshot_guard,
+        # round 10: the hybrid BPE tier under the same oracle as bpe1
+        "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
     }
 
 
@@ -5422,6 +5440,8 @@ def oracle_sql() -> dict[str, str]:
             FROM delivered
         """,
         "bpe1_bpe_merges": _bpe_oracle_sql(5),
+        # the hybrid tier must learn the IDENTICAL rule sequence
+        "bpe3_bpe_merges_hybrid": _bpe_oracle_sql(5),
         "bpe2_bpe_token_counts": _bpe_oracle_sql(5, tokens=True),
         # cp4: d7's chain + kept + the BPE rounds sourced FROM kept,
         # wrapped in the per-lang budget agg

@@ -69,6 +69,13 @@ def main() -> None:
     from maple_spark.session import get_spark
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/maple_sfx100"
+    # optional leg selector: run each scale in a FRESH process — the
+    # x100 full arm localCheckpoints corpus-scale edge tables, and a
+    # session that has already run the sf0.1 leg's ~500 stages can die
+    # in a driver BroadcastExchange (notEnoughMemoryToBuildAndBroadcast,
+    # observed on the first combined run) that a fresh session never
+    # hits; results merge into the same JSON
+    leg = sys.argv[2] if len(sys.argv) > 2 else "both"
     runs = int(os.environ.get("D7_AB_RUNS", "3"))
     spark = get_spark(app_name="d7_stage_ab")
     if not os.path.exists(f"{out_dir}/embeddings.parquet"):
@@ -85,8 +92,16 @@ def main() -> None:
         fn().write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    results: dict = {"load_avg_1m_start": round(os.getloadavg()[0], 2)}
-    for label, sf in (("sf0.1", SRC), ("x100", out_dir)):
+    path = "/root/repo/D7_STAGE_AB_r10.json"
+    results: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    results[f"load_avg_1m_start_{leg}"] = round(os.getloadavg()[0], 2)
+    legs = [("sf0.1", SRC), ("x100", out_dir)]
+    for label, sf in legs:
+        if leg not in ("both", label):
+            continue
         n = 2 if sf == out_dir else runs
         # warm both arms once, untimed (codegen/relation caches)
         clock(lambda: _edges(spark, sf))
@@ -121,9 +136,9 @@ def main() -> None:
             file=sys.stderr,
         )
         edges_mat.unpersist()
-    results["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
+    results[f"load_avg_1m_end_{leg}"] = round(os.getloadavg()[0], 2)
     results["runs_per_arm"] = runs
-    with open("/root/repo/D7_STAGE_AB_r10.json", "w") as f:
+    with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -201,8 +201,10 @@ def test_queries_are_lazy(spark):
         "sim4_ivf_topk",
         "sim5_semdedup",
         # k one-row argmax collects over the vocab-sized word table
+        # (bpe3's hybrid collects the word table itself, by design)
         "bpe1_bpe_merges",
         "bpe2_bpe_token_counts",
+        "bpe3_bpe_merges_hybrid",
         # composes d5's CC fixpoint loop + bpe1's argmax collects
         "cp4_dedup_token_budget",
         # the snapshot probes PERSIST their index/reference at build
