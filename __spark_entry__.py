@@ -2766,6 +2766,58 @@ def t8_tfidf_topterms(spark, sf_dir):
     )
 
 
+def t19_perplexity_score(spark, sf_dir):
+    """Unigram-LM cross-entropy scoring — the CCNet/Gopher-class
+    perplexity quality filter (Wenzek et al. 2020): fit unigram
+    probabilities on the corpus itself, score each document by
+    xent = -(1/n) Σ_w k_w·ln(cnt_w/total) = ln(total) - (Σ k·ln cnt)/n
+    (nats; perplexity = e^xent).  High xent ⇒ improbable word mix ⇒
+    gibberish/outlier candidate.
+
+    Scale shape (t8's): ONE (doc, word) shuffle with map-side combine
+    (the localCheckpointed wc table is scanned by all three consumers —
+    vocab, total, and the per-doc score — so the corpus explodes once);
+    vocab is vocabulary-sized and the total is 1 row, both broadcast.
+    Cross-engine exactness: the per-doc Σ k·ln(cnt) runs in
+    DECIMAL(38,12) (order-independent — the sim4 centroid pattern for
+    summing doubles), and the final value rounds to 6 digits, absorbing
+    libm ln's last-ulp differences (the t8 rule).  Wordless/NULL docs
+    surface NULL scores via the left join (the bpe2 contract)."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = wc.groupBy("w").agg(F.sum("k").alias("cnt"))
+    tot = wc.agg(F.sum("k").alias("total"))
+    scored = (
+        wc.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(
+                (F.col("k").cast("double") * F.log(F.col("cnt").cast("double")))
+                .cast("decimal(38,12)")
+            ).alias("_slc"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(
+                F.log(F.col("_total").cast("double"))
+                - F.col("_slc").cast("double") / F.col("n_words"),
+                6,
+            ).alias("xent"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left")
+
+
 def a12_stats_moments(spark, sf_dir):
     """Statistical aggregates (stddev, correlation) computed from exact
     decimal moments — the mergeable-moments formulation: partial sums of
@@ -3275,6 +3327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6s_snapshot_guard": d6s_snapshot_guard,
         # round 10: the hybrid BPE tier under the same oracle as bpe1
         "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
+        # round 10: unigram-LM perplexity quality filter (CCNet-class)
+        "t19_perplexity_score": t19_perplexity_score,
     }
 
 
@@ -5477,6 +5531,30 @@ def oracle_sql() -> dict[str, str]:
     # verbatim (same rationale as sim4s above)
     out["sim6s_quantized_snapshot_topk"] = out["sim6_quantized_topk"]
     out["d6s_snapshot_guard"] = out["d6_cross_dedup"]
+    # t19: same decimal-sum discipline as the Spark side — the per-doc
+    # Σ k·ln(cnt) is summed in DECIMAL(38,12) so partition order can't
+    # move the result; round(6) absorbs libm ln's last ulp
+    out["t19_perplexity_score"] = """
+            WITH wc AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL
+              ) WHERE w <> '' GROUP BY doc_id, w
+            ), vocab AS (
+              SELECT w, SUM(k) AS cnt FROM wc GROUP BY w
+            ), tot AS (
+              SELECT SUM(k) AS total FROM wc
+            ), s AS (
+              SELECT wc.doc_id, CAST(SUM(wc.k) AS BIGINT) AS n_words,
+                     SUM(CAST(CAST(wc.k AS DOUBLE) * ln(CAST(v.cnt AS DOUBLE))
+                         AS DECIMAL(38,12))) AS slc
+              FROM wc JOIN vocab v USING (w) GROUP BY wc.doc_id
+            )
+            SELECT d.doc_id, s.n_words,
+                   round(ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                         - CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
     return out
 
 
