@@ -434,3 +434,22 @@ def test_stream_dedup_batch_single_exchange(spark):
 
     plan = explain_str(e.st8_stream_dedup(spark, SF_DIR))
     assert plan.count("hashpartitioning") == 1
+
+
+def test_t19_perplexity_single_corpus_explode(spark):
+    """t19's corpus explodes ONCE (the checkpointed (doc, word, k)
+    table feeds all three consumers as ExistingRDD scans — no Generate
+    in the scored plan), the vocab join is broadcast, the per-doc score
+    partial-sums map-side before its one doc_id exchange, and nothing
+    drops to a CartesianProduct (the corpus-total cross join must be a
+    1-row broadcast)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t19_perplexity_score(spark, SF_DIR))
+    assert "Generate explode" not in plan          # corpus exploded pre-checkpoint
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan             # vocab + final doc join
+    assert "partial_sum" in plan
+    # exactly 3 hash exchanges: vocab groupBy, the 1-row total's
+    # SinglePartition agg, and the per-doc score agg
+    assert plan.count("hashpartitioning") == 2 and plan.count("SinglePartition") == 1
