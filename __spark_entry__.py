@@ -2818,6 +2818,48 @@ def t19_perplexity_score(spark, sf_dir):
     return d.select("doc_id").join(scored, "doc_id", "left")
 
 
+def cp5_perplexity_mix(spark, sf_dir):
+    """Capstone: perplexity-gated multilingual temperature mix — the
+    quality-then-rebalance ENDING of a pretraining pipeline (CCNet's LM
+    gate feeding XLM-R's α-sampling): t19 scores every document against
+    the corpus-fit unigram LM, documents above the gate (xent > 3.404
+    nats — improbable word mixes) drop, and the survivors rebalance
+    into a 200-doc budget with per-language quotas ∝ √n_lang and the
+    content-stable md5 draw (t18's operator over the GATED set — quota
+    weights follow the post-gate language counts, which is the point:
+    the gate reshapes the mix before the rebalance sees it).  One
+    oracle replays the whole chain (t19's CTEs nested as a CTE + the
+    t18 quota/draw SQL).  Scale shape = the pieces': t19's one
+    (doc, word) shuffle + broadcasts, then one tiny count, 1-row total,
+    broadcast quotas, one rank window per language — the gate adds a
+    broadcast hash join on doc_id, no new shuffle class.  Threshold
+    3.404 sits mid-distribution at the fixtures (keeps ~75% at sf0.01)
+    and is compared on the already-rounded xent BOTH engines agree on
+    hash-exactly (t19's gate), so the filter cannot diverge."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    scored = t19_perplexity_score(spark, sf_dir)
+    # materialize the gated set ONCE (fixed-width (doc_id, lang, xent)
+    # rows — the t8 checkpoint pattern): temperature_sample reads its
+    # input three times (counts, quota total, final join), and without
+    # this the t19 chain's corpus-proportional (doc, word) aggregation
+    # would re-execute per consumer (audited: 3 extra 1-row exchanges
+    # and 3 re-runs of the per-doc score shuffle)
+    kept = (
+        d.select("doc_id", "lang")
+        .join(
+            scored.where(F.col("xent") <= 3.404).select("doc_id", "xent"),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = sampling.temperature_sample(
+        kept, "lang", "doc_id", alpha=0.5, budget=200
+    )
+    return out.select("doc_id", "lang", "xent")
+
+
 def a12_stats_moments(spark, sf_dir):
     """Statistical aggregates (stddev, correlation) computed from exact
     decimal moments — the mergeable-moments formulation: partial sums of
@@ -3329,6 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
         # round 10: unigram-LM perplexity quality filter (CCNet-class)
         "t19_perplexity_score": t19_perplexity_score,
+        # round 10: capstone composing the t19 gate into t18's mix
+        "cp5_perplexity_mix": cp5_perplexity_mix,
     }
 
 
@@ -5554,6 +5598,37 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(CAST((SELECT total FROM tot) AS DOUBLE))
                          - CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
+    # cp5 nests t19's chain as a CTE and replays t18's quota/draw SQL
+    # over the gated set (quota weights follow POST-gate language counts)
+    out["cp5_perplexity_mix"] = f"""
+            WITH t19 AS ({out['t19_perplexity_score']}),
+            kept AS (
+              SELECT d.doc_id, d.lang, t.xent
+              FROM documents d JOIN t19 t ON d.doc_id = t.doc_id
+              WHERE t.xent <= 3.404
+            ), n AS (
+              SELECT lang, COUNT(*) AS cnt FROM kept GROUP BY lang
+            ), w AS (
+              SELECT lang, sqrt(CAST(cnt AS DOUBLE)) AS wt FROM n
+            ), q AS (
+              SELECT lang,
+                     floor(200.0 * wt / (SELECT SUM(wt) FROM w) + 0.5)
+                       AS quota
+              FROM w
+            ), ranked AS (
+              SELECT k.doc_id, k.lang, k.xent,
+                     row_number() OVER (
+                       PARTITION BY k.lang
+                       ORDER BY CAST(('0x' || substring(md5('temp|' ||
+                                k.lang || '|' || CAST(k.doc_id AS VARCHAR)),
+                                1, 4)) AS BIGINT) ASC,
+                                k.doc_id ASC) AS rk
+              FROM kept k
+            )
+            SELECT r.doc_id, r.lang, r.xent
+            FROM ranked r JOIN q ON q.lang = r.lang
+            WHERE r.rk <= q.quota
         """
     return out
 

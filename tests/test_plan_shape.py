@@ -365,6 +365,7 @@ def test_single_partition_exchanges_are_audited(spark):
         "t9_bm25_search": 2,            # doc count + avgdl attaches
         "t18_temperature_sample": 1,    # Σ n^α total — one row over n_groups inputs
         "t19_perplexity_score": 1,      # corpus word-total attach — one row
+        "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
         "ts1_gapfill": 1,               # series min/max bounds row
     }
     got = {}
