@@ -1871,3 +1871,27 @@ def test_duplicated_spans_planted(spark):
     assert (got[5]["n_spans"], got[5]["n_dup_spans"]) == (16, 0)
     assert (got[6]["n_spans"], got[6]["n_dup_spans"]) == (0, 0)
     assert got[6]["dup_span_frac"] is None
+
+
+def test_perplexity_score_hand_corpus(spark):
+    """t19's cross-entropy on a hand-computable corpus: with vocab
+    {a: 2, b: 2} over total 4, every word has p = 1/2, so every doc's
+    xent is exactly ln 2; NULL text surfaces NULL (the bpe2 contract)."""
+    import math
+
+    import __spark_entry__ as e
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "b", "en"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_words"], r["xent"])
+            for r in e.t19_perplexity_score(spark, tmp).collect()
+        }
+    ln2 = round(math.log(2), 6)
+    assert got == {1: (3, ln2), 2: (1, ln2), 3: (None, None)}
