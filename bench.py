@@ -76,6 +76,10 @@ HEADLINE = [
     "sim5_semdedup",
     "sim6_quantized_topk",
     "cp3_pretraining_ingest",
+    # round 10 additions: the unigram-LM quality filter and its
+    # gate-then-rebalance capstone
+    "t19_perplexity_score",
+    "cp5_perplexity_mix",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -83,7 +87,14 @@ HEADLINE = [
 #: while the plan is being built).  For these the clock starts BEFORE
 #: construction so the bench reports honest end-to-end cost instead of
 #: hiding the quantizer outside the timed region.
-CONSTRUCT_TIMED = {"sim4_ivf_topk", "sim5_semdedup"}
+CONSTRUCT_TIMED = {
+    "sim4_ivf_topk",
+    "sim5_semdedup",
+    # t19/cp5 localCheckpoint their count/gated tables at build — the
+    # corpus-proportional pass must sit inside the clock
+    "t19_perplexity_score",
+    "cp5_perplexity_mix",
+}
 
 
 def main() -> None:
