@@ -1272,12 +1272,21 @@ def sim4_ivf_topk(spark, sf_dir):
 
 
 def _snapshot_root(sf_dir: str, name: str) -> str:
-    """Deterministic scratch path for a per-fixture snapshot build —
-    keyed on the sf dir so selfcheck at sf0.01 and sf0.1 never collide."""
+    """Scratch path for a per-fixture snapshot build, keyed on the
+    ABSOLUTE sf dir (two same-named fixture dirs with different data
+    never share a path) AND the pid: the probe entries overwrite-then-
+    read, so two processes running the same entry concurrently (pytest
+    + a driver gate) must not race one directory (review finding,
+    round 10).  /tmp-lifetime garbage per process is bounded by the
+    fixture-scale snapshot sizes."""
+    import hashlib
     import os
 
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return os.path.join(
-        "/tmp/maple_snapshots", os.path.basename(sf_dir.rstrip("/")), name
+        "/tmp/maple_snapshots",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{key}-{os.getpid()}",
+        name,
     )
 
 

@@ -486,14 +486,27 @@ def load_ivf_snapshot(
     ``lloyd_iters=None`` skips that half of the check — probe-time
     callers (:func:`ivf_topk`) don't care how many rounds trained the
     centroids, only that the cell geometry (n_cells) matches."""
+    from pyspark.errors import AnalysisException
+
+    # narrow catch (review finding, round 10): ONLY the missing-path /
+    # not-a-parquet-table analysis error maps to "rebuild the snapshot";
+    # IO blips, permission failures, or corrupt files must surface
+    # as themselves, not as advice to destroy a valid snapshot
     try:
-        meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
-    except Exception as exc:  # AnalysisException: path missing/unreadable
+        rows = spark.read.parquet(f"{path}/meta.parquet").collect()
+    except AnalysisException as exc:
         raise ValueError(
             f"IVF snapshot {path} has no readable meta.parquet — it "
             "predates training-param pinning (or is not an IVF snapshot); "
             "rebuild it with build_ivf_snapshot"
         ) from exc
+    if not rows:
+        raise ValueError(
+            f"IVF snapshot {path} has an EMPTY meta.parquet — the "
+            "snapshot write was interrupted; rebuild it with "
+            "build_ivf_snapshot"
+        )
+    meta = rows[0]
     if meta["n_cells"] != n_cells or (
         lloyd_iters is not None and meta["lloyd_iters"] != lloyd_iters
     ):

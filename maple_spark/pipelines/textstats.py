@@ -411,18 +411,19 @@ def bpe_merges_hybrid(
     remaining = cur.count()
     while rank <= k and remaining > driver_rows:
         step = min(checkpoint_every, k - rank + 1)
-        rows, cur = _bpe_distributed_rounds(cur, step, start_rank=rank)
+        # the helper's end-of-window prune+checkpoint (checkpoint_every=
+        # step fires it exactly once, after the last round) bounds the
+        # replace-chain plan depth AND shrinks the table toward the
+        # driver threshold — one shared implementation, not an inline
+        # copy (review finding, round 10)
+        rows, cur = _bpe_distributed_rounds(
+            cur, step, start_rank=rank, checkpoint_every=step
+        )
         out_rows.extend(rows)
         rank += step
         if len(rows) < step:  # corpus ran out of mergeable pairs
             rank = k + 1
             break
-        # prune fully-merged words + re-checkpoint: bounds the
-        # replace-chain plan depth AND shrinks the table toward the
-        # driver threshold
-        cur = cur.where(F.col("seq").contains("||")).localCheckpoint(
-            eager=True
-        )
         remaining = cur.count()
     if rank <= k:
         collected = cur.where(F.col("seq").contains("||")).collect()

@@ -55,15 +55,16 @@ class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection, many request lines
         engine: MapleEngine = self.server.engine  # type: ignore[attr-defined]
         for raw in self.rfile:
-            # decode INSIDE the error boundary's reach: invalid UTF-8
-            # must produce an ok:false response line, not a dropped
-            # connection (replacement chars make json.loads fail
-            # cleanly, which the except below turns into a response)
-            line = raw.decode("utf-8", errors="replace").strip()
-            if not line:
+            if not raw.strip():
                 continue
             try:
-                req = json.loads(line)
+                # decode STRICTLY, inside the error boundary: invalid
+                # UTF-8 must produce an ok:false response line — not a
+                # dropped connection, and NOT errors='replace', which
+                # would silently mangle a byte inside an otherwise-valid
+                # JSON line into U+FFFD and execute the corrupted query
+                # with ok:true (review finding, round 10)
+                req = json.loads(raw.decode("utf-8").strip())
                 limit = int(req.get("limit", MAX_DEFAULT_ROWS))
                 # dialect router: same statement surface as the REPL and
                 # execute_script (reference parity across all §3 entry

@@ -22,7 +22,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from scale100_experiment import SRC, build, release_session_state, timeit  # noqa: E402
+from scale100_experiment import (  # noqa: E402
+    SRC,
+    build,
+    measure_construct,
+    release_session_state,
+    timeit,
+)
 
 TARGETS = [
     "t12_repetition_stats",
@@ -55,23 +61,14 @@ def main() -> None:
     qs = entrymod.queries()
     qs["s1_scan_filter"](spark, SRC).write.format("noop").mode("overwrite").save()
 
-    def measure_construct(fn, sf, runs):
-        best = float("inf")
-        for _ in range(runs):
-            release_session_state(spark)
-            t0 = time.time()
-            fn(spark, sf).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return best
-
     results: dict = {"load_avg_1m_start": round(os.getloadavg()[0], 2), "queries": {}}
     for name in TARGETS:
         fn = qs[name]
         release_session_state(spark)
         if name in CONSTRUCT_TIMED:
             fn(spark, SRC)  # warm untimed
-            small = measure_construct(fn, SRC, 3)
-            big = measure_construct(fn, out_dir, 2)
+            small = measure_construct(spark, fn, SRC, 3)
+            big = measure_construct(spark, fn, out_dir, 2)
         else:
             small = timeit(fn(spark, SRC), runs=3)
             big = timeit(fn(spark, out_dir), runs=2)

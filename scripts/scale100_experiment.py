@@ -221,6 +221,24 @@ def timeit(df, runs: int = 2) -> float:
     return best
 
 
+def measure_construct(spark, fn, sf, runs: int) -> float:
+    """The repo's ONE construct-timed min-of-N clock (review finding,
+    round 10 — this protocol had grown four copies): for builders that
+    run Spark jobs at DataFrame construction (eager checkpoints, Lloyd
+    collects, snapshot writes), the clock covers construction + the
+    noop-sink execution, with session state released OUTSIDE the timed
+    region between repeats (broadcasts/checkpoint RDDs otherwise
+    accumulate and a long sweep dies in a BroadcastExchange).
+    ``fn(spark, sf) -> DataFrame``."""
+    best = float("inf")
+    for _ in range(runs):
+        release_session_state(spark)
+        t0 = time.time()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
 # one shared definition (maple_spark.session): broadcast relations pile
 # up across a ~35-query sweep and query ~26's BroadcastExchange build
 # then fails — a harness artifact, not an operator defect

@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from scale100_experiment import SRC, build, release_session_state  # noqa: E402
+from scale100_experiment import SRC, build, measure_construct  # noqa: E402
 
 
 def main() -> None:
@@ -28,19 +28,10 @@ def main() -> None:
         build(spark, out_dir)
     fn = entrymod.queries()["t19_perplexity_score"]
 
-    def measure(sf, runs):
-        best = float("inf")
-        for _ in range(runs):
-            release_session_state(spark)
-            t0 = time.time()
-            fn(spark, sf).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return best
-
     results = {"load_avg_1m_start": round(os.getloadavg()[0], 2)}
-    measure(SRC, 1)  # warm codegen, untimed
-    small = measure(SRC, 3)
-    big = measure(out_dir, 2)
+    measure_construct(spark, fn, SRC, 1)  # warm codegen, untimed
+    small = measure_construct(spark, fn, SRC, 3)
+    big = measure_construct(spark, fn, out_dir, 2)
     results["t19_perplexity_score"] = {
         "sf01": round(small, 3),
         "x100": round(big, 3),
