@@ -91,6 +91,55 @@ def jsonl_to_parquet(
     return spark.read.parquet(out_path)
 
 
+#: formats Spark writes/reads natively in this container (avro needs the
+#: external spark-avro package, so it is NOT offered here)
+_CONVERT_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def convert_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    out_format: str = "orc",
+    in_format: str = "parquet",
+    sort_by: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Table format conversion — the interchange surface the reference's
+    single CSV loader never had: any natively-supported columnar/text
+    format to any other, with the same optional sort-by-range layout as
+    the CSV path (tight min-max stats on the sorted columns for both
+    parquet AND orc — ORC carries per-stripe statistics and Spark pushes
+    filters into the native ORC reader just like parquet, pinned in
+    tests/test_sources.py).  CSV output forces a header so a round-trip
+    re-read keeps column names.  At scale this is one map-only
+    read-write pass (plus the optional range shuffle)."""
+    if out_format not in _CONVERT_FORMATS or in_format not in _CONVERT_FORMATS:
+        raise ValueError(
+            f"convert_table supports {_CONVERT_FORMATS}, got "
+            f"{in_format!r} -> {out_format!r}"
+        )
+    reader = spark.read
+    if in_format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = reader.format(in_format).load(in_path)
+    out = df
+    if sort_by:
+        out = out.repartitionByRange(partitions or 8, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif partitions:
+        out = out.repartition(partitions)
+    writer = out.write.mode("overwrite")
+    if out_format == "csv":
+        writer = writer.option("header", "true")
+    writer.format(out_format).save(out_path)
+    back = spark.read
+    if out_format == "csv":
+        back = back.option("header", "true").option("inferSchema", "true")
+    return back.format(out_format).load(out_path)
+
+
 def analyze_encoding(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column {count, distinct, runs, sorted_ratio} + chosen encoding —
     the ``FileAnalyzer`` report as a DataFrame.

@@ -518,3 +518,43 @@ def test_pyds_stream_exhaustion_is_stable():
     # yields phantom rows
     it, end = r.read({"offset": 99})
     assert list(it) == [] and end == {"offset": 99}
+
+
+def test_convert_table_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """Format interchange (round 10): parquet -> ORC keeps values
+    byte-identical, Spark pushes predicates into the native ORC reader
+    (the same scan-level skipping story as parquet), and the sort-by
+    range layout produces stripe-narrow files.  CSV round-trip keeps
+    column names via the forced header."""
+    import pytest
+
+    from conftest import SF_DIR
+
+    from maple_spark.sources.ingest import convert_table
+
+    src = f"{SF_DIR}/nation.parquet"
+    orc = str(tmp_path / "nation_orc")
+    back = convert_table(
+        spark, src, orc, out_format="orc", sort_by=["n_nationkey"]
+    )
+    base = spark.read.parquet(src)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    plan = (
+        back.where(F.col("n_nationkey") > 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,20)]" in plan
+
+    csvd = str(tmp_path / "nation_csv")
+    back_csv = convert_table(
+        spark, orc, csvd, out_format="csv", in_format="orc"
+    )
+    assert set(back_csv.columns) == set(base.columns)
+    assert back_csv.count() == base.count()
+
+    with pytest.raises(ValueError, match="supports"):
+        convert_table(spark, src, str(tmp_path / "x"), out_format="avro")
