@@ -257,3 +257,39 @@ class MapleEngine:
         from maple_spark.constraints import pk_violations
 
         return pk_violations(self._tables[name.lower()], key)
+
+    def export(
+        self,
+        name: str,
+        out_path: str,
+        out_format: str = "orc",
+        sort_by: list[str] | None = None,
+        partitions: int | None = None,
+    ) -> DataFrame:
+        """Export a registered table to another native format (the sink
+        surface the reference's TupleSender/printer family never had for
+        files): one map-only write (plus the optional sort-by range
+        shuffle), delegating to :func:`sources.ingest.convert_table`'s
+        writer rules (CSV headers, format whitelist).  Returns the
+        re-read frame so callers can verify the round-trip."""
+        from maple_spark.sources.ingest import _CONVERT_FORMATS
+
+        if out_format not in _CONVERT_FORMATS:
+            raise ValueError(
+                f"export supports {_CONVERT_FORMATS}, got {out_format!r}"
+            )
+        out = self.table(name)
+        if sort_by:
+            out = out.repartitionByRange(
+                partitions or 8, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        elif partitions:
+            out = out.repartition(partitions)
+        writer = out.write.mode("overwrite")
+        if out_format == "csv":
+            writer = writer.option("header", "true")
+        writer.format(out_format).save(out_path)
+        back = self.spark.read
+        if out_format == "csv":
+            back = back.option("header", "true").option("inferSchema", "true")
+        return back.format(out_format).load(out_path)

@@ -271,3 +271,22 @@ def test_repl_format_rows_nulls_and_truncation():
     txt2 = format_rows(["a"], [(i,) for i in range(6)], max_rows=5)
     assert "first 5 shown" in txt2
     assert format_rows(["a"], []).endswith("(0 rows)")
+
+
+def test_engine_export_formats(spark, tmp_path):
+    """engine.export: registered table -> ORC/CSV with value-identical
+    round-trip and the format whitelist enforced."""
+    import pytest
+
+    from maple_spark.engine import MapleEngine
+
+    engine = MapleEngine(spark, SF_DIR, tables=("region",))
+    back = engine.export("region", str(tmp_path / "region_orc"), "orc")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, engine.table("region").collect())
+    )
+    csv_back = engine.export("region", str(tmp_path / "region_csv"), "csv")
+    assert set(csv_back.columns) == set(engine.table("region").columns)
+    assert csv_back.count() == engine.table("region").count()
+    with pytest.raises(ValueError, match="supports"):
+        engine.export("region", str(tmp_path / "x"), "avro")
