@@ -358,31 +358,65 @@ def lsh_topk(
     return _score_and_rerank(F.broadcast(qs).join(cs, on="srp_sig"), k)
 
 
+def _dlit(x: float) -> str:
+    """Exact double literal for a parsed SQL expression: repr() is the
+    shortest round-trip decimal and Java's Double.parseDouble is
+    correctly rounded, so CAST('<repr>' AS DOUBLE) reproduces the bit —
+    and constant-folds at analysis time."""
+    return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+
 def _cent_array(cents: list[list[float]]) -> Column:
     """Centroid list as a literal array-of-arrays column (broadcast by
-    value into the plan — k×d doubles, driver metadata)."""
-    return F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in cents])
+    value into the plan — k×d doubles, driver metadata).  Built as ONE
+    parsed expression string, not k×d nested F.lit calls: each Column
+    call is a py4j round trip, and the 512-literal build was measured
+    at seconds of driver time per call site (the dedup sig_cols
+    precedent) — sim4's bench wall was 9.4 s construct / 1.3 s execute
+    before this change."""
+    parts = ", ".join(
+        "array(" + ", ".join(_dlit(x) for x in ctr) + ")" for ctr in cents
+    )
+    return F.expr(f"array({parts})")
 
 
-def _dist_structs(vec: Column, cents: list[list[float]]) -> Column:
+def _dist_structs(vec: Column | str, cents: list[list[float]]) -> Column:
     """(squared-L2 distance, cell) struct per centroid.  Left-to-right
     fold so DuckDB's ``list_reduce`` reproduces it bit-exactly; struct
-    sort then orders by (dist, cell) — ties go to the lowest cell."""
-    return F.transform(
-        _cent_array(cents),
-        lambda ctr, i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    ctr,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dist"),
-            i.alias("cell"),
-        ),
+    sort then orders by (dist, cell) — ties go to the lowest cell.
+    One parsed expression per call (same py4j-cost rationale as
+    :func:`_cent_array`); ``vec`` may be a column name (fast path) or
+    any Column expression."""
+    vec_sql = vec if isinstance(vec, str) else None
+    if vec_sql is None:
+        # fall back to the Column-API formulation for non-trivial vec
+        # expressions (none of the current call sites need it)
+        return F.transform(
+            _cent_array(cents),
+            lambda ctr, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        ctr,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                i.alias("cell"),
+            ),
+        )
+    structs = ", ".join(
+        "struct(aggregate(zip_with(`{v}`, array({lits}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dist, "
+        "{i} AS cell)".format(
+            v=vec_sql, lits=", ".join(_dlit(x) for x in ctr), i=i
+        )
+        for i, ctr in enumerate(cents)
     )
+    return F.expr(f"array({structs})")
 
 
 def _lloyd_cells(
@@ -420,7 +454,7 @@ def _lloyd_cells(
         return c.withColumn(
             "cell",
             F.element_at(
-                F.array_sort(_dist_structs(F.col("embedding"), cents)), 1
+                F.array_sort(_dist_structs("embedding", cents)), 1
             )["cell"],
         )
 
@@ -606,7 +640,7 @@ def ivf_topk(
         "query_id",
         "qvec",
         F.explode(
-            F.slice(F.array_sort(_dist_structs(F.col("qvec"), centroids)), 1, n_probe)
+            F.slice(F.array_sort(_dist_structs("qvec", centroids)), 1, n_probe)
         ).alias("pc"),
     ).select("query_id", "qvec", F.col("pc.cell").alias("cell"))
 
