@@ -1271,16 +1271,57 @@ def sim4_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3)
 
 
+def _reap_snapshot_dirs() -> None:
+    """Remove this process's pid-keyed snapshot dirs (atexit) plus any
+    sibling left by a process that no longer exists — short-lived pytest
+    / driver-gate runs would otherwise accumulate unbounded /tmp garbage
+    (review finding, round 10)."""
+    import os
+    import shutil
+
+    base = "/tmp/maple_snapshots"
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for d in entries:
+        pid_s = d.rsplit("-", 1)[-1]
+        if not pid_s.isdigit():
+            continue
+        pid = int(pid_s)
+        dead = pid == os.getpid()
+        if not dead:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                dead = True
+            except OSError:
+                pass
+        if dead:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+_SNAPSHOT_CLEANUP_REGISTERED = False
+
+
 def _snapshot_root(sf_dir: str, name: str) -> str:
     """Scratch path for a per-fixture snapshot build, keyed on the
     ABSOLUTE sf dir (two same-named fixture dirs with different data
     never share a path) AND the pid: the probe entries overwrite-then-
     read, so two processes running the same entry concurrently (pytest
     + a driver gate) must not race one directory (review finding,
-    round 10).  /tmp-lifetime garbage per process is bounded by the
-    fixture-scale snapshot sizes."""
+    round 10).  The pid dir is removed at interpreter exit, and dirs
+    from dead pids are reaped on first use, so /tmp footprint is
+    bounded by live processes, not process history."""
+    import atexit
     import hashlib
     import os
+
+    global _SNAPSHOT_CLEANUP_REGISTERED
+    if not _SNAPSHOT_CLEANUP_REGISTERED:
+        _SNAPSHOT_CLEANUP_REGISTERED = True
+        _reap_snapshot_dirs()  # sweep leftovers from dead processes now
+        atexit.register(_reap_snapshot_dirs)  # and our own dir on exit
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return os.path.join(

@@ -265,31 +265,21 @@ class MapleEngine:
         out_format: str = "orc",
         sort_by: list[str] | None = None,
         partitions: int | None = None,
+        preserve_schema: bool = True,
     ) -> DataFrame:
         """Export a registered table to another native format (the sink
         surface the reference's TupleSender/printer family never had for
         files): one map-only write (plus the optional sort-by range
-        shuffle), delegating to :func:`sources.ingest.convert_table`'s
-        writer rules (CSV headers, format whitelist).  Returns the
-        re-read frame so callers can verify the round-trip."""
-        from maple_spark.sources.ingest import _CONVERT_FORMATS
+        shuffle).  Writer and re-read rules (CSV headers, format
+        whitelist, schema-pinned text re-reads) live in ONE place —
+        :func:`maple_spark.sources.ingest.write_and_reread` — shared
+        with ``convert_table``.  Returns the re-read frame so callers
+        can verify the round-trip, type-identical for every format when
+        ``preserve_schema`` (the default)."""
+        from maple_spark.sources.ingest import write_and_reread
 
-        if out_format not in _CONVERT_FORMATS:
-            raise ValueError(
-                f"export supports {_CONVERT_FORMATS}, got {out_format!r}"
-            )
-        out = self.table(name)
-        if sort_by:
-            out = out.repartitionByRange(
-                partitions or 8, *sort_by
-            ).sortWithinPartitions(*sort_by)
-        elif partitions:
-            out = out.repartition(partitions)
-        writer = out.write.mode("overwrite")
-        if out_format == "csv":
-            writer = writer.option("header", "true")
-        writer.format(out_format).save(out_path)
-        back = self.spark.read
-        if out_format == "csv":
-            back = back.option("header", "true").option("inferSchema", "true")
-        return back.format(out_format).load(out_path)
+        return write_and_reread(
+            self.spark, self.table(name), out_path, out_format,
+            sort_by=sort_by, partitions=partitions,
+            preserve_schema=preserve_schema,
+        )

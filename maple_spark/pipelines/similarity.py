@@ -407,6 +407,11 @@ def _dist_structs(vec: Column | str, cents: list[list[float]]) -> Column:
                 i.alias("cell"),
             ),
         )
+    # backtick-escape the identifier before splicing it into SQL: a
+    # column literally named "a`b" must parse as `a``b`, not break or
+    # alter the expression (current call sites pass fixed names — the
+    # risk is latent, but the escape is one replace)
+    vec_sql = vec_sql.replace("`", "``")
     structs = ", ".join(
         "struct(aggregate(zip_with(`{v}`, array({lits}), "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "

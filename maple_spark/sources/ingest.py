@@ -96,33 +96,37 @@ def jsonl_to_parquet(
 _CONVERT_FORMATS = ("parquet", "orc", "json", "csv")
 
 
-def convert_table(
+def write_and_reread(
     spark: SparkSession,
-    in_path: str,
+    df: DataFrame,
     out_path: str,
-    out_format: str = "orc",
-    in_format: str = "parquet",
+    out_format: str,
     sort_by: list[str] | None = None,
     partitions: int | None = None,
+    preserve_schema: bool = True,
 ) -> DataFrame:
-    """Table format conversion — the interchange surface the reference's
-    single CSV loader never had: any natively-supported columnar/text
-    format to any other, with the same optional sort-by-range layout as
-    the CSV path (tight min-max stats on the sorted columns for both
-    parquet AND orc — ORC carries per-stripe statistics and Spark pushes
-    filters into the native ORC reader just like parquet, pinned in
-    tests/test_sources.py).  CSV output forces a header so a round-trip
-    re-read keeps column names.  At scale this is one map-only
-    read-write pass (plus the optional range shuffle)."""
-    if out_format not in _CONVERT_FORMATS or in_format not in _CONVERT_FORMATS:
+    """The ONE writer/re-reader used by both :func:`convert_table` and
+    :meth:`maple_spark.engine.MapleEngine.export` — the CSV header and
+    re-read rules live here only, so the two surfaces cannot drift.
+
+    CSV output forces a header so a round-trip keeps column names.  For
+    the text formats (csv/json) the re-read applies the SOURCE frame's
+    schema by default (``preserve_schema=True``): text carries no types,
+    and an inferring re-read legally drifts (decimal→double,
+    date→timestamp) — the returned frame must be the verification
+    surface, so it is pinned to the source types.  Pass
+    ``preserve_schema=False`` to get the old inferring behavior (what an
+    out-of-band consumer with no schema would see).  Parquet/ORC are
+    self-describing; the flag is a no-op there.
+
+    One map-only read-write pass plus the optional range shuffle — the
+    sort-by layout yields tight min-max stats (parquet pages / ORC
+    stripes both) so filters skip at the native reader.
+    """
+    if out_format not in _CONVERT_FORMATS:
         raise ValueError(
-            f"convert_table supports {_CONVERT_FORMATS}, got "
-            f"{in_format!r} -> {out_format!r}"
+            f"convert/export supports {_CONVERT_FORMATS}, got {out_format!r}"
         )
-    reader = spark.read
-    if in_format == "csv":
-        reader = reader.option("header", "true").option("inferSchema", "true")
-    df = reader.format(in_format).load(in_path)
     out = df
     if sort_by:
         out = out.repartitionByRange(partitions or 8, *sort_by).sortWithinPartitions(
@@ -136,8 +140,47 @@ def convert_table(
     writer.format(out_format).save(out_path)
     back = spark.read
     if out_format == "csv":
-        back = back.option("header", "true").option("inferSchema", "true")
+        back = back.option("header", "true")
+    if out_format in ("csv", "json"):
+        if preserve_schema:
+            back = back.schema(df.schema)
+        elif out_format == "csv":
+            back = back.option("inferSchema", "true")
     return back.format(out_format).load(out_path)
+
+
+def convert_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    out_format: str = "orc",
+    in_format: str = "parquet",
+    sort_by: list[str] | None = None,
+    partitions: int | None = None,
+    preserve_schema: bool = True,
+) -> DataFrame:
+    """Table format conversion — the interchange surface the reference's
+    single CSV loader never had: any natively-supported columnar/text
+    format to any other, with the same optional sort-by-range layout as
+    the CSV path (tight min-max stats on the sorted columns for both
+    parquet AND orc — ORC carries per-stripe statistics and Spark pushes
+    filters into the native ORC reader just like parquet, pinned in
+    tests/test_sources.py).  Writer + re-read rules are shared with
+    ``engine.export`` via :func:`write_and_reread` (CSV headers,
+    schema-pinned text re-reads).  A CSV *input* with no sidecar schema
+    is still inferred — there is nothing to preserve on that side."""
+    if in_format not in _CONVERT_FORMATS:
+        raise ValueError(
+            f"convert_table supports {_CONVERT_FORMATS}, got {in_format!r}"
+        )
+    reader = spark.read
+    if in_format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = reader.format(in_format).load(in_path)
+    return write_and_reread(
+        spark, df, out_path, out_format,
+        sort_by=sort_by, partitions=partitions, preserve_schema=preserve_schema,
+    )
 
 
 def analyze_encoding(df: DataFrame, columns: list[str] | None = None) -> DataFrame:

@@ -558,3 +558,38 @@ def test_convert_table_orc_roundtrip_and_pushdown(spark, tmp_path):
 
     with pytest.raises(ValueError, match="supports"):
         convert_table(spark, src, str(tmp_path / "x"), out_format="avro")
+
+
+def test_write_and_reread_preserves_types(spark, tmp_path):
+    """Round-trip TYPE fidelity through every interchange format (round
+    11, VERDICT r10 task 6): a decimal+date+timestamp slice must come
+    back schema-identical and value-identical from parquet/orc (self-
+    describing) AND csv/json (schema pinned on re-read — an inferring
+    re-read legally drifts decimal->double, date->timestamp, which the
+    preserve_schema=False escape hatch demonstrates)."""
+    from conftest import SF_DIR
+
+    from maple_spark.sources.ingest import write_and_reread
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+            F.to_date("l_shipdate").alias("ship_date"),
+            F.col("l_shipdate").alias("ship_ts"),
+            "l_returnflag",
+        )
+    )
+    expect = sorted(map(tuple, base.collect()))
+    for fmt in ("parquet", "orc", "csv", "json"):
+        back = write_and_reread(spark, base, str(tmp_path / f"li_{fmt}"), fmt)
+        assert back.schema == base.schema, fmt
+        assert sorted(map(tuple, back.collect())) == expect, fmt
+    # the documented lossy mode: inference drifts the types
+    inferred = write_and_reread(
+        spark, base, str(tmp_path / "li_csv_inf"), "csv", preserve_schema=False
+    )
+    assert inferred.schema != base.schema
+    assert dict(inferred.dtypes)["qty"] == "double"
