@@ -2910,6 +2910,126 @@ def cp5_perplexity_mix(spark, sf_dir):
     return out.select("doc_id", "lang", "xent")
 
 
+def t20_bigram_perplexity(spark, sf_dir):
+    """Bigram stupid-backoff LM scoring (round 11) — one n-gram order up
+    from t19 toward the production CCNet gate (Wenzek et al. 2020 use a
+    5-gram KenLM; Brants et al. 2007 define stupid backoff):
+    S(w|p) = bcnt(p,w)/cnt(p) when the bigram was seen in training, else
+    0.4 · cnt(w)/total; the first token scores unigram, OOV tokens score
+    cnt:=1.  xent = -(1/n) Σ ln S in nats; perplexity = e^xent.
+
+    Unlike t19 (fit on the scoring corpus itself, so every bigram is
+    "seen"), the LM here fits on the CONTENT-STABLE TRAIN HALF
+    (md5_draw16('lm|'||doc_id) % 2 = 0 — the t5 split discipline) and
+    scores ALL documents, so the backoff and OOV branches genuinely
+    fire on the held-out half — the shape a deployment has when the LM
+    is fit on a reference corpus (CCNet fits on Wikipedia).
+
+    Scale shape: the corpus explodes ONCE into (doc, prev, cur)
+    position pairs (prev from the SAME array via element_at — no
+    self-join, no per-doc window sort), aggregates to the checkpointed
+    fixed-width wcb table, and everything derives from wcb: unigram
+    vocab + 1-row total (vocabulary-sized, broadcast — t19's rule),
+    the bigram model (its OWN groupBy — bigram vocab is the one table
+    here that may NOT broadcast at 100 TB, so its join is left
+    un-hinted for AQE to pick shuffle-vs-broadcast by measured size),
+    and the per-doc score (map-side partial sums into one doc_id
+    exchange).  Train membership is a deterministic md5 predicate on
+    wcb.doc_id — zero join.  Cross-engine exactness: per-row ln terms
+    as DIFFERENCES of ln(integer counts), each m·term cast to
+    DECIMAL(38,12) before the order-independent sum, final round(6)
+    absorbing libm's last ulp (the t19 discipline).  Wordless/NULL
+    docs surface NULL via the left join (the bpe2 contract)."""
+    from maple_spark.pipelines.sampling import md5_draw16
+
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", arr.alias("arr"))
+        .where(F.size("arr") > 0)
+    )
+    # posexplode keeps the source array in scope, so prev is an O(1)
+    # element_at on the SAME row — the bigram pairing costs no shuffle
+    e = toks.select(
+        "doc_id", "arr", F.posexplode("arr").alias("i", "cur")
+    ).select(
+        "doc_id",
+        F.when(F.col("i") > 0, F.element_at("arr", F.col("i"))).alias("prev"),
+        "cur",
+    )
+    wcb = (
+        e.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn(
+            "is_train",
+            md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string")))
+            % 2
+            == 0,
+        )
+        .localCheckpoint(eager=True)
+    )
+    uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
+    tot = uv.agg(F.sum("cnt").alias("total"))
+    bm = (
+        wcb.where(F.col("is_train") & F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.sum("m").alias("bcnt"))
+    )
+    joined = (
+        wcb.join(
+            F.broadcast(
+                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur"))
+            ),
+            F.col("cur") == F.col("__w"),
+            "left",
+        )
+        .drop("__w")
+        .join(
+            F.broadcast(
+                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_prev"))
+            ),
+            F.col("prev") == F.col("__pw"),
+            "left",
+        )
+        .drop("__pw")
+        .join(bm, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    lntot = F.log(F.col("total").cast("double"))
+    lncc = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double"))
+    term = (
+        F.when(F.col("prev").isNull(), lncc - lntot)
+        .when(
+            F.col("bcnt").isNotNull(),
+            F.log(F.col("bcnt").cast("double"))
+            - F.log(F.col("cnt_prev").cast("double")),
+        )
+        .otherwise(F.log(F.lit(0.4)) + lncc - lntot)
+    )
+    scored = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("_n"),
+            F.sum(
+                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
+            ).alias("_oov"),
+            F.sum(
+                (F.col("m").cast("double") * term).cast("decimal(38,12)")
+            ).alias("_slc"),
+        )
+        .select(
+            "doc_id",
+            F.col("_n").cast("bigint").alias("n_words"),
+            F.col("_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                -F.col("_slc").cast("double") / F.col("_n"), 6
+            ).alias("xent"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left")
+
+
 def a12_stats_moments(spark, sf_dir):
     """Statistical aggregates (stddev, correlation) computed from exact
     decimal moments — the mergeable-moments formulation: partial sums of
@@ -3233,17 +3353,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # t16/a14/a15/st6/t15/sim3/t17); round 8 rotated in aj1/rj2/w2/q7/
     # q9/q18/t8/sim2/sim5/dml_update; round 9 rotated in the ten
     # most-expensive never-checked plans (cp1/sim4/sim1/mm1/mm2/hh1/
-    # lat1/q8/q21/pv1); round 10 rotates in the five selfcheck-only
-    # risk concentrations the r9 verdict named (cp2/cp3 — cp3 being the
-    # most expensive bench plan never externally checked — plus the
-    # round-9 additions cp4/sim6/t18) and the curation + streaming
-    # families' never-checked members (t11/t12/t13/st1/st2), rotating
-    # OUT ten r9-checked siblings whose §2 family keeps ≥1
-    # externally-checked representative (e3→e13 stays, e10→j7_anti
-    # stays, aj1→rj2 stays, hh1→a14/a15 stay, lat1+q8→q3/q21 stay,
-    # pv1, d2→d1/d3-d7 stay, sim1→sim2-sim5 stay, mm2→mm1 stays — all
-    # stay selfchecked).  Rotated-out entries live right after the
-    # window; composition is pinned by
+    # lat1/q8/q21/pv1); round 10 rotated in cp2/cp3/cp4/sim6/t18 plus
+    # the curation + streaming families' never-checked members
+    # (t11/t12/t13/st1/st2); round 11 rotates in the six round-10
+    # additions that shipped driver-unverified (t19/cp5/bpe3/sim4s/
+    # sim6s/d6s — the r10 verdict's top task), the NEW t20
+    # bigram-backoff LM (in-window from birth, so it does not repeat
+    # that ship-unverified pattern), and a first slice of the
+    # never-checked TPC-H tail (q6/q10/q12/q14/q19 — disjunctive
+    # pushdown + join-shape variety), rotating OUT twelve r10-checked
+    # members whose §2 family keeps an externally-checked
+    # representative (bpe1/bpe2→bpe3 shares bpe1's oracle; d5/d6→
+    # d1/d3/d4/d7 stay + d6s shares d6's oracle verbatim; sim4→sim4s,
+    # sim6→sim6s are the same plans one snapshot-read apart;
+    # t18→cp5 composes the same operator and t5/t15 stay;
+    # t11/t12/t13→t1/t17 stay; st1/st2→st6/st7/st8 stay — all stay
+    # selfchecked).  Rotated-out entries live right after the window;
+    # composition is pinned by
     # tests/test_contract.py::test_driver_window_composition.
     return {
         "flagship_join_topk": flagship_join_topk,
@@ -3264,43 +3390,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_canonical_docs": d7_canonical_docs,
         "q3_shipping_priority": q3_shipping_priority,
         "st8_stream_dedup": st8_stream_dedup,
-        "bpe1_bpe_merges": bpe1_bpe_merges,
         "q21_waiting_supplier": q21_waiting_supplier,
         "t1_text_stats": t1_text_stats,
-        "bpe2_bpe_token_counts": bpe2_bpe_token_counts,
         "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
         "d3_minhash_lsh": d3_minhash_lsh,
         "d4_simhash_pairs": d4_simhash_pairs,
-        "d5_dedup_clusters": d5_dedup_clusters,
-        "d6_cross_dedup": d6_cross_dedup,
         "t5_hash_split": t5_hash_split,
         "t15_weighted_sample": t15_weighted_sample,
         "t16_ngram_counts": t16_ngram_counts,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
-        "sim4_ivf_topk": sim4_ivf_topk,
         "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
         "st6_hll_stream": st6_hll_stream,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         "dml_update_where": dml_update_where,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
-        # round 10 rotation: the five selfcheck-only risk concentrations
-        # (two never-checked capstones + the three r9 additions) ...
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "cp3_pretraining_ingest": cp3_pretraining_ingest,
         "cp4_dedup_token_budget": cp4_dedup_token_budget,
+        # round 11 rotation: the six r10 additions (selfcheck-only at
+        # r10 close) + the NEW t20 + the TPC-H tail slice
+        "t19_perplexity_score": t19_perplexity_score,
+        "cp5_perplexity_mix": cp5_perplexity_mix,
+        "t20_bigram_perplexity": t20_bigram_perplexity,
+        "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
+        "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
+        "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
+        "d6s_snapshot_guard": d6s_snapshot_guard,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q14_promo_effect": q14_promo_effect,
+        "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+        # --- end of the driver-checked first-50 window ---
+        # rotated out of the window in round 11 (all externally checked
+        # in round 10, still selfchecked):
+        "bpe1_bpe_merges": bpe1_bpe_merges,
+        "bpe2_bpe_token_counts": bpe2_bpe_token_counts,
+        "d5_dedup_clusters": d5_dedup_clusters,
+        "d6_cross_dedup": d6_cross_dedup,
+        "sim4_ivf_topk": sim4_ivf_topk,
         "sim6_quantized_topk": sim6_quantized_topk,
         "t18_temperature_sample": t18_temperature_sample,
-        # ... plus the curation + streaming families' never-checked
-        # members
         "t11_decontaminate": t11_decontaminate,
         "t12_repetition_stats": t12_repetition_stats,
         "t13_pii_scrub": t13_pii_scrub,
         "st1_hourly_agg": st1_hourly_agg,
         "st2_sessionize": st2_sessionize,
-        # --- end of the driver-checked first-50 window ---
         # rotated out of the window in round 10 (all externally checked
         # in round 9, still selfchecked):
         "e3_null_compare": e3_null_compare,
@@ -3353,7 +3491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q10_returned_items": q10_returned_items,
         "fn1_funnel": fn1_funnel,
         "rj1_range_join": rj1_range_join,
         "s2_column_pruned_scan": s2_column_pruned_scan,
@@ -3373,11 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_bm25_search": t9_bm25_search,
         "t10_sequence_pack": t10_sequence_pack,
         "arr2_array_ops": arr2_array_ops,
-        "q6_forecast_revenue": q6_forecast_revenue,
         "dml_delete_where": dml_delete_where,
-        "q12_shipmode_priority": q12_shipmode_priority,
-        "q14_promo_effect": q14_promo_effect,
-        "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
         "q11_important_stock": q11_important_stock,
         "q16_supplier_cnt": q16_supplier_cnt,
         "q20_excess_shipments": q20_excess_shipments,
@@ -3414,15 +3547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared verbatim with the inline siblings (the snapshot
         # roundtrip is lossless by construction and equality-tested in
         # pytest)
-        "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
-        "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
-        "d6s_snapshot_guard": d6s_snapshot_guard,
         # round 10: the hybrid BPE tier under the same oracle as bpe1
-        "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
         # round 10: unigram-LM perplexity quality filter (CCNet-class)
-        "t19_perplexity_score": t19_perplexity_score,
         # round 10: capstone composing the t19 gate into t18's mix
-        "cp5_perplexity_mix": cp5_perplexity_mix,
     }
 
 
@@ -5679,6 +5806,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.lang, r.xent
             FROM ranked r JOIN q ON q.lang = r.lang
             WHERE r.rk <= q.quota
+        """
+    # t20: bigram stupid-backoff — wcb/uv/bm/tot MATERIALIZED (each is
+    # consumed 2-4 times; DuckDB would otherwise inline and re-explode
+    # the corpus per consumer, the bpe1 lesson); same DECIMAL(38,12)
+    # per-term sum + round(6) as t19; the train split replays
+    # md5_draw16 verbatim (the t5/cp5 '0x'||substring(md5) idiom)
+    out["t20_bigram_perplexity"] = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (
+              SELECT doc_id,
+                     CASE WHEN i > 1 THEN arr[i - 1] END AS prev,
+                     arr[i] AS cur
+              FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), wcb AS MATERIALIZED (
+              SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS m,
+                     (CAST(('0x' || substring(md5('lm|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0)
+                       AS is_train
+              FROM e GROUP BY doc_id, prev, cur
+            ), uv AS MATERIALIZED (
+              SELECT cur AS w, SUM(m) AS cnt FROM wcb
+              WHERE is_train GROUP BY cur
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), bm AS MATERIALIZED (
+              SELECT prev, cur, SUM(m) AS bcnt FROM wcb
+              WHERE is_train AND prev IS NOT NULL GROUP BY prev, cur
+            ), s AS (
+              SELECT w.doc_id,
+                     CAST(SUM(w.m) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN uc.cnt IS NULL THEN w.m ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(w.m AS DOUBLE) * (CASE
+                        WHEN w.prev IS NULL THEN
+                          ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                        WHEN b.bcnt IS NOT NULL THEN
+                          ln(CAST(b.bcnt AS DOUBLE))
+                          - ln(CAST(up.cnt AS DOUBLE))
+                        ELSE ln(0.4)
+                          + ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                      END) AS DECIMAL(38,12))) AS slc
+              FROM wcb w
+              LEFT JOIN uv uc ON uc.w = w.cur
+              LEFT JOIN uv up ON up.w = w.prev
+              LEFT JOIN bm b ON b.prev = w.prev AND b.cur = w.cur
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.n_oov,
+                   round(-CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """
     return out
 

@@ -34,18 +34,18 @@ def test_driver_window_composition():
     dict order.  Round 6 rotated the riskiest operators (rounds-4/5
     hash-defined + LLM-pipeline additions) INTO that window; round 8
     rotated in ten never-driver-checked entries; round 9 rotated in the
-    ten most-expensive never-checked plans (cp1, sim4, sim1, mm1, mm2,
-    hh1, lat1, q8, q21, pv1); round 10 rotates in the five
-    selfcheck-only risk concentrations the r9 verdict named (cp2/cp3 —
-    cp3 the most expensive bench plan never externally checked — plus
-    the round-9 additions cp4/sim6/t18) and the curation + streaming
-    families' never-checked members (t11/t12/t13/st1/st2), for ten
-    r9-checked siblings whose families keep in-window coverage.  Pin
-    the composition so a refactor can't silently evict an operator."""
+    ten most-expensive never-checked plans; round 10 rotated in
+    cp2/cp3/cp4/sim6/t18 + t11/t12/t13/st1/st2; round 11 rotates in
+    the six round-10 additions that shipped selfcheck-only (t19, cp5,
+    bpe3, sim4s, sim6s, d6s — the r10 verdict's top task), the NEW t20
+    bigram-backoff LM (in-window from birth), and the first TPC-H tail
+    slice (q6/q10/q12/q14/q19), rotating OUT twelve r10-checked
+    members whose families keep an externally-checked representative.
+    Pin the composition so a refactor can't silently evict an
+    operator."""
     window = list(e.queries())[:50]
-    # the rotated-in risk surface (VERDICT r5/r7/r8/r9 task 1)
+    # the rotated-in risk surface (VERDICT r5/r7/r8/r9/r10 task 1)
     for name in (
-        "d6_cross_dedup",
         "st7_cross_dedup_stream",
         "t16_ngram_counts",
         "a14_countmin_sketch",
@@ -62,24 +62,27 @@ def test_driver_window_composition():
         "dml_update_where",
         # round 9 rotation survivors (capstone/ANN/multimodal cover)
         "cp1_corpus_pipeline",
-        "sim4_ivf_topk",
         "mm1_media_features",
         "q21_waiting_supplier",
         "d7_canonical_docs",
         "st8_stream_dedup",
-        "bpe1_bpe_merges",
-        "bpe2_bpe_token_counts",
-        # round 10 rotation: the never-checked risk concentrations in
+        # round 10 rotation survivors (capstone family)
         "cp2_curation_pipeline",
         "cp3_pretraining_ingest",
         "cp4_dedup_token_budget",
-        "sim6_quantized_topk",
-        "t18_temperature_sample",
-        "t11_decontaminate",
-        "t12_repetition_stats",
-        "t13_pii_scrub",
-        "st1_hourly_agg",
-        "st2_sessionize",
+        # round 11 rotation: the r10 additions + t20 + the TPC-H slice
+        "t19_perplexity_score",
+        "cp5_perplexity_mix",
+        "t20_bigram_perplexity",
+        "bpe3_bpe_merges_hybrid",
+        "sim4s_ivf_snapshot_topk",
+        "sim6s_quantized_snapshot_topk",
+        "d6s_snapshot_guard",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q12_shipmode_priority",
+        "q14_promo_effect",
+        "q19_disjunctive_pushdown",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family

@@ -1895,3 +1895,68 @@ def test_perplexity_score_hand_corpus(spark):
         }
     ln2 = round(math.log(2), 6)
     assert got == {1: (3, ln2), 2: (1, ln2), 3: (None, None)}
+
+
+def test_bigram_perplexity_backoff_and_oov_hand_corpus(spark):
+    """t20 on a hand corpus where every branch fires and the expected
+    cross-entropy is recomputed independently here (pure python
+    math.log): the LM fits on the md5-train half only, so the held-out
+    doc exercises first-token unigram, seen-bigram, UNSEEN-bigram
+    stupid backoff (alpha=0.4) and an OOV token (cnt:=1) — the
+    branches the sf fixtures barely reach (31-word shared vocab: 9
+    backoff groups at sf0.01, zero OOV anywhere).  Empty text
+    surfaces NULL (the bpe2 contract)."""
+    import hashlib
+    import math
+    import tempfile
+
+    import pytest as _pytest
+
+    import __spark_entry__ as e
+
+    def is_train(i: int) -> bool:
+        return int(hashlib.md5(f"lm|{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+
+    train_ids = [i for i in range(1, 200) if is_train(i)][:2]
+    held_ids = [i for i in range(1, 200) if not is_train(i)][:2]
+    docs = spark.createDataFrame(
+        [
+            (train_ids[0], "a b c a b", "en"),
+            (train_ids[1], "b a b", "en"),
+            (held_ids[0], "a zzz b a", "en"),
+            (held_ids[1], "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_oov"], r["xent"])
+            for r in e.t20_bigram_perplexity(spark, tmp).collect()
+        }
+    # train counts: unigrams a=3 b=4 c=1 (total 8); bigrams ab=3 bc=1
+    # ca=1 ba=1.  Held doc "a zzz b a":
+    #   a    (first)        ln(3) - ln(8)
+    #   zzz  (OOV backoff)  ln(.4) + ln(1) - ln(8)
+    #   b    (unseen bigram zzz->b) ln(.4) + ln(4) - ln(8)
+    #   a    (seen bigram b->a)     ln(1) - ln(4)
+    slc = (
+        (math.log(3) - math.log(8))
+        + (math.log(0.4) - math.log(8))
+        + (math.log(0.4) + math.log(4) - math.log(8))
+        + (math.log(1) - math.log(4))
+    )
+    n, oov, xent = got[held_ids[0]]
+    assert (n, oov) == (4, 1)
+    assert xent == _pytest.approx(-slc / 4, abs=2e-6)
+    # a pure-train doc: every bigram seen, zero OOV
+    n0, oov0, x0 = got[train_ids[0]]
+    assert (n0, oov0) == (5, 0)
+    slc0 = (
+        (math.log(3) - math.log(8))          # a (first)
+        + 2 * (math.log(3) - math.log(3))    # a->b seen twice
+        + (math.log(1) - math.log(4))        # b->c
+        + (math.log(1) - math.log(1))        # c->a
+    )
+    assert x0 == _pytest.approx(-slc0 / 5, abs=2e-6)
+    assert got[held_ids[1]] == (None, None, None)

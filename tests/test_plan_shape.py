@@ -455,3 +455,25 @@ def test_t19_perplexity_single_corpus_explode(spark):
     # exactly 3 hash exchanges: vocab groupBy, the 1-row total's
     # SinglePartition agg, and the per-doc score agg
     assert plan.count("hashpartitioning") == 2 and plan.count("SinglePartition") == 1
+
+
+def test_t20_bigram_perplexity_plan(spark):
+    """t20's corpus explodes ONCE pre-checkpoint (no Generate in the
+    scored plan — the bigram pairing is element_at on the same array,
+    not a self-join or per-doc window sort), the unigram/total joins
+    broadcast, the per-doc sum partial-aggregates map-side, and the
+    1-row total cross join never drops to a CartesianProduct.  The
+    bigram-model join is deliberately NOT strategy-pinned (at 100 TB
+    the bigram vocab may not broadcast; AQE must stay free to shuffle
+    it), but the exchange census below fails if anyone adds a NEW
+    shuffle class: uv groupBy, bm groupBy, the doc_id score agg +
+    their AQE reuse, and exactly one SinglePartition (the total)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t20_bigram_perplexity(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3   # cnt_cur, cnt_prev, doc join
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 5
+    assert plan.count("SinglePartition") == 1
