@@ -80,6 +80,8 @@ HEADLINE = [
     # gate-then-rebalance capstone
     "t19_perplexity_score",
     "cp5_perplexity_mix",
+    # round 11: the bigram stupid-backoff tier (held-out train split)
+    "t20_bigram_perplexity",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -90,10 +92,11 @@ HEADLINE = [
 CONSTRUCT_TIMED = {
     "sim4_ivf_topk",
     "sim5_semdedup",
-    # t19/cp5 localCheckpoint their count/gated tables at build — the
+    # t19/cp5/t20 localCheckpoint their count/gated tables at build — the
     # corpus-proportional pass must sit inside the clock
     "t19_perplexity_score",
     "cp5_perplexity_mix",
+    "t20_bigram_perplexity",
 }
 
 
