@@ -3030,6 +3030,28 @@ def t20_bigram_perplexity(spark, sf_dir):
     return d.select("doc_id").join(scored, "doc_id", "left")
 
 
+def t19s_lm_snapshot_score(spark, sf_dir):
+    """The PRODUCTION shape of the perplexity gate — the quality twin
+    of d6s: textstats.build_lm_snapshot persists the unigram LM fit on
+    the content-stable md5 train half ONCE (vocab + total parquet, the
+    CCNet fit-on-reference/score-the-crawl split), and lm_score reads
+    THAT snapshot to score every document (OOV words back off to
+    cnt:=1, n_oov reported).  Scoring is batch-local, so the streaming
+    ingest gate is a ZERO-state foreachBatch (equality-tested in
+    test_streaming); this entry driver-checks the snapshot-read plan a
+    deployment actually runs."""
+    from maple_spark.pipelines.sampling import md5_draw16
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(
+        md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 2
+        == 0
+    )
+    snap = _snapshot_root(sf_dir, "lm")
+    textstats.build_lm_snapshot(train, snap)
+    return textstats.lm_score(d, snap)
+
+
 def a12_stats_moments(spark, sf_dir):
     """Statistical aggregates (stddev, correlation) computed from exact
     decimal moments — the mergeable-moments formulation: partial sums of
@@ -3403,7 +3425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim3_lsh_topk": sim3_lsh_topk,
         "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
-        "st6_hll_stream": st6_hll_stream,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         "dml_update_where": dml_update_where,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
@@ -3419,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
         "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
         "d6s_snapshot_guard": d6s_snapshot_guard,
+        "t19s_lm_snapshot_score": t19s_lm_snapshot_score,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
         "q12_shipmode_priority": q12_shipmode_priority,
@@ -3427,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- end of the driver-checked first-50 window ---
         # rotated out of the window in round 11 (all externally checked
         # in round 10, still selfchecked):
+        "st6_hll_stream": st6_hll_stream,
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_token_counts": bpe2_bpe_token_counts,
         "d5_dedup_clusters": d5_dedup_clusters,
@@ -5861,6 +5884,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, s.n_words, s.n_oov,
                    round(-CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
+    # t19s: unigram LM fit on the md5 train half, scored with OOV
+    # backoff cnt:=1 (the snapshot parquet roundtrip is lossless, so
+    # the oracle refits the same counts inline); same DECIMAL(38,12) +
+    # round(6) discipline as t19/t20
+    out["t19s_lm_snapshot_score"] = """
+            WITH wc AS MATERIALIZED (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL
+              ) WHERE w <> '' GROUP BY doc_id, w
+            ), uv AS MATERIALIZED (
+              SELECT w, SUM(k) AS cnt FROM wc
+              WHERE CAST(('0x' || substring(md5('lm|' ||
+                    CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+              GROUP BY w
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), s AS (
+              SELECT wc.doc_id, CAST(SUM(wc.k) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN u.cnt IS NULL THEN wc.k ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(wc.k AS DOUBLE)
+                         * ln(CAST(coalesce(u.cnt, 1) AS DOUBLE))
+                         AS DECIMAL(38,12))) AS slc
+              FROM wc LEFT JOIN uv u ON u.w = wc.w GROUP BY wc.doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.n_oov,
+                   round(ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                         - CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """
     return out

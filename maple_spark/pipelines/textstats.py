@@ -501,3 +501,91 @@ def bpe_token_counts(
             excluded_col, F.coalesce(F.col(excluded_col), F.lit(0))
         )
     return out
+
+
+def build_lm_snapshot(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """Persist a unigram LM fit on ``docs`` — the reference-corpus half
+    of the CCNet gate (Wenzek et al. 2020 fit on Wikipedia, score the
+    crawl): ``{path}/vocab.parquet`` (w, cnt) and ``{path}/meta.parquet``
+    (one total row, derived from the PERSISTED vocab so the two files
+    cannot disagree).  Built once per reference snapshot; the scorer
+    (:func:`lm_score`) and any number of streaming ingest gates read
+    the parquet — the same amortization contract as
+    ``dedup.build_reference_snapshot`` / ``similarity.build_ivf_snapshot``.
+    One (word) shuffle with map-side combine; output is
+    vocabulary-sized, never corpus-sized."""
+    wc = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(text_col, " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
+    spark = docs.sparkSession
+    spark.read.parquet(f"{path}/vocab.parquet").agg(
+        F.sum("cnt").alias("total")
+    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+
+def lm_score(
+    df: DataFrame,
+    lm_snapshot: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a persisted unigram LM
+    (:func:`build_lm_snapshot`): per-doc cross-entropy
+    xent = ln(total) − (Σ k·ln(cnt'))/n in nats, where OOV words score
+    cnt' = 1 (n_oov reports how many tokens backed off).  Returns
+    (id_col, n_words, n_oov, xent); NULL/wordless docs surface NULL
+    (the bpe2 contract).
+
+    Scale shape: ONE (doc, word) shuffle with map-side combine; the
+    snapshot vocab joins broadcast (vocabulary-sized) and the total is
+    a 1-row broadcast.  Cross-engine exactness: Σ k·ln(cnt') in
+    DECIMAL(38,12), final round(6) — the t19 discipline.  The
+    streaming binding is ``foreachBatch(lambda b, _: sink(lm_score(b,
+    snapshot)))``: scoring is batch-local (no cross-row state), so the
+    ingest gate streams with ZERO state store — the quality twin of
+    ``cross_dedup_stream``'s snapshot guard, equality-tested in
+    tests/test_streaming.py."""
+    spark = df.sparkSession
+    vocab = spark.read.parquet(f"{lm_snapshot}/vocab.parquet")
+    meta = spark.read.parquet(f"{lm_snapshot}/meta.parquet")
+    wc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(id_col, F.explode(F.split(text_col, " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    scored = (
+        wc.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(meta))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("_n"),
+            F.sum(
+                F.when(F.col("cnt").isNull(), F.col("k")).otherwise(F.lit(0))
+            ).alias("_oov"),
+            F.sum(
+                (
+                    F.col("k").cast("double")
+                    * F.log(F.coalesce(F.col("cnt"), F.lit(1)).cast("double"))
+                ).cast("decimal(38,12)")
+            ).alias("_slc"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            id_col,
+            F.col("_n").cast("bigint").alias("n_words"),
+            F.col("_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                F.log(F.col("_total").cast("double"))
+                - F.col("_slc").cast("double") / F.col("_n"),
+                6,
+            ).alias("xent"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left")

@@ -39,8 +39,11 @@ def test_driver_window_composition():
     the six round-10 additions that shipped selfcheck-only (t19, cp5,
     bpe3, sim4s, sim6s, d6s — the r10 verdict's top task), the NEW t20
     bigram-backoff LM (in-window from birth), and the first TPC-H tail
-    slice (q6/q10/q12/q14/q19), rotating OUT twelve r10-checked
-    members whose families keep an externally-checked representative.
+    slice (q6/q10/q12/q14/q19), plus the NEW t19s LM-snapshot probe
+    (in-window from birth, st6 out — a14/a15 keep the HLL family and
+    st7/st8 the streaming family externally checked), rotating OUT
+    twelve r10-checked members plus st6, families all keeping an
+    externally-checked representative.
     Pin the composition so a refactor can't silently evict an
     operator."""
     window = list(e.queries())[:50]
@@ -50,7 +53,6 @@ def test_driver_window_composition():
         "t16_ngram_counts",
         "a14_countmin_sketch",
         "a15_hll_dataflow",
-        "st6_hll_stream",
         "t15_weighted_sample",
         "sim3_lsh_topk",
         "t17_dup_spans",
@@ -78,6 +80,7 @@ def test_driver_window_composition():
         "sim4s_ivf_snapshot_topk",
         "sim6s_quantized_snapshot_topk",
         "d6s_snapshot_guard",
+        "t19s_lm_snapshot_score",
         "q6_forecast_revenue",
         "q10_returned_items",
         "q12_shipmode_priority",
@@ -216,6 +219,7 @@ def test_queries_are_lazy(spark):
         "sim4s_ivf_snapshot_topk",
         "sim6s_quantized_snapshot_topk",
         "d6s_snapshot_guard",
+        "t19s_lm_snapshot_score",
         # t19/cp5 localCheckpoint their (doc, word) count / gated tables
         # at build — corpus-proportional by design (bench CONSTRUCT_TIMED)
         "t19_perplexity_score",

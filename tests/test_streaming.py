@@ -728,3 +728,64 @@ def test_cross_dedup_stream_snapshot_matches_batch(spark, tmp_path_factory):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_lm_gate_stream_zero_state_equality(spark, tmp_path):
+    """The perplexity ingest gate (round 11): lm_score against a
+    persisted LM snapshot is batch-LOCAL (each doc scores against the
+    static vocab — no cross-row, cross-batch state), so the streaming
+    binding is a zero-state foreachBatch.  Feed the same docs as 3
+    file micro-batches and as one batch; the gated outputs must be
+    identical, and every micro-batch's scores must come from the SAME
+    frozen snapshot (the amortization contract: ingest never refits
+    the LM)."""
+    from maple_spark.pipelines import textstats
+
+    train = spark.createDataFrame(
+        [(100, "a b c a b"), (101, "b a b")], "doc_id long, text string"
+    )
+    snap = str(tmp_path / "lm_snap")
+    textstats.build_lm_snapshot(train, snap)
+
+    rows = [
+        (1, "a b a"),
+        (2, "a zzz b"),   # OOV token must survive the gate identically
+        (3, "c c c"),
+        (4, None),
+        (5, "b a"),
+        (6, ""),
+    ]
+    d = str(tmp_path / "docs")
+    for i in range(3):
+        spark.createDataFrame(
+            rows[2 * i : 2 * i + 2], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{d}/f{i}")
+
+    batch_all = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(
+        map(tuple, textstats.lm_score(batch_all, snap).collect())
+    )
+
+    got = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _epoch: got.extend(
+                textstats.lm_score(b, snap).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert sorted(map(tuple, got)) == expect
+    # the OOV doc really backed off (n_oov=1) and NULL text passed
+    # through as NULL — the bpe2 contract holds on the stream path too
+    by_id = {t[0]: t for t in got}
+    assert by_id[2][2] == 1
+    assert by_id[4][1:] == (None, None, None)
