@@ -134,6 +134,49 @@ def snap_leg(spark, sf_dir: str, scale: str, runs: int) -> None:
     _merge("/root/repo/SNAPSHOT_STAGE_r11.json", {scale: out})
 
 
+def lm_leg(spark, sf_dir: str, scale: str, runs: int) -> None:
+    """t19s stage attribution: LM snapshot build vs snapshot-read score
+    (the round-11 probe gets the same build/probe split as d6s/sim4s
+    from birth — its sweep number must never repeat the d6s conflation)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines import textstats
+    from maple_spark.pipelines.sampling import md5_draw16
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(
+        md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 2
+        == 0
+    )
+    snap = e._snapshot_root(sf_dir, "lm_stage")
+
+    def lm_build():
+        textstats.build_lm_snapshot(train, snap)
+
+    def lm_score():
+        textstats.lm_score(d, snap).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    arms = {"t19s_build": lm_build, "t19s_score": lm_score}
+    for fn in arms.values():
+        fn()
+    best = {k: float("inf") for k in arms}
+    loads: list = []
+    for _ in range(runs):
+        for name, fn in arms.items():
+            release_session_state(spark)
+            sec, l0, l1 = _bracket(fn)
+            best[name] = min(best[name], sec)
+            loads.append(l1)
+    out = {k: round(v, 3) for k, v in best.items()}
+    out["lm_load_min"] = min(loads)
+    out["lm_load_max"] = max(loads)
+    _merge("/root/repo/SNAPSHOT_STAGE_r11.json", {scale: out})
+
+
 def drift_leg(spark, sf_dir: str, scale: str, runs: int) -> None:
     """t19 + t13 interleaved min-of-N with load brackets."""
     import __spark_entry__ as e
@@ -179,6 +222,8 @@ def main() -> None:
         build(spark, X100)
     if kind == "snap":
         snap_leg(spark, sf_dir, leg, runs)
+    elif kind == "lm":
+        lm_leg(spark, sf_dir, leg, runs)
     else:
         drift_leg(spark, sf_dir, leg, runs)
 

@@ -457,6 +457,30 @@ def test_t19_perplexity_single_corpus_explode(spark):
     assert plan.count("hashpartitioning") == 2 and plan.count("SinglePartition") == 1
 
 
+def test_t19s_lm_snapshot_score_plan(spark):
+    """t19s's scoring plan must be the snapshot-READ one: the corpus
+    explodes once (exactly one Generate), the vocab + total come from
+    parquet scans of the persisted snapshot joined broadcast (never
+    recomputed from the corpus — that would be a second explode), the
+    per-doc sum partial-aggregates map-side, and nothing drops to a
+    CartesianProduct."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t19s_lm_snapshot_score(spark, SF_DIR))
+    # formatted mode prints each node twice (tree + details): one
+    # explode keyword, one Generate node (2 mentions), 4 scans (8)
+    assert plan.count("explode") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan            # the snapshot vocab join
+                                                  # (the doc_id spine join may
+                                                  # legitimately shuffle)
+    assert "partial_sum" in plan
+    # the snapshot tables enter as parquet scans: vocab + meta + the
+    # two documents scans (tokenize + the NULL-keeping left-join spine)
+    assert plan.count("Scan parquet") == 8
+    assert "SinglePartition" not in plan          # total is read, not computed
+
+
 def test_t20_bigram_perplexity_plan(spark):
     """t20's corpus explodes ONCE pre-checkpoint (no Generate in the
     scored plan — the bigram pairing is element_at on the same array,
