@@ -10,13 +10,16 @@ Usage: python scripts/selfcheck.py [sf_dir] [query ...] [-excluded_query ...]
        a machine-readable per-query record (committed per round as
        SELFCHECK_r{N}.json so the full-registry claim is reproducible)
 
-Scale note: the gate SF is 0.01.  At sf0.1 exclude the five dedup
-oracles whose DUCKDB formulations are deliberately naive-quadratic
-(-d2_ngram_jaccard -d3_minhash_lsh -d4_simhash_pairs -d5_dedup_clusters
--sim2_embedding_near_dup): the synthetic corpus has a ~50-word
+Scale note: the gate SF is 0.01.  At sf0.1 exclude the SEVEN
+quadratic-oracle entries (-d2_ngram_jaccard -d3_minhash_lsh
+-d4_simhash_pairs -d5_dedup_clusters -sim2_embedding_near_dup
+-d7_canonical_docs -cp4_dedup_token_budget — the last two replay d5's
+exact-Jaccard CTE chain): the synthetic corpus has a ~50-word
 vocabulary, so the oracle's shingle self-join explodes (observed 63 GB
-of DuckDB spill) while the SPARK sides stay bucketed/bounded — that
-asymmetry is the point of the scalable formulations.
+of DuckDB spill at r10; an r11 run WITH d7 included filled the disk at
+76 GB and took the host to ENOSPC) while the SPARK sides stay
+bucketed/bounded — that asymmetry is the point of the scalable
+formulations.
 """
 
 from __future__ import annotations

@@ -365,6 +365,9 @@ def test_single_partition_exchanges_are_audited(spark):
         "t9_bm25_search": 2,            # doc count + avgdl attaches
         "t18_temperature_sample": 1,    # Σ n^α total — one row over n_groups inputs
         "t19_perplexity_score": 1,      # corpus word-total attach — one row
+        "t20_bigram_perplexity": 1,     # train word-total attach — one row
+                                        # (t19s has NONE: its total is READ
+                                        # from the snapshot, pinned above)
         "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
         "ts1_gapfill": 1,               # series min/max bounds row
     }
