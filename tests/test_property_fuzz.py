@@ -578,3 +578,76 @@ def test_bpe_hybrid_driver_tier_matches_distributed(spark, words):
     base = [tuple(r) for r in bpe_merges(docs, k=6).collect()]
     got = [tuple(r) for r in bpe_merges_hybrid(docs, k=6).collect()]
     assert got == base, (text, base, got)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "åß", "x'y", ""]),
+                max_size=6,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_perplexity_family_oracle_agree_on_random_corpora(
+    spark, tmp_path_factory, texts
+):
+    """The three LM scorers (t19 inline unigram, t20 bigram backoff,
+    t19s snapshot gate) must stay value-exact vs their DuckDB oracles
+    on RANDOM corpora — NULL texts, empty/whitespace-only texts,
+    multi-space runs (empty tokens), unicode, quote characters, and
+    corpora whose md5 train half is empty (every count NULL) are all
+    reachable here where the fixed fixtures reach none of them."""
+    import duckdb as _duck
+    import math
+
+    import __spark_entry__ as e
+
+    tmp = str(tmp_path_factory.mktemp("lmfuzz"))
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    con = _duck.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            vals = []
+            for i in order:
+                v = r[i]
+                if isinstance(v, float):
+                    v = None if math.isnan(v) else round(v, 9)
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=repr)
+
+    for name in (
+        "t19_perplexity_score",
+        "t20_bigram_perplexity",
+        "t19s_lm_snapshot_score",
+    ):
+        sdf = e.queries()[name](spark, tmp).toPandas()
+        odf = con.execute(e.oracle_sql()[name]).fetchdf()
+        odf = odf.astype(object).where(odf.notna(), None)
+        sdf = sdf.astype(object).where(sdf.notna(), None)
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        got = norm(list(sdf.columns), list(sdf.itertuples(index=False)))
+        want = norm(list(odf.columns), list(odf.itertuples(index=False)))
+        assert got == want, (name, texts, got, want)
