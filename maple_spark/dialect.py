@@ -24,6 +24,10 @@ parser cannot run:
   view-backed table → unioned view (InsertCommand.java:41,160-185 —
   column list and SELECT form included); inserts on real Spark catalog
   tables fall through to ``spark.sql``
+- ``EXPORT t TO 'path' [FORMAT f] [PARTITION BY (cols)]`` (extension —
+  the file-sink inverse of CREATE STORE; the reference's sinks stop at
+  the printer/TupleSender family) → ``engine.export`` /
+  ``sources.ingest.write_and_reread``; returns the re-read frame
 - ``BEGIN/START TRANSACTION/COMMIT/ROLLBACK`` (nanosql.g:676-694) →
   explicit error: transactions are scoped out (BASELINE.json — Parquet has
   no WAL); a silent no-op would lie about atomicity
@@ -100,6 +104,17 @@ _INSERT = re.compile(
 )
 _EXPLAIN_DML = re.compile(
     r"^\s*EXPLAIN\s+(?P<inner>(?:UPDATE|DELETE|INSERT)\b.+)$", re.I | re.S
+)
+# EXPORT t TO 'path' [FORMAT orc|csv|json|parquet] [PARTITION BY (cols)]
+# — the file-sink inverse of CREATE STORE FROM 'file' (an extension: the
+# reference's sink surface stops at the printer/TupleSender family);
+# routes to engine.export / sources.ingest.write_and_reread and returns
+# the re-read frame as the statement's result set.
+_EXPORT = re.compile(
+    r"^\s*EXPORT\s+(?P<name>\w+)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
+    r"(?:\s+PARTITION\s+BY\s*\(\s*(?P<cols>[\w\s,]+?)\s*\))?\s*$",
+    re.I,
 )
 _TXN = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(\s+WORK)?\s*$", re.I)
 _CRASH = re.compile(r"^\s*CRASH\s*$", re.I)
@@ -316,6 +331,15 @@ def route_statement(engine, stmt: str):
     m = _VERIFY.match(stmt)
     if m:
         return _verify_tables(engine, _table_list(m.group("tables")))
+
+    m = _EXPORT.match(stmt)
+    if m:
+        return engine.export(
+            m.group("name"),
+            m.group("path"),
+            (m.group("fmt") or "parquet").lower(),
+            partition_by=_table_list(m.group("cols")) if m.group("cols") else None,
+        )
 
     m = _OPTIMIZE.match(stmt)
     if m:

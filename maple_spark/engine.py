@@ -266,6 +266,7 @@ class MapleEngine:
         sort_by: list[str] | None = None,
         partitions: int | None = None,
         preserve_schema: bool = True,
+        partition_by: list[str] | None = None,
     ) -> DataFrame:
         """Export a registered table to another native format (the sink
         surface the reference's TupleSender/printer family never had for
@@ -281,5 +282,5 @@ class MapleEngine:
         return write_and_reread(
             self.spark, self.table(name), out_path, out_format,
             sort_by=sort_by, partitions=partitions,
-            preserve_schema=preserve_schema,
+            preserve_schema=preserve_schema, partition_by=partition_by,
         )

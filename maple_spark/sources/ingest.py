@@ -104,6 +104,7 @@ def write_and_reread(
     sort_by: list[str] | None = None,
     partitions: int | None = None,
     preserve_schema: bool = True,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """The ONE writer/re-reader used by both :func:`convert_table` and
     :meth:`maple_spark.engine.MapleEngine.export` — the CSV header and
@@ -122,6 +123,17 @@ def write_and_reread(
     One map-only read-write pass plus the optional range shuffle — the
     sort-by layout yields tight min-max stats (parquet pages / ORC
     stripes both) so filters skip at the native reader.
+
+    ``partition_by`` writes a Hive-partitioned layout
+    (``col=value/...`` directories) — the 100 TB table layout: a filter
+    on a partition column prunes whole directories at planning time
+    (``PartitionFilters`` in the scan, pinned in tests) instead of
+    reading data files at all.  Partition columns are low-cardinality
+    by contract (each value is a directory); re-reads pin the SOURCE
+    schema for every format here, because partition-column types are
+    otherwise re-INFERRED from directory names (an int-looking string
+    partition value would come back int).  Composable with ``sort_by``
+    for in-file ordering within each partition.
     """
     if out_format not in _CONVERT_FORMATS:
         raise ValueError(
@@ -137,16 +149,24 @@ def write_and_reread(
     writer = out.write.mode("overwrite")
     if out_format == "csv":
         writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.format(out_format).save(out_path)
     back = spark.read
     if out_format == "csv":
         back = back.option("header", "true")
-    if out_format in ("csv", "json"):
+    if out_format in ("csv", "json") or partition_by:
         if preserve_schema:
             back = back.schema(df.schema)
         elif out_format == "csv":
             back = back.option("inferSchema", "true")
-    return back.format(out_format).load(out_path)
+    got = back.format(out_format).load(out_path)
+    if partition_by and preserve_schema:
+        # partitioned reads append partition columns last regardless of
+        # the supplied schema; restore the source column order so the
+        # round-trip is schema-IDENTICAL, not just schema-equivalent
+        got = got.select(*df.columns)
+    return got
 
 
 def convert_table(
@@ -158,6 +178,7 @@ def convert_table(
     sort_by: list[str] | None = None,
     partitions: int | None = None,
     preserve_schema: bool = True,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Table format conversion — the interchange surface the reference's
     single CSV loader never had: any natively-supported columnar/text
@@ -180,6 +201,7 @@ def convert_table(
     return write_and_reread(
         spark, df, out_path, out_format,
         sort_by=sort_by, partitions=partitions, preserve_schema=preserve_schema,
+        partition_by=partition_by,
     )
 
 

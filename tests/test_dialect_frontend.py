@@ -598,3 +598,24 @@ def test_dml_literal_fuzz(engine, states_csv):
         for r in engine.sql("SELECT id, name FROM states").collect()
     }
     assert got == expect
+
+
+def test_export_statement(engine, tmp_path):
+    """EXPORT t TO 'path' [FORMAT f] [PARTITION BY (cols)] — the
+    file-sink inverse of CREATE STORE FROM 'file' (extension: the
+    reference's sinks stop at printer/TupleSender).  Returns the
+    re-read frame as the result set; partitioned export lays out
+    col=value directories."""
+    import os
+
+    out1 = str(tmp_path / "region_out")
+    res = engine.execute_script(f"EXPORT region TO '{out1}' FORMAT orc;")
+    assert len(res[0]) == engine.table("region").count()
+    out2 = str(tmp_path / "nation_part")
+    res = engine.execute_script(
+        f"EXPORT nation TO '{out2}' PARTITION BY (n_regionkey);"
+    )
+    assert len(res[0]) == engine.table("nation").count()
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out2))
+    with pytest.raises(ValueError, match="supports"):
+        engine.execute_script(f"EXPORT region TO '{out1}' FORMAT avro;")

@@ -593,3 +593,63 @@ def test_write_and_reread_preserves_types(spark, tmp_path):
     )
     assert inferred.schema != base.schema
     assert dict(inferred.dtypes)["qty"] == "double"
+
+
+def test_partitioned_export_layout_and_pruning(spark, tmp_path):
+    """partition_by (round 11): Hive-partitioned layout through the
+    shared writer — a filter on the partition column must prune whole
+    directories at PLANNING time (PartitionFilters on the scan, and the
+    pruned scan reads only the matching partition's files), the
+    round-trip stays schema- and value-identical (partition-column
+    types pinned via the source schema — directory names would
+    otherwise re-infer), and it composes with sort_by within each
+    partition."""
+    import os
+
+    from conftest import SF_DIR
+
+    from maple_spark.sources.ingest import write_and_reread
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+            "l_returnflag",
+            "l_linestatus",
+        )
+    )
+    out = str(tmp_path / "li_part")
+    back = write_and_reread(
+        spark, base, out, "parquet",
+        partition_by=["l_returnflag"], sort_by=["l_orderkey"],
+    )
+    assert back.schema == base.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    # one directory per flag value
+    flags = {r["l_returnflag"] for r in base.select("l_returnflag").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert dirs == {f"l_returnflag={f}" for f in flags}
+    plan = (
+        back.where(F.col("l_returnflag") == "R")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # a string partition column whose values LOOK numeric must come
+    # back string (inference would widen it to int)
+    base2 = spark.createDataFrame(
+        [(1, "01"), (2, "02")], "id long, bucket string"
+    )
+    back2 = write_and_reread(
+        spark, base2, str(tmp_path / "numlike"), "parquet",
+        partition_by=["bucket"],
+    )
+    assert dict(back2.dtypes)["bucket"] == "string"
+    assert sorted(map(tuple, back2.collect())) == [(1, "01"), (2, "02")]
