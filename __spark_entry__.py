@@ -3030,6 +3030,138 @@ def t20_bigram_perplexity(spark, sf_dir):
     return d.select("doc_id").join(scored, "doc_id", "left")
 
 
+def t21_trigram_perplexity(spark, sf_dir):
+    """Trigram stupid-backoff LM (round 11) — the next order up from
+    t20 toward the 5-gram KenLM production gate:
+    S(w|p2,p1) = tcnt/bcnt(p2,p1) when the trigram was seen in
+    training, else 0.4·S(w|p1) (t20's bigram chain, itself backing off
+    0.4·cnt'(w)/total on unseen bigrams, OOV cnt':=1); positions 1/2
+    score with the unigram/bigram chains directly.  Same md5-train
+    split as t20 — and at this order backoff is no longer rare: 26% of
+    the sf0.01 gate's token positions miss the trigram table (vs 9
+    token GROUPS missing bigrams in t20), so the recursive-backoff
+    arithmetic itself is hash-checked at volume.
+
+    Scale shape = t20's with one more derived model: ONE corpus
+    explode (p2/p1 via element_at on the row's own array), a
+    checkpointed (doc, p2, p1, cur, m) table, unigram vocab + 1-row
+    total broadcast, bigram + trigram models via their own groupBys
+    with UN-HINTED joins (three context joins: (p1,cur) probability,
+    (p2,p1) context denominator, (p2,p1,cur) trigram — none is
+    broadcastable by contract at 100 TB, AQE decides from measured
+    size).  DECIMAL(38,12) per-term sums + round(6); NULL/wordless
+    docs surface NULL (the bpe2 contract)."""
+    from maple_spark.pipelines.sampling import md5_draw16
+
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", arr.alias("arr"))
+        .where(F.size("arr") > 0)
+    )
+    e = toks.select(
+        "doc_id", "arr", F.posexplode("arr").alias("i", "cur")
+    ).select(
+        "doc_id",
+        F.when(F.col("i") > 1, F.element_at("arr", F.col("i") - 1)).alias("p2"),
+        F.when(F.col("i") > 0, F.element_at("arr", F.col("i"))).alias("p1"),
+        "cur",
+    )
+    wcb = (
+        e.groupBy("doc_id", "p2", "p1", "cur")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn(
+            "is_train",
+            md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string")))
+            % 2
+            == 0,
+        )
+        .localCheckpoint(eager=True)
+    )
+    uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
+    tot = uv.agg(F.sum("cnt").alias("total"))
+    bm = (
+        wcb.where(F.col("is_train") & F.col("p1").isNotNull())
+        .groupBy("p1", "cur")
+        .agg(F.sum("m").alias("bcnt"))
+    )
+    tm = (
+        wcb.where(F.col("is_train") & F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "cur")
+        .agg(F.sum("m").alias("tcnt"))
+    )
+    joined = (
+        wcb.join(
+            F.broadcast(
+                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur"))
+            ),
+            F.col("cur") == F.col("__w"),
+            "left",
+        )
+        .drop("__w")
+        .join(
+            F.broadcast(
+                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1"))
+            ),
+            F.col("p1") == F.col("__pw"),
+            "left",
+        )
+        .drop("__pw")
+        .join(bm, ["p1", "cur"], "left")
+        .join(
+            bm.select(
+                F.col("p1").alias("__c2"),
+                F.col("cur").alias("__c1"),
+                F.col("bcnt").alias("bcnt_ctx"),
+            ),
+            (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
+            "left",
+        )
+        .drop("__c2", "__c1")
+        .join(tm, ["p2", "p1", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    lntot = F.log(F.col("total").cast("double"))
+    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
+    big_chain = F.when(
+        F.col("bcnt").isNotNull(),
+        F.log(F.col("bcnt").cast("double"))
+        - F.log(F.col("cnt_p1").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + uni)
+    term = (
+        F.when(F.col("p1").isNull(), uni)
+        .when(F.col("p2").isNull(), big_chain)
+        .when(
+            F.col("tcnt").isNotNull(),
+            F.log(F.col("tcnt").cast("double"))
+            - F.log(F.col("bcnt_ctx").cast("double")),
+        )
+        .otherwise(F.log(F.lit(0.4)) + big_chain)
+    )
+    scored = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("_n"),
+            F.sum(
+                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
+            ).alias("_oov"),
+            F.sum(
+                (F.col("m").cast("double") * term).cast("decimal(38,12)")
+            ).alias("_slc"),
+        )
+        .select(
+            "doc_id",
+            F.col("_n").cast("bigint").alias("n_words"),
+            F.col("_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                -F.col("_slc").cast("double") / F.col("_n"), 6
+            ).alias("xent"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left")
+
+
 def t19s_lm_snapshot_score(spark, sf_dir):
     """The PRODUCTION shape of the perplexity gate — the quality twin
     of d6s: textstats.build_lm_snapshot persists the unigram LM fit on
@@ -3420,7 +3552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash_pairs": d4_simhash_pairs,
         "t5_hash_split": t5_hash_split,
         "t15_weighted_sample": t15_weighted_sample,
-        "t16_ngram_counts": t16_ngram_counts,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
         "sim5_semdedup": sim5_semdedup,
@@ -3436,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_perplexity_score": t19_perplexity_score,
         "cp5_perplexity_mix": cp5_perplexity_mix,
         "t20_bigram_perplexity": t20_bigram_perplexity,
+        "t21_trigram_perplexity": t21_trigram_perplexity,
         "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
         "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
         "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
@@ -3450,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the window in round 11 (all externally checked
         # in round 10, still selfchecked):
         "st6_hll_stream": st6_hll_stream,
+        "t16_ngram_counts": t16_ngram_counts,
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_token_counts": bpe2_bpe_token_counts,
         "d5_dedup_clusters": d5_dedup_clusters,
@@ -5880,6 +6013,80 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN uv uc ON uc.w = w.cur
               LEFT JOIN uv up ON up.w = w.prev
               LEFT JOIN bm b ON b.prev = w.prev AND b.cur = w.cur
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.n_oov,
+                   round(-CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
+    # t21: trigram stupid-backoff — same discipline as t20 with one more
+    # MATERIALIZED model CTE; the bigram chain appears twice (position-2
+    # scoring and the trigram's backoff target), spelled identically so
+    # both branches stay bit-equal to the Spark side
+    out["t21_trigram_perplexity"] = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (
+              SELECT doc_id,
+                     CASE WHEN i > 2 THEN arr[i - 2] END AS p2,
+                     CASE WHEN i > 1 THEN arr[i - 1] END AS p1,
+                     arr[i] AS cur
+              FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), wcb AS MATERIALIZED (
+              SELECT doc_id, p2, p1, cur, CAST(COUNT(*) AS BIGINT) AS m,
+                     (CAST(('0x' || substring(md5('lm|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0)
+                       AS is_train
+              FROM e GROUP BY doc_id, p2, p1, cur
+            ), uv AS MATERIALIZED (
+              SELECT cur AS w, SUM(m) AS cnt FROM wcb
+              WHERE is_train GROUP BY cur
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), bm AS MATERIALIZED (
+              SELECT p1, cur, SUM(m) AS bcnt FROM wcb
+              WHERE is_train AND p1 IS NOT NULL GROUP BY p1, cur
+            ), tm AS MATERIALIZED (
+              SELECT p2, p1, cur, SUM(m) AS tcnt FROM wcb
+              WHERE is_train AND p2 IS NOT NULL GROUP BY p2, p1, cur
+            ), s AS (
+              SELECT w.doc_id,
+                     CAST(SUM(w.m) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN uc.cnt IS NULL THEN w.m ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(w.m AS DOUBLE) * (CASE
+                        WHEN w.p1 IS NULL THEN
+                          ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                        WHEN w.p2 IS NULL THEN
+                          (CASE WHEN b.bcnt IS NOT NULL THEN
+                             ln(CAST(b.bcnt AS DOUBLE))
+                             - ln(CAST(up.cnt AS DOUBLE))
+                           ELSE ln(0.4)
+                             + ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                             - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                           END)
+                        WHEN t.tcnt IS NOT NULL THEN
+                          ln(CAST(t.tcnt AS DOUBLE))
+                          - ln(CAST(bc.bcnt AS DOUBLE))
+                        ELSE ln(0.4)
+                          + (CASE WHEN b.bcnt IS NOT NULL THEN
+                               ln(CAST(b.bcnt AS DOUBLE))
+                               - ln(CAST(up.cnt AS DOUBLE))
+                             ELSE ln(0.4)
+                               + ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                               - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                             END)
+                      END) AS DECIMAL(38,12))) AS slc
+              FROM wcb w
+              LEFT JOIN uv uc ON uc.w = w.cur
+              LEFT JOIN uv up ON up.w = w.p1
+              LEFT JOIN bm b ON b.p1 = w.p1 AND b.cur = w.cur
+              LEFT JOIN bm bc ON bc.p1 = w.p2 AND bc.cur = w.p1
+              LEFT JOIN tm t ON t.p2 = w.p2 AND t.p1 = w.p1 AND t.cur = w.cur
               GROUP BY w.doc_id
             )
             SELECT d.doc_id, s.n_words, s.n_oov,

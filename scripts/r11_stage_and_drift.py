@@ -185,7 +185,12 @@ def drift_leg(spark, sf_dir: str, scale: str, runs: int) -> None:
     qs = e.queries()
     # t20 rides the same protocol: its first 100x leg (VERDICT r10
     # task 4) lands load-bracketed from birth
-    arms = ("t19_perplexity_score", "t13_pii_scrub", "t20_bigram_perplexity")
+    arms = (
+        "t19_perplexity_score",
+        "t13_pii_scrub",
+        "t20_bigram_perplexity",
+        "t21_trigram_perplexity",
+    )
     out: dict = {}
     loads: list = []
     for name in arms:  # warm, untimed

@@ -40,17 +40,18 @@ def test_driver_window_composition():
     bpe3, sim4s, sim6s, d6s — the r10 verdict's top task), the NEW t20
     bigram-backoff LM (in-window from birth), and the first TPC-H tail
     slice (q6/q10/q12/q14/q19), plus the NEW t19s LM-snapshot probe
-    (in-window from birth, st6 out — a14/a15 keep the HLL family and
-    st7/st8 the streaming family externally checked), rotating OUT
-    twelve r10-checked members plus st6, families all keeping an
-    externally-checked representative.
+    (st6 out — a14/a15 keep the HLL family and st7/st8 the streaming
+    family externally checked) and the NEW t21 trigram tier (t16 out —
+    t1/t17 keep text analysis and the gram kernel is exercised by
+    t11/t17 in-window), rotating OUT twelve r10-checked members plus
+    st6/t16, families all keeping an externally-checked
+    representative.
     Pin the composition so a refactor can't silently evict an
     operator."""
     window = list(e.queries())[:50]
     # the rotated-in risk surface (VERDICT r5/r7/r8/r9/r10 task 1)
     for name in (
         "st7_cross_dedup_stream",
-        "t16_ngram_counts",
         "a14_countmin_sketch",
         "a15_hll_dataflow",
         "t15_weighted_sample",
@@ -76,6 +77,7 @@ def test_driver_window_composition():
         "t19_perplexity_score",
         "cp5_perplexity_mix",
         "t20_bigram_perplexity",
+        "t21_trigram_perplexity",
         "bpe3_bpe_merges_hybrid",
         "sim4s_ivf_snapshot_topk",
         "sim6s_quantized_snapshot_topk",

@@ -1960,3 +1960,62 @@ def test_bigram_perplexity_backoff_and_oov_hand_corpus(spark):
     )
     assert x0 == _pytest.approx(-slc0 / 5, abs=2e-6)
     assert got[held_ids[1]] == (None, None, None)
+
+
+def test_trigram_perplexity_backoff_chain_hand_corpus(spark):
+    """t21 on a hand corpus where the FULL backoff chain fires and the
+    expected value is recomputed independently: trigram hit, unseen
+    trigram backing off to a seen bigram (alpha once), unseen trigram
+    backing off through an unseen bigram to the unigram (alpha twice),
+    and an OOV token.  Positions 1/2 take the unigram/bigram chains
+    directly."""
+    import hashlib
+    import math
+    import tempfile
+
+    import pytest as _pytest
+
+    import __spark_entry__ as e
+
+    def is_train(i: int) -> bool:
+        return int(hashlib.md5(f"lm|{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+
+    train_ids = [i for i in range(1, 200) if is_train(i)][:2]
+    held_ids = [i for i in range(1, 200) if not is_train(i)][:1]
+    docs = spark.createDataFrame(
+        [
+            (train_ids[0], "a b c a b", "en"),
+            (train_ids[1], "b a b", "en"),
+            # held out: "a b a zzz c"
+            (held_ids[0], "a b a zzz c", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_oov"], r["xent"])
+            for r in e.t21_trigram_perplexity(spark, tmp).collect()
+        }
+    ln = math.log
+    # train: unigrams a=3 b=4 c=1 (total 8); bigrams ab=3 bc=1 ca=1
+    # ba=1; trigrams abc=1 bca=1 cab=1 bab=1.
+    # held "a b a zzz c":
+    #   a   pos1: unigram              ln 3 - ln 8
+    #   b   pos2: bigram a->b seen     ln 3 - ln 3
+    #   a   tri (a,b)->a UNSEEN -> α·S(a|b): bigram b->a seen
+    #                                 ln .4 + (ln 1 - ln 4)
+    #   zzz tri (b,a)->zzz unseen -> α·S(zzz|a): bigram a->zzz unseen
+    #       -> α·unigram OOV          ln .4 + ln .4 + (ln 1 - ln 8)
+    #   c   tri (a,zzz)->c unseen -> α·S(c|zzz): bigram zzz->c unseen
+    #       -> α·unigram              ln .4 + ln .4 + (ln 1) ... cnt_c=1
+    slc = (
+        (ln(3) - ln(8))
+        + (ln(3) - ln(3))
+        + (ln(0.4) + ln(1) - ln(4))
+        + (ln(0.4) + ln(0.4) + ln(1) - ln(8))
+        + (ln(0.4) + ln(0.4) + ln(1) - ln(8))
+    )
+    n, oov, xent = got[held_ids[0]]
+    assert (n, oov) == (5, 1)
+    assert xent == _pytest.approx(-slc / 5, abs=2e-6)

@@ -366,6 +366,7 @@ def test_single_partition_exchanges_are_audited(spark):
         "t18_temperature_sample": 1,    # Σ n^α total — one row over n_groups inputs
         "t19_perplexity_score": 1,      # corpus word-total attach — one row
         "t20_bigram_perplexity": 1,     # train word-total attach — one row
+        "t21_trigram_perplexity": 1,    # train word-total attach — one row
                                         # (t19s has NONE: its total is READ
                                         # from the snapshot, pinned above)
         "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
@@ -458,6 +459,25 @@ def test_t19_perplexity_single_corpus_explode(spark):
     # exactly 3 hash exchanges: vocab groupBy, the 1-row total's
     # SinglePartition agg, and the per-doc score agg
     assert plan.count("hashpartitioning") == 2 and plan.count("SinglePartition") == 1
+
+
+def test_t21_trigram_perplexity_plan(spark):
+    """t21's exchange census: one corpus explode pre-checkpoint (no
+    Generate in the scored plan), no CartesianProduct, map-side partial
+    sums, exactly one SinglePartition (the train total).  Seven hash
+    exchanges = the three derived models (uv/bm/tm) + the doc_id score
+    agg + AQE reuse; the three context joins (probability bigram,
+    context-denominator bigram, trigram) are NOT strategy-pinned — at
+    100 TB none is broadcastable by contract and AQE must stay free to
+    shuffle them."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t21_trigram_perplexity(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 7
+    assert plan.count("SinglePartition") == 1
 
 
 def test_t19s_lm_snapshot_score_plan(spark):

@@ -641,6 +641,7 @@ def test_perplexity_family_oracle_agree_on_random_corpora(
     for name in (
         "t19_perplexity_score",
         "t20_bigram_perplexity",
+        "t21_trigram_perplexity",
         "t19s_lm_snapshot_score",
     ):
         sdf = e.queries()[name](spark, tmp).toPandas()
