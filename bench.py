@@ -80,8 +80,10 @@ HEADLINE = [
     # gate-then-rebalance capstone
     "t19_perplexity_score",
     "cp5_perplexity_mix",
-    # round 11: the bigram stupid-backoff tier (held-out train split)
+    # round 11: the bigram + trigram stupid-backoff tiers (held-out
+    # train split)
     "t20_bigram_perplexity",
+    "t21_trigram_perplexity",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -97,6 +99,7 @@ CONSTRUCT_TIMED = {
     "t19_perplexity_score",
     "cp5_perplexity_mix",
     "t20_bigram_perplexity",
+    "t21_trigram_perplexity",
 }
 
 
