@@ -186,6 +186,10 @@ def test_dialect_utility_statements_interleaved(engine, tmp_path):
         "EXPLAIN UPDATE states SET name = 'x' WHERE id = 1",
         "EXPLAIN DELETE FROM states WHERE id = 1",
         "CREATE INDEX idx_states ON states (id)",
+        # EXPORT is read-only on the store; repeated exports just
+        # overwrite the same sink dir (mode=overwrite contract)
+        f"EXPORT states TO '{tmp_path}/exp_soup' FORMAT orc",
+        f"EXPORT states TO '{tmp_path}/exp_part' PARTITION BY (id)",
     ]
     for step in range(30):
         if rnd.random() < 0.5:
@@ -210,6 +214,11 @@ def test_dialect_utility_statements_interleaved(engine, tmp_path):
         for r in engine.sql("SELECT id, name, val FROM states").collect()
     }
     assert got == model
+    # an export after the soup must reflect the final store state
+    res = engine.execute_script(
+        f"EXPORT states TO '{tmp_path}/exp_final' FORMAT parquet"
+    )
+    assert {r["id"]: (r["name"], r["val"]) for r in res[0]} == model
 
 
 SELECT_SEEDS = 3
