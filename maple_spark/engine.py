@@ -267,6 +267,7 @@ class MapleEngine:
         partitions: int | None = None,
         preserve_schema: bool = True,
         partition_by: list[str] | None = None,
+        compression: str | None = None,
     ) -> DataFrame:
         """Export a registered table to another native format (the sink
         surface the reference's TupleSender/printer family never had for
@@ -283,4 +284,5 @@ class MapleEngine:
             self.spark, self.table(name), out_path, out_format,
             sort_by=sort_by, partitions=partitions,
             preserve_schema=preserve_schema, partition_by=partition_by,
+            compression=compression,
         )

@@ -105,6 +105,7 @@ def write_and_reread(
     partitions: int | None = None,
     preserve_schema: bool = True,
     partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> DataFrame:
     """The ONE writer/re-reader used by both :func:`convert_table` and
     :meth:`maple_spark.engine.MapleEngine.export` — the CSV header and
@@ -151,6 +152,12 @@ def write_and_reread(
         writer = writer.option("header", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression:
+        # per-write codec choice (e.g. zstd for cold archives, snappy/
+        # lz4 for hot scan paths) — at 100 TB the scan-speed-vs-size
+        # trade is per-table policy, not a cluster-wide default; Spark
+        # validates the codec name per format at write time
+        writer = writer.option("compression", compression)
     writer.format(out_format).save(out_path)
     back = spark.read
     if out_format == "csv":
@@ -179,6 +186,7 @@ def convert_table(
     partitions: int | None = None,
     preserve_schema: bool = True,
     partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> DataFrame:
     """Table format conversion — the interchange surface the reference's
     single CSV loader never had: any natively-supported columnar/text
@@ -201,7 +209,7 @@ def convert_table(
     return write_and_reread(
         spark, df, out_path, out_format,
         sort_by=sort_by, partitions=partitions, preserve_schema=preserve_schema,
-        partition_by=partition_by,
+        partition_by=partition_by, compression=compression,
     )
 
 

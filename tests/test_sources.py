@@ -653,3 +653,25 @@ def test_partitioned_export_layout_and_pruning(spark, tmp_path):
     )
     assert dict(back2.dtypes)["bucket"] == "string"
     assert sorted(map(tuple, back2.collect())) == [(1, "01"), (2, "02")]
+
+
+def test_export_compression_codecs(spark, tmp_path):
+    """Per-write codec choice (round 11): zstd parquet for cold
+    archives vs the snappy default, gzip csv — the codec must reach
+    the files (extension-visible) and round-trips stay value-exact."""
+    import os
+
+    from conftest import SF_DIR
+
+    from maple_spark.sources.ingest import write_and_reread
+
+    base = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    expect = sorted(map(tuple, base.collect()))
+    zp = str(tmp_path / "r_zstd")
+    back = write_and_reread(spark, base, zp, "parquet", compression="zstd")
+    assert sorted(map(tuple, back.collect())) == expect
+    assert any(f.endswith(".zstd.parquet") for f in os.listdir(zp))
+    gz = str(tmp_path / "r_gz")
+    back2 = write_and_reread(spark, base, gz, "csv", compression="gzip")
+    assert sorted(map(tuple, back2.collect())) == expect
+    assert any(f.endswith(".csv.gz") for f in os.listdir(gz))
