@@ -1275,30 +1275,45 @@ def _reap_snapshot_dirs() -> None:
     """Remove this process's pid-keyed snapshot dirs (atexit) plus any
     sibling left by a process that no longer exists — short-lived pytest
     / driver-gate runs would otherwise accumulate unbounded /tmp garbage
-    (review finding, round 10)."""
+    (review finding, round 10).  Foreign dirs are only reaped when BOTH
+    dead-pid AND >1 h old: the liveness probe is check-then-delete, and
+    without the age guard a dir created moments ago by a new process
+    that recycled the probed pid could be swept out from under it
+    (review finding, round 11).  A dir whose pid was recycled by an
+    unrelated long-lived process is never reaped here — bounded-size
+    leak, cleared by the owner's own atexit or /tmp lifecycle."""
     import os
     import shutil
+    import time
 
     base = "/tmp/maple_snapshots"
     try:
         entries = os.listdir(base)
     except OSError:
         return
+    now = time.time()
     for d in entries:
         pid_s = d.rsplit("-", 1)[-1]
         if not pid_s.isdigit():
             continue
         pid = int(pid_s)
-        dead = pid == os.getpid()
-        if not dead:
-            try:
-                os.kill(pid, 0)
-            except ProcessLookupError:
-                dead = True
-            except OSError:
-                pass
-        if dead:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        path = os.path.join(base, d)
+        if pid == os.getpid():
+            shutil.rmtree(path, ignore_errors=True)
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # alive
+        except ProcessLookupError:
+            pass
+        except OSError:
+            continue  # can't probe — leave it
+        try:
+            old = now - os.stat(path).st_mtime > 3600
+        except OSError:
+            continue
+        if old:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 _SNAPSHOT_CLEANUP_REGISTERED = False
@@ -2910,6 +2925,83 @@ def cp5_perplexity_mix(spark, sf_dir):
     return out.select("doc_id", "lang", "xent")
 
 
+def _lm_context_counts(d, ctx):
+    """Shared scaffolding for the stupid-backoff LM tiers (t20 ctx =
+    [("prev", 1)], t21 ctx = [("p2", 2), ("p1", 1)]): tokenize, ONE
+    posexplode with every context column pulled from the SAME row's
+    array via element_at (no self-join, no per-doc window sort),
+    aggregate to the eagerly-checkpointed fixed-width
+    (doc, *ctx, cur, m, is_train) table, and derive the train-half
+    unigram vocab + 1-row total from it.  Train membership is a
+    deterministic md5 predicate on doc_id — zero join (the t5 split
+    discipline).  ONE definition so the tiers cannot drift on the
+    split/checkpoint/vocab rules (review finding, round 11)."""
+    from maple_spark.pipelines.sampling import md5_draw16
+
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", arr.alias("arr"))
+        .where(F.size("arr") > 0)
+    )
+    names = [n for n, _ in ctx]
+    e = toks.select(
+        "doc_id", "arr", F.posexplode("arr").alias("i", "cur")
+    ).select(
+        "doc_id",
+        *[
+            F.when(
+                F.col("i") >= k, F.element_at("arr", F.col("i") - (k - 1))
+            ).alias(n)
+            for n, k in ctx
+        ],
+        "cur",
+    )
+    wcb = (
+        e.groupBy("doc_id", *names, "cur")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn(
+            "is_train",
+            md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string")))
+            % 2
+            == 0,
+        )
+        .localCheckpoint(eager=True)
+    )
+    uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
+    tot = uv.agg(F.sum("cnt").alias("total"))
+    return wcb, uv, tot
+
+
+def _lm_score_from(d, joined, term):
+    """Shared per-doc scoring aggregate for the backoff tiers: n_words,
+    OOV token count (cur missing from the train vocab), and the
+    DECIMAL(38,12) order-independent Σ m·term with the final round(6)
+    (the t19 exactness discipline), NULL-surfacing wordless/NULL docs
+    via the left join (the bpe2 contract)."""
+    scored = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("_n"),
+            F.sum(
+                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
+            ).alias("_oov"),
+            F.sum(
+                (F.col("m").cast("double") * term).cast("decimal(38,12)")
+            ).alias("_slc"),
+        )
+        .select(
+            "doc_id",
+            F.col("_n").cast("bigint").alias("n_words"),
+            F.col("_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                -F.col("_slc").cast("double") / F.col("_n"), 6
+            ).alias("xent"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left")
+
+
 def t20_bigram_perplexity(spark, sf_dir):
     """Bigram stupid-backoff LM scoring (round 11) — one n-gram order up
     from t19 toward the production CCNet gate (Wenzek et al. 2020 use a
@@ -2940,37 +3032,8 @@ def t20_bigram_perplexity(spark, sf_dir):
     DECIMAL(38,12) before the order-independent sum, final round(6)
     absorbing libm's last ulp (the t19 discipline).  Wordless/NULL
     docs surface NULL via the left join (the bpe2 contract)."""
-    from maple_spark.pipelines.sampling import md5_draw16
-
     d = _t(spark, sf_dir, "documents")
-    arr = F.filter(F.split("text", " "), lambda x: x != "")
-    toks = (
-        d.where(F.col("text").isNotNull())
-        .select("doc_id", arr.alias("arr"))
-        .where(F.size("arr") > 0)
-    )
-    # posexplode keeps the source array in scope, so prev is an O(1)
-    # element_at on the SAME row — the bigram pairing costs no shuffle
-    e = toks.select(
-        "doc_id", "arr", F.posexplode("arr").alias("i", "cur")
-    ).select(
-        "doc_id",
-        F.when(F.col("i") > 0, F.element_at("arr", F.col("i"))).alias("prev"),
-        "cur",
-    )
-    wcb = (
-        e.groupBy("doc_id", "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .withColumn(
-            "is_train",
-            md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string")))
-            % 2
-            == 0,
-        )
-        .localCheckpoint(eager=True)
-    )
-    uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
-    tot = uv.agg(F.sum("cnt").alias("total"))
+    wcb, uv, tot = _lm_context_counts(d, [("prev", 1)])
     bm = (
         wcb.where(F.col("is_train") & F.col("prev").isNotNull())
         .groupBy("prev", "cur")
@@ -3007,27 +3070,7 @@ def t20_bigram_perplexity(spark, sf_dir):
         )
         .otherwise(F.log(F.lit(0.4)) + lncc - lntot)
     )
-    scored = (
-        joined.groupBy("doc_id")
-        .agg(
-            F.sum("m").alias("_n"),
-            F.sum(
-                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
-            ).alias("_oov"),
-            F.sum(
-                (F.col("m").cast("double") * term).cast("decimal(38,12)")
-            ).alias("_slc"),
-        )
-        .select(
-            "doc_id",
-            F.col("_n").cast("bigint").alias("n_words"),
-            F.col("_oov").cast("bigint").alias("n_oov"),
-            F.round(
-                -F.col("_slc").cast("double") / F.col("_n"), 6
-            ).alias("xent"),
-        )
-    )
-    return d.select("doc_id").join(scored, "doc_id", "left")
+    return _lm_score_from(d, joined, term)
 
 
 def t21_trigram_perplexity(spark, sf_dir):
@@ -3051,36 +3094,8 @@ def t21_trigram_perplexity(spark, sf_dir):
     broadcastable by contract at 100 TB, AQE decides from measured
     size).  DECIMAL(38,12) per-term sums + round(6); NULL/wordless
     docs surface NULL (the bpe2 contract)."""
-    from maple_spark.pipelines.sampling import md5_draw16
-
     d = _t(spark, sf_dir, "documents")
-    arr = F.filter(F.split("text", " "), lambda x: x != "")
-    toks = (
-        d.where(F.col("text").isNotNull())
-        .select("doc_id", arr.alias("arr"))
-        .where(F.size("arr") > 0)
-    )
-    e = toks.select(
-        "doc_id", "arr", F.posexplode("arr").alias("i", "cur")
-    ).select(
-        "doc_id",
-        F.when(F.col("i") > 1, F.element_at("arr", F.col("i") - 1)).alias("p2"),
-        F.when(F.col("i") > 0, F.element_at("arr", F.col("i"))).alias("p1"),
-        "cur",
-    )
-    wcb = (
-        e.groupBy("doc_id", "p2", "p1", "cur")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .withColumn(
-            "is_train",
-            md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string")))
-            % 2
-            == 0,
-        )
-        .localCheckpoint(eager=True)
-    )
-    uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
-    tot = uv.agg(F.sum("cnt").alias("total"))
+    wcb, uv, tot = _lm_context_counts(d, [("p2", 2), ("p1", 1)])
     bm = (
         wcb.where(F.col("is_train") & F.col("p1").isNotNull())
         .groupBy("p1", "cur")
@@ -3139,27 +3154,7 @@ def t21_trigram_perplexity(spark, sf_dir):
         )
         .otherwise(F.log(F.lit(0.4)) + big_chain)
     )
-    scored = (
-        joined.groupBy("doc_id")
-        .agg(
-            F.sum("m").alias("_n"),
-            F.sum(
-                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
-            ).alias("_oov"),
-            F.sum(
-                (F.col("m").cast("double") * term).cast("decimal(38,12)")
-            ).alias("_slc"),
-        )
-        .select(
-            "doc_id",
-            F.col("_n").cast("bigint").alias("n_words"),
-            F.col("_oov").cast("bigint").alias("n_oov"),
-            F.round(
-                -F.col("_slc").cast("double") / F.col("_n"), 6
-            ).alias("xent"),
-        )
-    )
-    return d.select("doc_id").join(scored, "doc_id", "left")
+    return _lm_score_from(d, joined, term)
 
 
 def t19s_lm_snapshot_score(spark, sf_dir):

@@ -94,8 +94,8 @@ HEADLINE = [
 CONSTRUCT_TIMED = {
     "sim4_ivf_topk",
     "sim5_semdedup",
-    # t19/cp5/t20 localCheckpoint their count/gated tables at build — the
-    # corpus-proportional pass must sit inside the clock
+    # t19/cp5/t20/t21 localCheckpoint their count/gated tables at build —
+    # the corpus-proportional pass must sit inside the clock
     "t19_perplexity_score",
     "cp5_perplexity_mix",
     "t20_bigram_perplexity",

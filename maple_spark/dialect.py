@@ -109,13 +109,39 @@ _EXPLAIN_DML = re.compile(
 # — the file-sink inverse of CREATE STORE FROM 'file' (an extension: the
 # reference's sink surface stops at the printer/TupleSender family);
 # routes to engine.export / sources.ingest.write_and_reread and returns
-# the re-read frame as the statement's result set.
+# the re-read frame as the statement's result set.  The head regex stops
+# at the path; trailing clauses parse ORDER-INSENSITIVELY in
+# _parse_export_clauses, and junk raises a clear dialect error instead
+# of falling through to spark.sql's opaque ParseException (review
+# finding, round 11).
 _EXPORT = re.compile(
-    r"^\s*EXPORT\s+(?P<name>\w+)\s+TO\s+'(?P<path>[^']+)'"
-    r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
-    r"(?:\s+PARTITION\s+BY\s*\(\s*(?P<cols>[\w\s,]+?)\s*\))?\s*$",
-    re.I,
+    r"^\s*EXPORT\s+(?P<name>\w+)\s+TO\s+'(?P<path>[^']+)'(?P<rest>.*)$",
+    re.I | re.S,
 )
+_EXPORT_FMT = re.compile(r"\bFORMAT\s+(?P<fmt>\w+)", re.I)
+_EXPORT_PART = re.compile(
+    r"\bPARTITION\s+BY\s*\(\s*(?P<cols>[\w\s,]+?)\s*\)", re.I
+)
+
+
+def _parse_export_clauses(rest: str) -> tuple[str, list[str] | None]:
+    """(format, partition_by) from EXPORT's tail, clauses in any order."""
+    fmt = "parquet"
+    cols = None
+    m = _EXPORT_FMT.search(rest)
+    if m:
+        fmt = m.group("fmt").lower()
+        rest = rest[: m.start()] + rest[m.end():]
+    m = _EXPORT_PART.search(rest)
+    if m:
+        cols = _table_list(m.group("cols"))
+        rest = rest[: m.start()] + rest[m.end():]
+    if rest.strip():
+        raise UnsupportedStatementError(
+            f"EXPORT: unrecognized clause {rest.strip()!r} "
+            "(expected [FORMAT f] [PARTITION BY (cols)])"
+        )
+    return fmt, cols
 _TXN = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(\s+WORK)?\s*$", re.I)
 _CRASH = re.compile(r"^\s*CRASH\s*$", re.I)
 _EXIT = re.compile(r"^\s*(EXIT|QUIT)\s*$", re.I)
@@ -334,11 +360,9 @@ def route_statement(engine, stmt: str):
 
     m = _EXPORT.match(stmt)
     if m:
+        fmt, cols = _parse_export_clauses(m.group("rest"))
         return engine.export(
-            m.group("name"),
-            m.group("path"),
-            (m.group("fmt") or "parquet").lower(),
-            partition_by=_table_list(m.group("cols")) if m.group("cols") else None,
+            m.group("name"), m.group("path"), fmt, partition_by=cols
         )
 
     m = _OPTIMIZE.match(stmt)

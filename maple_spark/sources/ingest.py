@@ -198,9 +198,13 @@ def convert_table(
     ``engine.export`` via :func:`write_and_reread` (CSV headers,
     schema-pinned text re-reads).  A CSV *input* with no sidecar schema
     is still inferred — there is nothing to preserve on that side."""
-    if in_format not in _CONVERT_FORMATS:
+    # validate BOTH sides before any I/O: an inferring CSV input read is
+    # a full-file scan, and it must not run just to discover a bad
+    # out_format (review finding, round 11)
+    if in_format not in _CONVERT_FORMATS or out_format not in _CONVERT_FORMATS:
         raise ValueError(
-            f"convert_table supports {_CONVERT_FORMATS}, got {in_format!r}"
+            f"convert_table supports {_CONVERT_FORMATS}, got "
+            f"{in_format!r} -> {out_format!r}"
         )
     reader = spark.read
     if in_format == "csv":

@@ -21,6 +21,7 @@ Legs (each a fresh process — the d7_stage_ab lesson: a session that ran
 one leg's stages can die in a driver BroadcastExchange on the next):
 
     python scripts/r11_stage_and_drift.py snap  sf01|x100
+    python scripts/r11_stage_and_drift.py lm    sf01|x100
     python scripts/r11_stage_and_drift.py drift sf01|x100
 
 x100 legs need SPARK_GRAFT_DRIVER_MEM=24g (t19's (doc,word) agg OOMs
@@ -229,8 +230,12 @@ def main() -> None:
         snap_leg(spark, sf_dir, leg, runs)
     elif kind == "lm":
         lm_leg(spark, sf_dir, leg, runs)
-    else:
+    elif kind == "drift":
         drift_leg(spark, sf_dir, leg, runs)
+    else:
+        # a typo must not silently run the wrong leg and corrupt a
+        # committed measurement artifact (review finding, round 11)
+        raise SystemExit(f"unknown leg kind {kind!r}: use snap|lm|drift")
 
 
 if __name__ == "__main__":

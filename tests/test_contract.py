@@ -222,10 +222,12 @@ def test_queries_are_lazy(spark):
         "sim6s_quantized_snapshot_topk",
         "d6s_snapshot_guard",
         "t19s_lm_snapshot_score",
-        # t19/cp5 localCheckpoint their (doc, word) count / gated tables
+        # t19/cp5/t20/t21 localCheckpoint their count / gated tables
         # at build — corpus-proportional by design (bench CONSTRUCT_TIMED)
         "t19_perplexity_score",
         "cp5_perplexity_mix",
+        "t20_bigram_perplexity",
+        "t21_trigram_perplexity",
     }
     per_builder_budget_sec = 20.0
     slow = {}

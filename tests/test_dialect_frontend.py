@@ -619,3 +619,21 @@ def test_export_statement(engine, tmp_path):
     assert any(d.startswith("n_regionkey=") for d in os.listdir(out2))
     with pytest.raises(ValueError, match="supports"):
         engine.execute_script(f"EXPORT region TO '{out1}' FORMAT avro;")
+
+
+def test_export_statement_clause_order_and_junk(engine, tmp_path):
+    """EXPORT clause order must not matter, and trailing junk raises a
+    clear dialect error instead of falling through to spark.sql's
+    opaque ParseException (round-11 review finding)."""
+    import os
+
+    from maple_spark.dialect import UnsupportedStatementError
+
+    out = str(tmp_path / "rev_order")
+    res = engine.execute_script(
+        f"EXPORT nation TO '{out}' PARTITION BY (n_regionkey) FORMAT orc;"
+    )
+    assert len(res[0]) == engine.table("nation").count()
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
+    with pytest.raises(UnsupportedStatementError, match="unrecognized clause"):
+        engine.execute_script(f"EXPORT nation TO '{out}' WITH CHEESE;")
