@@ -24,7 +24,8 @@ parser cannot run:
   view-backed table → unioned view (InsertCommand.java:41,160-185 —
   column list and SELECT form included); inserts on real Spark catalog
   tables fall through to ``spark.sql``
-- ``EXPORT t TO 'path' [FORMAT f] [PARTITION BY (cols)]`` (extension —
+- ``EXPORT t TO 'path' [FORMAT f] [PARTITION BY (cols)] [COMPRESSION c]``
+  (extension —
   the file-sink inverse of CREATE STORE; the reference's sinks stop at
   the printer/TupleSender family) → ``engine.export`` /
   ``sources.ingest.write_and_reread``; returns the re-read frame
@@ -119,15 +120,20 @@ _EXPORT = re.compile(
     re.I | re.S,
 )
 _EXPORT_FMT = re.compile(r"\bFORMAT\s+(?P<fmt>\w+)", re.I)
+_EXPORT_COMP = re.compile(r"\bCOMPRESSION\s+(?P<codec>\w+)", re.I)
 _EXPORT_PART = re.compile(
     r"\bPARTITION\s+BY\s*\(\s*(?P<cols>[\w\s,]+?)\s*\)", re.I
 )
 
 
-def _parse_export_clauses(rest: str) -> tuple[str, list[str] | None]:
-    """(format, partition_by) from EXPORT's tail, clauses in any order."""
+def _parse_export_clauses(
+    rest: str,
+) -> tuple[str, list[str] | None, str | None]:
+    """(format, partition_by, compression) from EXPORT's tail, clauses
+    in any order."""
     fmt = "parquet"
     cols = None
+    codec = None
     m = _EXPORT_FMT.search(rest)
     if m:
         fmt = m.group("fmt").lower()
@@ -136,12 +142,18 @@ def _parse_export_clauses(rest: str) -> tuple[str, list[str] | None]:
     if m:
         cols = _table_list(m.group("cols"))
         rest = rest[: m.start()] + rest[m.end():]
+    m = _EXPORT_COMP.search(rest)
+    if m:
+        codec = m.group("codec").lower()
+        rest = rest[: m.start()] + rest[m.end():]
     if rest.strip():
         raise UnsupportedStatementError(
             f"EXPORT: unrecognized clause {rest.strip()!r} "
-            "(expected [FORMAT f] [PARTITION BY (cols)])"
+            "(expected [FORMAT f] [PARTITION BY (cols)] [COMPRESSION c])"
         )
-    return fmt, cols
+    return fmt, cols, codec
+
+
 _TXN = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(\s+WORK)?\s*$", re.I)
 _CRASH = re.compile(r"^\s*CRASH\s*$", re.I)
 _EXIT = re.compile(r"^\s*(EXIT|QUIT)\s*$", re.I)
@@ -360,9 +372,10 @@ def route_statement(engine, stmt: str):
 
     m = _EXPORT.match(stmt)
     if m:
-        fmt, cols = _parse_export_clauses(m.group("rest"))
+        fmt, cols, codec = _parse_export_clauses(m.group("rest"))
         return engine.export(
-            m.group("name"), m.group("path"), fmt, partition_by=cols
+            m.group("name"), m.group("path"), fmt,
+            partition_by=cols, compression=codec,
         )
 
     m = _OPTIMIZE.match(stmt)

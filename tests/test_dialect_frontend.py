@@ -637,3 +637,16 @@ def test_export_statement_clause_order_and_junk(engine, tmp_path):
     assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
     with pytest.raises(UnsupportedStatementError, match="unrecognized clause"):
         engine.execute_script(f"EXPORT nation TO '{out}' WITH CHEESE;")
+
+
+def test_export_statement_compression_clause(engine, tmp_path):
+    """EXPORT ... COMPRESSION zstd (any clause order) — the codec must
+    reach the files."""
+    import os
+
+    out = str(tmp_path / "region_zstd")
+    res = engine.execute_script(
+        f"EXPORT region TO '{out}' COMPRESSION zstd FORMAT parquet;"
+    )
+    assert len(res[0]) == engine.table("region").count()
+    assert any(f.endswith(".zstd.parquet") for f in os.listdir(out))
