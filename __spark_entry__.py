@@ -2842,7 +2842,9 @@ def t19_perplexity_score(spark, sf_dir):
     Scale shape (t8's): ONE (doc, word) shuffle with map-side combine
     (the localCheckpointed wc table is scanned by all three consumers —
     vocab, total, and the per-doc score — so the corpus explodes once);
-    vocab is vocabulary-sized and the total is 1 row, both broadcast.
+    the total is a 1-row broadcast and the vocab join is
+    broadcast-hinted only under textstats.vocab_hint's size gate (a
+    Heaps-law vocabulary at 100 TB goes un-hinted — AQE decides).
     Cross-engine exactness: the per-doc Σ k·ln(cnt) runs in
     DECIMAL(38,12) (order-independent — the sim4 centroid pattern for
     summing doubles), and the final value rounds to 6 digits, absorbing
@@ -2858,8 +2860,9 @@ def t19_perplexity_score(spark, sf_dir):
     )
     vocab = wc.groupBy("w").agg(F.sum("k").alias("cnt"))
     tot = wc.agg(F.sum("k").alias("total"))
+    n_vocab = vocab.count()  # drives the broadcast gate; one count job
     scored = (
-        wc.join(F.broadcast(vocab), "w")
+        wc.join(textstats.vocab_hint(vocab, n_vocab), "w")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -2927,36 +2930,20 @@ def cp5_perplexity_mix(spark, sf_dir):
 
 def _lm_context_counts(d, ctx):
     """Shared scaffolding for the stupid-backoff LM tiers (t20 ctx =
-    [("prev", 1)], t21 ctx = [("p2", 2), ("p1", 1)]): tokenize, ONE
-    posexplode with every context column pulled from the SAME row's
-    array via element_at (no self-join, no per-doc window sort),
-    aggregate to the eagerly-checkpointed fixed-width
-    (doc, *ctx, cur, m, is_train) table, and derive the train-half
-    unigram vocab + 1-row total from it.  Train membership is a
-    deterministic md5 predicate on doc_id — zero join (the t5 split
-    discipline).  ONE definition so the tiers cannot drift on the
-    split/checkpoint/vocab rules (review finding, round 11)."""
+    [("prev", 1)], t21 ctx = [("p2", 2), ("p1", 1)], t22 adds p3):
+    tokenize + ONE posexplode via textstats.lm_positions (the SAME
+    definition the snapshot build/score paths use — they cannot drift
+    on the empty-token/NULL rules), aggregate to the
+    eagerly-checkpointed fixed-width (doc, *ctx, cur, m, is_train)
+    table, and derive the train-half unigram vocab + 1-row total from
+    it.  Train membership is a deterministic md5 predicate on doc_id —
+    zero join (the t5 split discipline).  ONE definition so the tiers
+    cannot drift on the split/checkpoint/vocab rules (review finding,
+    round 11)."""
     from maple_spark.pipelines.sampling import md5_draw16
 
-    arr = F.filter(F.split("text", " "), lambda x: x != "")
-    toks = (
-        d.where(F.col("text").isNotNull())
-        .select("doc_id", arr.alias("arr"))
-        .where(F.size("arr") > 0)
-    )
     names = [n for n, _ in ctx]
-    e = toks.select(
-        "doc_id", "arr", F.posexplode("arr").alias("i", "cur")
-    ).select(
-        "doc_id",
-        *[
-            F.when(
-                F.col("i") >= k, F.element_at("arr", F.col("i") - (k - 1))
-            ).alias(n)
-            for n, k in ctx
-        ],
-        "cur",
-    )
+    e = textstats.lm_positions(d, ctx, "doc_id", "text")
     wcb = (
         e.groupBy("doc_id", *names, "cur")
         .agg(F.count(F.lit(1)).alias("m"))
@@ -2970,36 +2957,24 @@ def _lm_context_counts(d, ctx):
     )
     uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
     tot = uv.agg(F.sum("cnt").alias("total"))
-    return wcb, uv, tot
+    # gate the unigram-table broadcast hint on the ACTUAL vocab size
+    # (one count job over the checkpointed wcb — these builders are
+    # eager_by_design): at gate scale the hint keeps the known-good
+    # broadcast plan; a Heaps-law vocabulary at 100 TB must not be
+    # forced into the 8 GB broadcast wall, so above
+    # textstats.VOCAB_BROADCAST_MAX_ROWS the joins go un-hinted and AQE
+    # decides from measured sizes (VERDICT r11 watch item #2).
+    n_vocab = uv.count()
+    return wcb, uv, tot, n_vocab
 
 
 def _lm_score_from(d, joined, term):
-    """Shared per-doc scoring aggregate for the backoff tiers: n_words,
-    OOV token count (cur missing from the train vocab), and the
-    DECIMAL(38,12) order-independent Σ m·term with the final round(6)
-    (the t19 exactness discipline), NULL-surfacing wordless/NULL docs
-    via the left join (the bpe2 contract)."""
-    scored = (
-        joined.groupBy("doc_id")
-        .agg(
-            F.sum("m").alias("_n"),
-            F.sum(
-                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
-            ).alias("_oov"),
-            F.sum(
-                (F.col("m").cast("double") * term).cast("decimal(38,12)")
-            ).alias("_slc"),
-        )
-        .select(
-            "doc_id",
-            F.col("_n").cast("bigint").alias("n_words"),
-            F.col("_oov").cast("bigint").alias("n_oov"),
-            F.round(
-                -F.col("_slc").cast("double") / F.col("_n"), 6
-            ).alias("xent"),
-        )
-    )
-    return d.select("doc_id").join(scored, "doc_id", "left")
+    """Shared per-doc scoring aggregate for the backoff tiers —
+    delegates to textstats.lm_score_agg (ONE definition with the
+    snapshot scorer): n_words, OOV token count, DECIMAL(38,12)
+    order-independent Σ m·term, final round(6), NULL-surfacing
+    wordless/NULL docs via the left join."""
+    return textstats.lm_score_agg(d, joined, term, "doc_id")
 
 
 def t20_bigram_perplexity(spark, sf_dir):
@@ -3033,7 +3008,7 @@ def t20_bigram_perplexity(spark, sf_dir):
     absorbing libm's last ulp (the t19 discipline).  Wordless/NULL
     docs surface NULL via the left join (the bpe2 contract)."""
     d = _t(spark, sf_dir, "documents")
-    wcb, uv, tot = _lm_context_counts(d, [("prev", 1)])
+    wcb, uv, tot, n_vocab = _lm_context_counts(d, [("prev", 1)])
     bm = (
         wcb.where(F.col("is_train") & F.col("prev").isNotNull())
         .groupBy("prev", "cur")
@@ -3041,16 +3016,18 @@ def t20_bigram_perplexity(spark, sf_dir):
     )
     joined = (
         wcb.join(
-            F.broadcast(
-                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur"))
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
+                n_vocab,
             ),
             F.col("cur") == F.col("__w"),
             "left",
         )
         .drop("__w")
         .join(
-            F.broadcast(
-                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_prev"))
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_prev")),
+                n_vocab,
             ),
             F.col("prev") == F.col("__pw"),
             "left",
@@ -3095,7 +3072,7 @@ def t21_trigram_perplexity(spark, sf_dir):
     size).  DECIMAL(38,12) per-term sums + round(6); NULL/wordless
     docs surface NULL (the bpe2 contract)."""
     d = _t(spark, sf_dir, "documents")
-    wcb, uv, tot = _lm_context_counts(d, [("p2", 2), ("p1", 1)])
+    wcb, uv, tot, n_vocab = _lm_context_counts(d, [("p2", 2), ("p1", 1)])
     bm = (
         wcb.where(F.col("is_train") & F.col("p1").isNotNull())
         .groupBy("p1", "cur")
@@ -3108,16 +3085,18 @@ def t21_trigram_perplexity(spark, sf_dir):
     )
     joined = (
         wcb.join(
-            F.broadcast(
-                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur"))
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
+                n_vocab,
             ),
             F.col("cur") == F.col("__w"),
             "left",
         )
         .drop("__w")
         .join(
-            F.broadcast(
-                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1"))
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1")),
+                n_vocab,
             ),
             F.col("p1") == F.col("__pw"),
             "left",
@@ -3157,6 +3136,117 @@ def t21_trigram_perplexity(spark, sf_dir):
     return _lm_score_from(d, joined, term)
 
 
+def t22_fourgram_perplexity(spark, sf_dir):
+    """4-gram stupid-backoff LM (round 12) — one order short of the
+    production 5-gram KenLM gate (Wenzek et al. 2020), mechanically on
+    t21's scaffolding: S(w|p3,p2,p1) = qcnt/tcnt(p3,p2,p1) when the
+    4-gram was seen in training, else 0.4·S(w|p2,p1) (t21's trigram
+    chain, recursing through t20's bigram chain down to the unigram
+    0.4·cnt'(w)/total, OOV cnt':=1); positions 1/2/3 score with the
+    unigram/bigram/trigram chains directly.  Same md5 train split — at
+    this order the 4-gram table misses on MOST held-out positions, so
+    the full three-deep backoff recursion is hash-checked at volume.
+
+    Scale shape = t21's with one more derived model: ONE corpus explode
+    (p3/p2/p1 via element_at on the row's own array), a checkpointed
+    (doc, p3, p2, p1, cur, m) table, unigram vocab joins under the
+    vocab_hint size gate, bigram/trigram/fourgram models via their own
+    groupBys with UN-HINTED joins (five context joins — none is
+    broadcastable by contract at 100 TB, AQE decides from measured
+    size).  DECIMAL(38,12) per-term sums + round(6); NULL/wordless docs
+    surface NULL (the bpe2 contract)."""
+    d = _t(spark, sf_dir, "documents")
+    wcb, uv, tot, n_vocab = _lm_context_counts(
+        d, [("p3", 3), ("p2", 2), ("p1", 1)]
+    )
+    bm = (
+        wcb.where(F.col("is_train") & F.col("p1").isNotNull())
+        .groupBy("p1", "cur")
+        .agg(F.sum("m").alias("bcnt"))
+    )
+    tm = (
+        wcb.where(F.col("is_train") & F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "cur")
+        .agg(F.sum("m").alias("tcnt"))
+    )
+    qm = (
+        wcb.where(F.col("is_train") & F.col("p3").isNotNull())
+        .groupBy("p3", "p2", "p1", "cur")
+        .agg(F.sum("m").alias("qcnt"))
+    )
+    joined = (
+        wcb.join(
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
+                n_vocab,
+            ),
+            F.col("cur") == F.col("__w"),
+            "left",
+        )
+        .drop("__w")
+        .join(
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1")),
+                n_vocab,
+            ),
+            F.col("p1") == F.col("__pw"),
+            "left",
+        )
+        .drop("__pw")
+        .join(bm, ["p1", "cur"], "left")
+        .join(
+            bm.select(
+                F.col("p1").alias("__c2"),
+                F.col("cur").alias("__c1"),
+                F.col("bcnt").alias("bcnt_ctx"),
+            ),
+            (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
+            "left",
+        )
+        .drop("__c2", "__c1")
+        .join(tm, ["p2", "p1", "cur"], "left")
+        .join(
+            tm.select(
+                F.col("p2").alias("__t3"),
+                F.col("p1").alias("__t2"),
+                F.col("cur").alias("__t1"),
+                F.col("tcnt").alias("tcnt_ctx"),
+            ),
+            (F.col("p3") == F.col("__t3"))
+            & (F.col("p2") == F.col("__t2"))
+            & (F.col("p1") == F.col("__t1")),
+            "left",
+        )
+        .drop("__t3", "__t2", "__t1")
+        .join(qm, ["p3", "p2", "p1", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    lntot = F.log(F.col("total").cast("double"))
+    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
+    big_chain = F.when(
+        F.col("bcnt").isNotNull(),
+        F.log(F.col("bcnt").cast("double"))
+        - F.log(F.col("cnt_p1").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + uni)
+    tri_chain = F.when(
+        F.col("tcnt").isNotNull(),
+        F.log(F.col("tcnt").cast("double"))
+        - F.log(F.col("bcnt_ctx").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + big_chain)
+    term = (
+        F.when(F.col("p1").isNull(), uni)
+        .when(F.col("p2").isNull(), big_chain)
+        .when(F.col("p3").isNull(), tri_chain)
+        .when(
+            F.col("qcnt").isNotNull(),
+            F.log(F.col("qcnt").cast("double"))
+            - F.log(F.col("tcnt_ctx").cast("double")),
+        )
+        .otherwise(F.log(F.lit(0.4)) + tri_chain)
+    )
+    return _lm_score_from(d, joined, term)
+
+
 def t19s_lm_snapshot_score(spark, sf_dir):
     """The PRODUCTION shape of the perplexity gate — the quality twin
     of d6s: textstats.build_lm_snapshot persists the unigram LM fit on
@@ -3176,6 +3266,33 @@ def t19s_lm_snapshot_score(spark, sf_dir):
     )
     snap = _snapshot_root(sf_dir, "lm")
     textstats.build_lm_snapshot(train, snap)
+    return textstats.lm_score(d, snap)
+
+
+def t20s_lm_snapshot_backoff(spark, sf_dir):
+    """The backoff LM in its PRODUCTION snapshot form (round 12 — the
+    r11 verdict's task 4): build_lm_snapshot(order=2) persists the
+    bigram stupid-backoff model fit on the md5 train half ONCE (vocab +
+    bigram + meta parquet; meta records order and n_vocab), and
+    lm_score reads THAT snapshot to score every document — the CCNet
+    fit-on-reference/score-the-crawl regime at the n-gram order t19s's
+    unigram snapshot could not express.  Output ≡ t20_bigram_perplexity
+    (the model tables round-trip losslessly and the scoring term is the
+    same chain — equality-tested in pytest); oracle shared verbatim
+    with t20.  The scoring plan is the snapshot-READ one: one corpus
+    posexplode, vocab joins under textstats.vocab_hint's recorded-size
+    broadcast gate, the bigram model join NEVER hinted, the total READ
+    from meta (no refit, no SinglePartition) — plan-pinned in
+    tests/test_plan_shape.py."""
+    from maple_spark.pipelines.sampling import md5_draw16
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(
+        md5_draw16(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 2
+        == 0
+    )
+    snap = _snapshot_root(sf_dir, "lm2")
+    textstats.build_lm_snapshot(train, snap, order=2)
     return textstats.lm_score(d, snap)
 
 
@@ -3509,16 +3626,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sim6s/d6s — the r10 verdict's top task), the NEW t20
     # bigram-backoff LM (in-window from birth, so it does not repeat
     # that ship-unverified pattern), and a first slice of the
-    # never-checked TPC-H tail (q6/q10/q12/q14/q19 — disjunctive
-    # pushdown + join-shape variety), rotating OUT twelve r10-checked
-    # members whose §2 family keeps an externally-checked
-    # representative (bpe1/bpe2→bpe3 shares bpe1's oracle; d5/d6→
-    # d1/d3/d4/d7 stay + d6s shares d6's oracle verbatim; sim4→sim4s,
-    # sim6→sim6s are the same plans one snapshot-read apart;
-    # t18→cp5 composes the same operator and t5/t15 stay;
-    # t11/t12/t13→t1/t17 stay; st1/st2→st6/st7/st8 stay — all stay
-    # selfchecked).  Rotated-out entries live right after the window;
-    # composition is pinned by
+    # never-checked TPC-H tail (q6/q10/q12/q14/q19); round 12 rotates
+    # in the REST of the never-checked TPC-H tail (q2/q4/q11/q13/q15/
+    # q16/q17/q20/q22 — the reference's own test corpus is
+    # SELECT-shaped, so these are the likeliest real-user shapes), the
+    # never-checked streaming (st3/st4/st5) and time-series
+    # (ts1/ts2/ts3) families, rj1 + dml_delete (their families' last
+    # never-checked members), and the TWO NEW round-12 operators
+    # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM),
+    # rotating OUT nineteen r11-checked members whose family keeps an
+    # externally-checked representative (q6/q10/q12/q14/q19/q21 → q3
+    # stays + 9 new q's in; t19/t20/cp5/bpe3 → t21 stays checked +
+    # t20s/t22 from birth, bpe1/2/3 all checked r10/r11; sim4s/sim6s →
+    # sim2/sim3/sim5 stay; d4 → d1/d3/d7/d6s stay; rj2 → rj1 in + aj1
+    # checked r9; a6 → a2 stays; a14 → a15 stays; j4_left → j2 stays;
+    # t15 → t5 stays; dml_update → dml_delete in — all stay
+    # selfchecked).  d6s/st7 stay in-window because their banding core
+    # changes this round.  Rotated-out entries live right after the
+    # window; composition is pinned by
     # tests/test_contract.py::test_driver_window_composition.
     return {
         "flagship_join_topk": flagship_join_topk,
@@ -3526,12 +3651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_project_expr": p1_project_expr,
         "e13_scalar_funcs": e13_scalar_funcs,
         "j2_join_inner": j2_join_inner,
-        "j4_join_left": j4_join_left,
         "j7_anti_not_exists": j7_anti_not_exists,
-        "rj2_interval_overlap": rj2_interval_overlap,
         "a2_groupby_q1": a2_groupby_q1,
-        "a6_minmax_sumavg": a6_minmax_sumavg,
-        "a14_countmin_sketch": a14_countmin_sketch,
         "a15_hll_dataflow": a15_hll_dataflow,
         "o1_sort_rownum": o1_sort_rownum,
         "set_union": set_union,
@@ -3539,41 +3660,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_canonical_docs": d7_canonical_docs,
         "q3_shipping_priority": q3_shipping_priority,
         "st8_stream_dedup": st8_stream_dedup,
-        "q21_waiting_supplier": q21_waiting_supplier,
         "t1_text_stats": t1_text_stats,
         "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
         "d3_minhash_lsh": d3_minhash_lsh,
-        "d4_simhash_pairs": d4_simhash_pairs,
         "t5_hash_split": t5_hash_split,
-        "t15_weighted_sample": t15_weighted_sample,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
         "sim5_semdedup": sim5_semdedup,
         "mm1_media_features": mm1_media_features,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
-        "dml_update_where": dml_update_where,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "cp3_pretraining_ingest": cp3_pretraining_ingest,
         "cp4_dedup_token_budget": cp4_dedup_token_budget,
-        # round 11 rotation: the six r10 additions (selfcheck-only at
-        # r10 close) + the NEW t20 + the TPC-H tail slice
+        "t21_trigram_perplexity": t21_trigram_perplexity,
+        "d6s_snapshot_guard": d6s_snapshot_guard,
+        "t19s_lm_snapshot_score": t19s_lm_snapshot_score,
+        # round 12 rotation: the two NEW operators (in-window from
+        # birth) + the never-checked TPC-H tail + the streaming and
+        # time-series families + rj1/dml_delete
+        "t20s_lm_snapshot_backoff": t20s_lm_snapshot_backoff,
+        "t22_fourgram_perplexity": t22_fourgram_perplexity,
+        "q2_groupwise_max": q2_groupwise_max,
+        "q4_order_priority": q4_order_priority,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_excess_shipments": q20_excess_shipments,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "st3_sliding_window": st3_sliding_window,
+        "st4_quota_admit": st4_quota_admit,
+        "st5_stream_join": st5_stream_join,
+        "ts1_gapfill": ts1_gapfill,
+        "ts2_locf": ts2_locf,
+        "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
+        "rj1_range_join": rj1_range_join,
+        "dml_delete_where": dml_delete_where,
+        # --- end of the driver-checked first-50 window ---
+        # rotated out of the window in round 12 (all externally checked
+        # in round 11, still selfchecked):
+        "j4_join_left": j4_join_left,
+        "rj2_interval_overlap": rj2_interval_overlap,
+        "a6_minmax_sumavg": a6_minmax_sumavg,
+        "a14_countmin_sketch": a14_countmin_sketch,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "t15_weighted_sample": t15_weighted_sample,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "dml_update_where": dml_update_where,
         "t19_perplexity_score": t19_perplexity_score,
         "cp5_perplexity_mix": cp5_perplexity_mix,
         "t20_bigram_perplexity": t20_bigram_perplexity,
-        "t21_trigram_perplexity": t21_trigram_perplexity,
         "bpe3_bpe_merges_hybrid": bpe3_bpe_merges_hybrid,
         "sim4s_ivf_snapshot_topk": sim4s_ivf_snapshot_topk,
         "sim6s_quantized_snapshot_topk": sim6s_quantized_snapshot_topk,
-        "d6s_snapshot_guard": d6s_snapshot_guard,
-        "t19s_lm_snapshot_score": t19s_lm_snapshot_score,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q14_promo_effect": q14_promo_effect,
         "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
-        # --- end of the driver-checked first-50 window ---
         # rotated out of the window in round 11 (all externally checked
         # in round 10, still selfchecked):
         "st6_hll_stream": st6_hll_stream,
@@ -3636,14 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": set_except,
         "mm3_embed_stub": mm3_embed_stub,
         "enc1_encoding_report": enc1_encoding_report,
-        "q2_groupwise_max": q2_groupwise_max,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "fn1_funnel": fn1_funnel,
-        "rj1_range_join": rj1_range_join,
         "s2_column_pruned_scan": s2_column_pruned_scan,
         "e4_boolean_ops": e4_boolean_ops,
         "sql_dialect": sql_dialect,
@@ -3661,16 +3801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_bm25_search": t9_bm25_search,
         "t10_sequence_pack": t10_sequence_pack,
         "arr2_array_ops": arr2_array_ops,
-        "dml_delete_where": dml_delete_where,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q20_excess_shipments": q20_excess_shipments,
         "a9_cube": a9_cube,
         "a10_percentiles": a10_percentiles,
         "a9_grouping_sets": a9_grouping_sets,
-        "ts1_gapfill": ts1_gapfill,
-        "ts2_locf": ts2_locf,
-        "st3_sliding_window": st3_sliding_window,
         "arr1_posexplode": arr1_posexplode,
         "a11_hll_sketch": a11_hll_sketch,
         "t7_rolling_fingerprint": t7_rolling_fingerprint,
@@ -3681,9 +3814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_all": set_except_all,
         "pv2_unpivot": pv2_unpivot,
         "t14_domain_mix": t14_domain_mix,
-        "st4_quota_admit": st4_quota_admit,
-        "st5_stream_join": st5_stream_join,
-        "ts3_hierarchical_rollup": ts3_hierarchical_rollup,
         # rotated out of the first-50 window for the round-9 second- and
         # third-wave ops (all externally checked in r8; families stay
         # in-window: w1 for windows, q3/q21 for TPC-H, t1/t17 for text)
@@ -6117,6 +6247,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, s.n_words, s.n_oov,
                    round(ln(CAST((SELECT total FROM tot) AS DOUBLE))
                          - CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
+    # t20s: the snapshot form is value-identical to t20 by construction
+    # (the model tables round-trip losslessly and the scoring term is
+    # the same chain — the sim4s/sim6s/d6s shared-oracle precedent)
+    out["t20s_lm_snapshot_backoff"] = out["t20_bigram_perplexity"]
+    # t22: 4-gram stupid-backoff — the repeated backoff branches (uni
+    # appears 4x, the bigram chain 3x, the trigram chain 2x) are
+    # composed ONCE in Python and interpolated, so every occurrence is
+    # spelled byte-identically (the bit-equality discipline t21 keeps
+    # by hand); wcb/uv/tot/bm/tm/qm MATERIALIZED (multi-consumer CTEs,
+    # the bpe1 lesson)
+    _uni = (
+        "ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))"
+        " - ln(CAST((SELECT total FROM tot) AS DOUBLE))"
+    )
+    _big = (
+        "(CASE WHEN b.bcnt IS NOT NULL THEN"
+        " ln(CAST(b.bcnt AS DOUBLE)) - ln(CAST(up.cnt AS DOUBLE))"
+        f" ELSE ln(0.4) + {_uni} END)"
+    )
+    _tri = (
+        "(CASE WHEN t.tcnt IS NOT NULL THEN"
+        " ln(CAST(t.tcnt AS DOUBLE)) - ln(CAST(bc.bcnt AS DOUBLE))"
+        f" ELSE ln(0.4) + {_big} END)"
+    )
+    out["t22_fourgram_perplexity"] = f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (
+              SELECT doc_id,
+                     CASE WHEN i > 3 THEN arr[i - 3] END AS p3,
+                     CASE WHEN i > 2 THEN arr[i - 2] END AS p2,
+                     CASE WHEN i > 1 THEN arr[i - 1] END AS p1,
+                     arr[i] AS cur
+              FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), wcb AS MATERIALIZED (
+              SELECT doc_id, p3, p2, p1, cur, CAST(COUNT(*) AS BIGINT) AS m,
+                     (CAST(('0x' || substring(md5('lm|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0)
+                       AS is_train
+              FROM e GROUP BY doc_id, p3, p2, p1, cur
+            ), uv AS MATERIALIZED (
+              SELECT cur AS w, SUM(m) AS cnt FROM wcb
+              WHERE is_train GROUP BY cur
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), bm AS MATERIALIZED (
+              SELECT p1, cur, SUM(m) AS bcnt FROM wcb
+              WHERE is_train AND p1 IS NOT NULL GROUP BY p1, cur
+            ), tm AS MATERIALIZED (
+              SELECT p2, p1, cur, SUM(m) AS tcnt FROM wcb
+              WHERE is_train AND p2 IS NOT NULL GROUP BY p2, p1, cur
+            ), qm AS MATERIALIZED (
+              SELECT p3, p2, p1, cur, SUM(m) AS qcnt FROM wcb
+              WHERE is_train AND p3 IS NOT NULL GROUP BY p3, p2, p1, cur
+            ), s AS (
+              SELECT w.doc_id,
+                     CAST(SUM(w.m) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN uc.cnt IS NULL THEN w.m ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(w.m AS DOUBLE) * (CASE
+                        WHEN w.p1 IS NULL THEN {_uni}
+                        WHEN w.p2 IS NULL THEN {_big}
+                        WHEN w.p3 IS NULL THEN {_tri}
+                        WHEN q.qcnt IS NOT NULL THEN
+                          ln(CAST(q.qcnt AS DOUBLE))
+                          - ln(CAST(tc.tcnt AS DOUBLE))
+                        ELSE ln(0.4) + {_tri}
+                      END) AS DECIMAL(38,12))) AS slc
+              FROM wcb w
+              LEFT JOIN uv uc ON uc.w = w.cur
+              LEFT JOIN uv up ON up.w = w.p1
+              LEFT JOIN bm b ON b.p1 = w.p1 AND b.cur = w.cur
+              LEFT JOIN bm bc ON bc.p1 = w.p2 AND bc.cur = w.p1
+              LEFT JOIN tm t ON t.p2 = w.p2 AND t.p1 = w.p1 AND t.cur = w.cur
+              LEFT JOIN tm tc ON tc.p2 = w.p3 AND tc.p1 = w.p2 AND tc.cur = w.p1
+              LEFT JOIN qm q ON q.p3 = w.p3 AND q.p2 = w.p2 AND q.p1 = w.p1
+                            AND q.cur = w.cur
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.n_oov,
+                   round(-CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """
     return out

@@ -503,28 +503,163 @@ def bpe_token_counts(
     return out
 
 
-def build_lm_snapshot(docs: DataFrame, path: str, text_col: str = "text") -> None:
-    """Persist a unigram LM fit on ``docs`` — the reference-corpus half
-    of the CCNet gate (Wenzek et al. 2020 fit on Wikipedia, score the
-    crawl): ``{path}/vocab.parquet`` (w, cnt) and ``{path}/meta.parquet``
-    (one total row, derived from the PERSISTED vocab so the two files
-    cannot disagree).  Built once per reference snapshot; the scorer
-    (:func:`lm_score`) and any number of streaming ingest gates read
-    the parquet — the same amortization contract as
-    ``dedup.build_reference_snapshot`` / ``similarity.build_ivf_snapshot``.
-    One (word) shuffle with map-side combine; output is
-    vocabulary-sized, never corpus-sized."""
-    wc = (
+#: Row-count gate for hinting a vocabulary table broadcast.  At gate scale
+#: a unigram vocab is ~10^4-10^6 rows and the hint keeps the known-good
+#: broadcast plan without waiting for AQE's shuffle statistics; a 100 TB
+#: web corpus's vocabulary (Heaps' law: billions of distinct tokens) must
+#: NOT be force-broadcast into Spark's 8 GB broadcast / driver-memory wall
+#: (the same trap the round-5 review removed from verify_jaccard), so above
+#: the gate the join is left UN-hinted and AQE picks broadcast-vs-shuffle
+#: from measured sizes.  4M rows ≈ low hundreds of MB in the broadcast hash
+#: relation — comfortably inside a 4 GiB driver, an order of magnitude
+#: under the hard wall.
+VOCAB_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def vocab_hint(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint a vocabulary-sized table only when its recorded row
+    count is under :data:`VOCAB_BROADCAST_MAX_ROWS`; unknown or large
+    vocabularies return the frame un-hinted (AQE broadcasts-while-small
+    at runtime, shuffles when genuinely huge)."""
+    if n_rows is not None and n_rows <= VOCAB_BROADCAST_MAX_ROWS:
+        return F.broadcast(df)
+    return df
+
+
+#: Context-column spec per stupid-backoff order: (name, distance) pairs,
+#: farthest first — order 2 sees the previous token, order 3 the previous
+#: two, order 4 the previous three.
+LM_CTX: dict[int, list[tuple[str, int]]] = {
+    1: [],
+    2: [("prev", 1)],
+    3: [("p2", 2), ("p1", 1)],
+    4: [("p3", 3), ("p2", 2), ("p1", 1)],
+}
+
+
+def lm_positions(
+    docs: DataFrame,
+    ctx: list[tuple[str, int]],
+    id_col: str | None = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id?, *ctx_names, cur) token-position rows — ONE posexplode with
+    every context column pulled from the SAME row's token array via
+    ``element_at`` (no self-join, no per-doc window sort).  The single
+    tokenize/explode definition shared by the inline backoff tiers
+    (t20/t21/t22) and the snapshot build/score paths, so they cannot
+    drift on the empty-token / NULL-text rules (NULL texts drop here and
+    re-surface as NULL scores via the caller's left join — the bpe2
+    contract).  ``id_col=None`` omits the id (the snapshot BUILD needs
+    only global n-gram counts)."""
+    ids = [id_col] if id_col is not None else []
+    arr = F.filter(F.split(text_col, " "), lambda x: x != "")
+    toks = (
         docs.where(F.col(text_col).isNotNull())
-        .select(F.explode(F.split(text_col, " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(*ids, arr.alias("arr"))
+        .where(F.size("arr") > 0)
     )
+    return toks.select(
+        *ids, "arr", F.posexplode("arr").alias("i", "cur")
+    ).select(
+        *ids,
+        *[
+            F.when(
+                F.col("i") >= n, F.element_at("arr", F.col("i") - (n - 1))
+            ).alias(name)
+            for name, n in ctx
+        ],
+        "cur",
+    )
+
+
+def lm_score_agg(
+    docs: DataFrame, joined: DataFrame, term, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared per-doc scoring aggregate for the backoff tiers: n_words,
+    OOV token count (cur missing from the train vocab — ``cnt_cur`` NULL),
+    and the DECIMAL(38,12) order-independent Σ m·term with the final
+    round(6) (the t19 exactness discipline), NULL-surfacing
+    wordless/NULL docs via the left join (the bpe2 contract)."""
+    scored = (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("m").alias("_n"),
+            F.sum(
+                F.when(F.col("cnt_cur").isNull(), F.col("m")).otherwise(F.lit(0))
+            ).alias("_oov"),
+            F.sum(
+                (F.col("m").cast("double") * term).cast("decimal(38,12)")
+            ).alias("_slc"),
+        )
+        .select(
+            id_col,
+            F.col("_n").cast("bigint").alias("n_words"),
+            F.col("_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                -F.col("_slc").cast("double") / F.col("_n"), 6
+            ).alias("xent"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left")
+
+
+def build_lm_snapshot(
+    docs: DataFrame, path: str, text_col: str = "text", order: int = 1
+) -> None:
+    """Persist a stupid-backoff LM of the given ``order`` fit on ``docs``
+    — the reference-corpus half of the CCNet gate (Wenzek et al. 2020
+    fit on Wikipedia, score the crawl; Brants et al. 2007 define stupid
+    backoff): ``{path}/vocab.parquet`` (w, cnt),
+    ``{path}/bigram.parquet`` (prev, cur, bcnt) for order ≥ 2,
+    ``{path}/trigram.parquet`` (p2, p1, cur, tcnt) for order ≥ 3, and
+    ``{path}/meta.parquet`` (one row: total, n_vocab, order — derived
+    from the PERSISTED vocab so the files cannot disagree; n_vocab
+    drives :func:`vocab_hint`'s broadcast gate, order tells
+    :func:`lm_score` which backoff chain to plan).  Built once per
+    reference snapshot; the scorer and any number of streaming ingest
+    gates read the parquet — the same amortization contract as
+    ``dedup.build_reference_snapshot`` / ``similarity.build_ivf_snapshot``.
+    One (context) shuffle per model table with map-side combine; every
+    output is vocabulary/n-gram-table-sized, never corpus-sized."""
+    if order not in LM_CTX:
+        raise ValueError(f"order must be one of {sorted(LM_CTX)}, got {order}")
+    if order == 1:
+        wc = (
+            docs.where(F.col(text_col).isNotNull())
+            .select(F.explode(F.split(text_col, " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    else:
+        # per-model aggregations over ONE shared position explode; each
+        # is its own (context) shuffle with map-side combine.  The build
+        # never touches doc ids — the model is global counts.
+        e = lm_positions(docs, LM_CTX[order], None, text_col)
+        wc = e.groupBy(F.col("cur").alias("w")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        p1 = "prev" if order == 2 else "p1"
+        e.where(F.col(p1).isNotNull()).groupBy(
+            F.col(p1).alias("prev"), F.col("cur")
+        ).agg(F.count(F.lit(1)).alias("bcnt")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/bigram.parquet")
+        if order >= 3:
+            e.where(F.col("p2").isNotNull()).groupBy("p2", "p1", "cur").agg(
+                F.count(F.lit(1)).alias("tcnt")
+            ).write.mode("overwrite").parquet(f"{path}/trigram.parquet")
+        if order >= 4:
+            e.where(F.col("p3").isNotNull()).groupBy("p3", "p2", "p1", "cur").agg(
+                F.count(F.lit(1)).alias("qcnt")
+            ).write.mode("overwrite").parquet(f"{path}/fourgram.parquet")
     wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
     spark = docs.sparkSession
     spark.read.parquet(f"{path}/vocab.parquet").agg(
-        F.sum("cnt").alias("total")
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.max(F.lit(order)).alias("order"),
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
@@ -534,58 +669,180 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Score documents against a persisted unigram LM
-    (:func:`build_lm_snapshot`): per-doc cross-entropy
+    """Score documents against a persisted stupid-backoff LM
+    (:func:`build_lm_snapshot`) — the snapshot's recorded ``order``
+    picks the chain.  Order 1: per-doc cross-entropy
     xent = ln(total) − (Σ k·ln(cnt'))/n in nats, where OOV words score
-    cnt' = 1 (n_oov reports how many tokens backed off).  Returns
-    (id_col, n_words, n_oov, xent); NULL/wordless docs surface NULL
-    (the bpe2 contract).
+    cnt' = 1 (n_oov reports how many tokens backed off).  Order ≥ 2
+    (Brants et al. 2007): S(w|ctx) = ngram_cnt/ctx_cnt when the n-gram
+    was seen in training, else 0.4·S(w|shorter ctx), bottoming out at
+    cnt'(w)/total; position i scores with the longest chain its prefix
+    affords; xent = −(1/n) Σ ln S.  Returns (id_col, n_words, n_oov,
+    xent); NULL/wordless docs surface NULL (the bpe2 contract).
 
-    Scale shape: ONE (doc, word) shuffle with map-side combine; the
-    snapshot vocab joins broadcast (vocabulary-sized) and the total is
-    a 1-row broadcast.  Cross-engine exactness: Σ k·ln(cnt') in
-    DECIMAL(38,12), final round(6) — the t19 discipline.  The
-    streaming binding is ``foreachBatch(lambda b, _: sink(lm_score(b,
-    snapshot)))``: scoring is batch-local (no cross-row state), so the
-    ingest gate streams with ZERO state store — the quality twin of
-    ``cross_dedup_stream``'s snapshot guard, equality-tested in
-    tests/test_streaming.py."""
+    Scale shape: ONE corpus explode (contexts via ``element_at`` on the
+    row's own array — no self-join), aggregated to a fixed-width
+    per-doc context table, then model joins.  The vocab joins are
+    broadcast-hinted ONLY under :func:`vocab_hint`'s recorded-size gate
+    (a Heaps-law vocabulary at 100 TB must not be forced into the 8 GB
+    broadcast wall — above the gate AQE decides from measured sizes);
+    the bigram/trigram/fourgram model joins are NEVER hinted (those
+    tables may not broadcast at any corpus size by contract); the total
+    is a 1-row broadcast READ from the snapshot, never recomputed.
+    Cross-engine exactness: per-term ln's as differences of ln(integer
+    counts), each m·term in DECIMAL(38,12) before the order-independent
+    sum, final round(6) — the t19 discipline.  The streaming binding is
+    ``foreachBatch(lambda b, _: sink(lm_score(b, snapshot)))``: scoring
+    is batch-local (no cross-row state), so the ingest gate streams with
+    ZERO state store — the quality twin of ``cross_dedup_stream``'s
+    snapshot guard, equality-tested in tests/test_streaming.py."""
     spark = df.sparkSession
     vocab = spark.read.parquet(f"{lm_snapshot}/vocab.parquet")
     meta = spark.read.parquet(f"{lm_snapshot}/meta.parquet")
-    wc = (
-        df.where(F.col(text_col).isNotNull())
-        .select(id_col, F.explode(F.split(text_col, " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    scored = (
-        wc.join(F.broadcast(vocab), "w", "left")
-        .crossJoin(F.broadcast(meta))
-        .groupBy(id_col)
-        .agg(
-            F.sum("k").alias("_n"),
-            F.sum(
-                F.when(F.col("cnt").isNull(), F.col("k")).otherwise(F.lit(0))
-            ).alias("_oov"),
-            F.sum(
-                (
-                    F.col("k").cast("double")
-                    * F.log(F.coalesce(F.col("cnt"), F.lit(1)).cast("double"))
-                ).cast("decimal(38,12)")
-            ).alias("_slc"),
-            F.max("total").alias("_total"),
+    # one driver-side read of the 1-row meta: order picks the plan,
+    # n_vocab drives the broadcast gate (absent on pre-round-12
+    # snapshots → unknown → un-hinted, the safe-at-scale default)
+    mrow = meta.first()
+    order = mrow["order"] if "order" in meta.columns else 1
+    n_vocab = mrow["n_vocab"] if "n_vocab" in meta.columns else None
+    total = meta.select("total")
+    if order == 1:
+        wc = (
+            df.where(F.col(text_col).isNotNull())
+            .select(id_col, F.explode(F.split(text_col, " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy(id_col, "w")
+            .agg(F.count(F.lit(1)).alias("k"))
         )
-        .select(
-            id_col,
-            F.col("_n").cast("bigint").alias("n_words"),
-            F.col("_oov").cast("bigint").alias("n_oov"),
-            F.round(
-                F.log(F.col("_total").cast("double"))
-                - F.col("_slc").cast("double") / F.col("_n"),
-                6,
-            ).alias("xent"),
+        scored = (
+            wc.join(vocab_hint(vocab, n_vocab), "w", "left")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(
+                F.sum("k").alias("_n"),
+                F.sum(
+                    F.when(F.col("cnt").isNull(), F.col("k")).otherwise(F.lit(0))
+                ).alias("_oov"),
+                F.sum(
+                    (
+                        F.col("k").cast("double")
+                        * F.log(F.coalesce(F.col("cnt"), F.lit(1)).cast("double"))
+                    ).cast("decimal(38,12)")
+                ).alias("_slc"),
+                F.max("total").alias("_total"),
+            )
+            .select(
+                id_col,
+                F.col("_n").cast("bigint").alias("n_words"),
+                F.col("_oov").cast("bigint").alias("n_oov"),
+                F.round(
+                    F.log(F.col("_total").cast("double"))
+                    - F.col("_slc").cast("double") / F.col("_n"),
+                    6,
+                ).alias("xent"),
+            )
+        )
+        return df.select(id_col).join(scored, id_col, "left")
+    ctx = LM_CTX[order]
+    names = [n for n, _ in ctx]
+    wcb = (
+        lm_positions(df, ctx, id_col, text_col)
+        .groupBy(id_col, *names, "cur")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    p1 = names[-1]  # nearest context column ("prev" at order 2)
+    joined = (
+        wcb.join(
+            vocab_hint(
+                vocab.select(F.col("w").alias("__w"), F.col("cnt").alias("cnt_cur")),
+                n_vocab,
+            ),
+            F.col("cur") == F.col("__w"),
+            "left",
+        )
+        .drop("__w")
+        .join(
+            vocab_hint(
+                vocab.select(F.col("w").alias("__pw"), F.col("cnt").alias("cnt_p1")),
+                n_vocab,
+            ),
+            F.col(p1) == F.col("__pw"),
+            "left",
+        )
+        .drop("__pw")
+        .join(
+            spark.read.parquet(f"{lm_snapshot}/bigram.parquet").select(
+                F.col("prev").alias(p1), "cur", "bcnt"
+            ),
+            [p1, "cur"],
+            "left",
         )
     )
-    return df.select(id_col).join(scored, id_col, "left")
+    lntot = F.log(F.col("total").cast("double"))
+    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
+    big_chain = F.when(
+        F.col("bcnt").isNotNull(),
+        F.log(F.col("bcnt").cast("double"))
+        - F.log(F.col("cnt_p1").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + uni)
+    if order >= 3:
+        tm = spark.read.parquet(f"{lm_snapshot}/trigram.parquet")
+        bg = spark.read.parquet(f"{lm_snapshot}/bigram.parquet")
+        joined = (
+            joined.join(
+                bg.select(
+                    F.col("prev").alias("__c2"),
+                    F.col("cur").alias("__c1"),
+                    F.col("bcnt").alias("bcnt_ctx"),
+                ),
+                (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
+                "left",
+            )
+            .drop("__c2", "__c1")
+            .join(tm, ["p2", "p1", "cur"], "left")
+        )
+        tri_chain = F.when(
+            F.col("tcnt").isNotNull(),
+            F.log(F.col("tcnt").cast("double"))
+            - F.log(F.col("bcnt_ctx").cast("double")),
+        ).otherwise(F.log(F.lit(0.4)) + big_chain)
+    if order >= 4:
+        qm = spark.read.parquet(f"{lm_snapshot}/fourgram.parquet")
+        joined = (
+            joined.join(
+                tm.select(
+                    F.col("p2").alias("__t3"),
+                    F.col("p1").alias("__t2"),
+                    F.col("cur").alias("__t1"),
+                    F.col("tcnt").alias("tcnt_ctx"),
+                ),
+                (F.col("p3") == F.col("__t3"))
+                & (F.col("p2") == F.col("__t2"))
+                & (F.col("p1") == F.col("__t1")),
+                "left",
+            )
+            .drop("__t3", "__t2", "__t1")
+            .join(qm, ["p3", "p2", "p1", "cur"], "left")
+        )
+    if order == 2:
+        term = F.when(F.col(p1).isNull(), uni).otherwise(big_chain)
+    elif order == 3:
+        term = (
+            F.when(F.col("p1").isNull(), uni)
+            .when(F.col("p2").isNull(), big_chain)
+            .otherwise(tri_chain)
+        )
+    else:
+        four_chain = F.when(
+            F.col("qcnt").isNotNull(),
+            F.log(F.col("qcnt").cast("double"))
+            - F.log(F.col("tcnt_ctx").cast("double")),
+        ).otherwise(F.log(F.lit(0.4)) + tri_chain)
+        term = (
+            F.when(F.col("p1").isNull(), uni)
+            .when(F.col("p2").isNull(), big_chain)
+            .when(F.col("p3").isNull(), tri_chain)
+            .otherwise(four_chain)
+        )
+    joined = joined.crossJoin(F.broadcast(total))
+    return lm_score_agg(df, joined, term, id_col)

@@ -31,63 +31,65 @@ def test_rows_only_set_is_intentional():
 
 def test_driver_window_composition():
     """The driver's gate value-checks the FIRST 50 queries() entries in
-    dict order.  Round 6 rotated the riskiest operators (rounds-4/5
-    hash-defined + LLM-pipeline additions) INTO that window; round 8
-    rotated in ten never-driver-checked entries; round 9 rotated in the
-    ten most-expensive never-checked plans; round 10 rotated in
-    cp2/cp3/cp4/sim6/t18 + t11/t12/t13/st1/st2; round 11 rotates in
-    the six round-10 additions that shipped selfcheck-only (t19, cp5,
-    bpe3, sim4s, sim6s, d6s — the r10 verdict's top task), the NEW t20
-    bigram-backoff LM (in-window from birth), and the first TPC-H tail
-    slice (q6/q10/q12/q14/q19), plus the NEW t19s LM-snapshot probe
-    (st6 out — a14/a15 keep the HLL family and st7/st8 the streaming
-    family externally checked) and the NEW t21 trigram tier (t16 out —
-    t1/t17 keep text analysis and the gram kernel is exercised by
-    t11/t17 in-window), rotating OUT twelve r10-checked members plus
-    st6/t16, families all keeping an externally-checked
-    representative.
+    dict order.  Rounds 6-11 rotated the hash-defined/LLM-pipeline risk
+    surface, the most-expensive plans, and each round's NEW operators
+    through that window (history in the queries() docstring).  Round 12
+    rotates IN the rest of the never-externally-checked tail — the
+    TPC-H q-series (q2/q4/q11/q13/q15/q16/q17/q20/q22, the likeliest
+    real-user shapes), the streaming (st3/st4/st5) and time-series
+    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the TWO NEW
+    round-12 operators in-window from birth (t20s snapshot-backoff LM,
+    t22 4-gram LM), rotating OUT nineteen r11-checked members whose
+    family keeps an externally-checked representative.  d6s/st7 stay
+    in-window because their banding core changed this round.
     Pin the composition so a refactor can't silently evict an
     operator."""
     window = list(e.queries())[:50]
-    # the rotated-in risk surface (VERDICT r5/r7/r8/r9/r10 task 1)
     for name in (
+        # risk-surface survivors from rounds 6-11 (hash-defined LSH,
+        # streaming guard, capstones, ANN, multimodal)
         "st7_cross_dedup_stream",
-        "a14_countmin_sketch",
         "a15_hll_dataflow",
-        "t15_weighted_sample",
         "sim3_lsh_topk",
         "t17_dup_spans",
-        # round 8 rotation: kept in-window where no sibling covers the
-        # family's extension surface
-        "rj2_interval_overlap",
         "sim2_embedding_near_dup",
         "sim5_semdedup",
-        "dml_update_where",
-        # round 9 rotation survivors (capstone/ANN/multimodal cover)
         "cp1_corpus_pipeline",
         "mm1_media_features",
-        "q21_waiting_supplier",
         "d7_canonical_docs",
         "st8_stream_dedup",
-        # round 10 rotation survivors (capstone family)
         "cp2_curation_pipeline",
         "cp3_pretraining_ingest",
         "cp4_dedup_token_budget",
-        # round 11 rotation: the r10 additions + t20 + the TPC-H slice
-        "t19_perplexity_score",
-        "cp5_perplexity_mix",
-        "t20_bigram_perplexity",
+        "d3_minhash_lsh",
+        # LM family: the checked r11 representative + this round's code
+        # changes (the vocab-hint gate touches t21's joins; the
+        # snapshot chain is t19s/t20s)
         "t21_trigram_perplexity",
-        "bpe3_bpe_merges_hybrid",
-        "sim4s_ivf_snapshot_topk",
-        "sim6s_quantized_snapshot_topk",
-        "d6s_snapshot_guard",
         "t19s_lm_snapshot_score",
-        "q6_forecast_revenue",
-        "q10_returned_items",
-        "q12_shipmode_priority",
-        "q14_promo_effect",
-        "q19_disjunctive_pushdown",
+        # banding-core change coverage (round 12 task 2)
+        "d6s_snapshot_guard",
+        # round 12 rotation: NEW operators in-window from birth
+        "t20s_lm_snapshot_backoff",
+        "t22_fourgram_perplexity",
+        # round 12 rotation: the never-checked tail
+        "q2_groupwise_max",
+        "q4_order_priority",
+        "q11_important_stock",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_quantity_revenue",
+        "q20_excess_shipments",
+        "q22_global_sales_opportunity",
+        "st3_sliding_window",
+        "st4_quota_admit",
+        "st5_stream_join",
+        "ts1_gapfill",
+        "ts2_locf",
+        "ts3_hierarchical_rollup",
+        "rj1_range_join",
+        "dml_delete_where",
     ):
         assert name in window, name
     # ≥1 externally-checked entry per SURVEY §2 family
@@ -222,12 +224,14 @@ def test_queries_are_lazy(spark):
         "sim6s_quantized_snapshot_topk",
         "d6s_snapshot_guard",
         "t19s_lm_snapshot_score",
-        # t19/cp5/t20/t21 localCheckpoint their count / gated tables
+        "t20s_lm_snapshot_backoff",
+        # t19/cp5/t20/t21/t22 localCheckpoint their count / gated tables
         # at build — corpus-proportional by design (bench CONSTRUCT_TIMED)
         "t19_perplexity_score",
         "cp5_perplexity_mix",
         "t20_bigram_perplexity",
         "t21_trigram_perplexity",
+        "t22_fourgram_perplexity",
     }
     per_builder_budget_sec = 20.0
     slow = {}

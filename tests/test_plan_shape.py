@@ -367,8 +367,9 @@ def test_single_partition_exchanges_are_audited(spark):
         "t19_perplexity_score": 1,      # corpus word-total attach — one row
         "t20_bigram_perplexity": 1,     # train word-total attach — one row
         "t21_trigram_perplexity": 1,    # train word-total attach — one row
-                                        # (t19s has NONE: its total is READ
-                                        # from the snapshot, pinned above)
+        "t22_fourgram_perplexity": 1,   # train word-total attach — one row
+                                        # (t19s/t20s have NONE: their total
+                                        # is READ from the snapshot)
         "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
         "ts1_gapfill": 1,               # series min/max bounds row
     }
@@ -523,4 +524,45 @@ def test_t20_bigram_perplexity_plan(spark):
     assert plan.count("BroadcastHashJoin") >= 3   # cnt_cur, cnt_prev, doc join
     assert "partial_sum" in plan
     assert plan.count("hashpartitioning") == 5
+    assert plan.count("SinglePartition") == 1
+
+
+def test_t20s_snapshot_backoff_plan(spark):
+    """t20s's scoring plan must be the snapshot-READ one: the corpus
+    posexplodes once, the vocab/bigram/meta tables come from parquet
+    scans of the persisted snapshot (never refit from the corpus), the
+    vocab joins broadcast at gate scale via the vocab_hint size gate,
+    the per-doc sum partial-aggregates map-side, nothing drops to a
+    CartesianProduct, and the total is READ, never computed (no
+    SinglePartition).  Scans: vocab x2 (cnt_cur + cnt_prev) + bigram +
+    meta + documents x2 (tokenize + NULL-keeping spine) = 6 (formatted
+    mode prints each twice)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t20s_lm_snapshot_backoff(spark, SF_DIR))
+    assert plan.count("posexplode") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert plan.count("Scan parquet") == 12
+    assert "SinglePartition" not in plan
+
+
+def test_t22_fourgram_perplexity_plan(spark):
+    """t22's exchange census (t21's discipline one order up): one
+    corpus explode pre-checkpoint (no Generate in the scored plan), no
+    CartesianProduct, map-side partial sums, exactly one
+    SinglePartition (the train total).  Nine hash exchanges = the four
+    derived models (uv/bm/tm/qm) + the doc_id score agg + AQE reuse;
+    the five context joins (bigram probability + denominator, trigram
+    probability + denominator, fourgram) are NOT strategy-pinned — at
+    100 TB none is broadcastable by contract and AQE must stay free to
+    shuffle them."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t22_fourgram_perplexity(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 9
     assert plan.count("SinglePartition") == 1
