@@ -913,16 +913,18 @@ def st7_cross_dedup_stream(spark, sf_dir):
     """Batch dual of the streaming cross-corpus ingest guard
     (dedup.cross_dedup_stream): row-local stateless banding on the
     arriving side + equi-joins against the static reference bucket/set
-    tables — the plan that runs unchanged on an unbounded stream
-    (stream/batch equality tested in tests/test_streaming.py).  Output
-    ≡ d6 (the oracle is shared verbatim); jaccard intersects 60-bit
-    fingerprint sets, equal to shingle sets up to md5 collisions."""
+    tables — carry_sets=True pins the CARRY formulation, the plan that
+    runs unchanged on an unbounded stream (stream/batch equality tested
+    in tests/test_streaming.py; batch inputs otherwise take the round-12
+    id-only formulation, which d6s driver-checks).  Output ≡ d6 (the
+    oracle is shared verbatim); jaccard intersects 60-bit fingerprint
+    sets, equal to shingle sets up to md5 collisions."""
     d = _t(spark, sf_dir, "documents")
     new = d.where(F.col("doc_id") % 2 == 1)
     ref = d.where(F.col("doc_id") % 2 == 0)
     return dedup.cross_dedup_stream(
         new, ref, "doc_id", "text", num_perm=64, bands=16, k=8,
-        jaccard_threshold=0.2,
+        jaccard_threshold=0.2, carry_sets=True,
     )
 
 
@@ -1389,9 +1391,13 @@ def d6s_snapshot_guard(spark, sf_dir):
     ONCE (params pinned in meta.parquet; ~11x per-increment speedup at
     100x, SNAPSHOT_AMORT_r09.json), and cross_dedup_stream(ref_df=None,
     reference_snapshot=...) guards the increment against the parquet
-    tables — no reference re-scan.  Output == d6_cross_dedup on the
-    same parity split (equality-tested in pytest); oracle shared
-    verbatim with d6/st7."""
+    tables — no reference re-scan.  The increment takes the round-12
+    id-only batch formulation (_cross_dedup_batch_joins: fixed-width
+    band rows through the bucket join, sets attached candidate-bounded
+    — the INCREMENT_CURVE_r11 250k-cliff fix, re-measured in
+    INCREMENT_CURVE_r12).  Output == d6_cross_dedup on the same parity
+    split (equality-tested in pytest); oracle shared verbatim with
+    d6/st7."""
     d = _t(spark, sf_dir, "documents")
     new = d.where(F.col("doc_id") % 2 == 1)
     ref = d.where(F.col("doc_id") % 2 == 0)

@@ -814,6 +814,7 @@ def cross_dedup_stream(
     k: int = 8,
     jaccard_threshold: float = 0.7,
     reference_snapshot: str | None = None,
+    carry_sets: bool | None = None,
 ) -> DataFrame:
     """The STREAMING ingest-guard form of :func:`cross_dedup_pairs`:
     ``new_docs`` may be an unbounded stream; each arriving document is
@@ -858,7 +859,27 @@ def cross_dedup_stream(
     Snapshot tables also carry honest parquet statistics, so no
     UDF-stats tier routing is needed on the ref side at all.  Jaccard
     here intersects 60-bit fingerprint sets rather than string shingle
-    sets — equal up to md5 collisions (p ≈ |set|²/2^60 per pair)."""
+    sets — equal up to md5 collisions (p ≈ |set|²/2^60 per pair).
+
+    ``carry_sets`` picks the stream-side formulation (round 12 — the
+    r11 verdict's 250k-increment cliff fix).  Default (None): STREAMS
+    carry each row's fingerprint set in-row through the ×bands explode
+    (the only formulation that stays a stateless map — joining the set
+    back would be a stream-stream self-join needing watermarks; state
+    cost is bounded by the MICRO-BATCH, which production keeps small);
+    BATCH inputs take :func:`_cross_dedup_batch_joins` — id-only band
+    rows through the agg banding core, then the sets attached only for
+    verified CANDIDATE docs (the verify_jaccard prune).  The carry
+    variant shipped ~16× the increment's set payload through the
+    bucket-join shuffle and went superlinear at half-corpus increments
+    (INCREMENT_CURVE_r11: 125k docs 14.7 s → 250k docs 102 s on one
+    box); the id-only formulation shuffles fixed ~24 B band rows and
+    re-derives sets candidate-bounded.  ``carry_sets=True`` forces the
+    carry formulation on a batch input (the measurement control arm);
+    ``False`` on a stream raises (the agg banding needs a groupBy a
+    stateless stream cannot run).  Output is identical either way —
+    equality-tested in tests/test_pipelines.py and the stream/batch
+    tests, which now cross the two formulations."""
     # ref_sets stays the ROW-LOCAL (zero-exchange) set build, and that
     # is a measured 100× decision, not an accident
     # (scripts/st7_refprep_ab.py, interleaved min-of-N): at sf0.1 the
@@ -876,6 +897,14 @@ def cross_dedup_stream(
 
     _new_stats = parquet_files_stats(new_docs)
     big_stream = _new_stats is None or _new_stats[0] > CARRY_SETS_MAX_BYTES
+    if carry_sets is None:
+        carry_sets = bool(new_docs.isStreaming)
+    if new_docs.isStreaming and not carry_sets:
+        raise ValueError(
+            "carry_sets=False needs a batch input: the id-only banding "
+            "formulation aggregates per-doc signature mins (a groupBy a "
+            "stateless stream cannot run)"
+        )
 
     if reference_snapshot is not None:
         # Amortized path: both ref tables come from parquet written by
@@ -884,6 +913,11 @@ def cross_dedup_stream(
         ref_buckets, ref_sets = load_reference_snapshot(
             new_docs.sparkSession, reference_snapshot, num_perm, bands, k
         )
+        if not carry_sets:
+            return _cross_dedup_batch_joins(
+                new_docs, ref_buckets, ref_sets, id_col, text_col,
+                num_perm, bands, k, jaccard_threshold,
+            )
         if big_stream:
             ref_buckets = ref_buckets.hint("merge")
         return _cross_dedup_stream_joins(
@@ -944,12 +978,81 @@ def cross_dedup_stream(
     # join to merge as well was measured and REVERTED: it forces a
     # corpus-sized sort of ref_sets where AQE's candidate
     # broadcast-convert is the right plan — 316 s vs ~120 s at 100×.)
+    if not carry_sets:
+        return _cross_dedup_batch_joins(
+            new_docs, ref_buckets, ref_sets, id_col, text_col,
+            num_perm, bands, k, jaccard_threshold,
+        )
     if big_stream:
         ref_buckets = ref_buckets.hint("merge")
 
     return _cross_dedup_stream_joins(
         new_docs, ref_buckets, ref_sets, id_col, text_col,
         num_perm, bands, k, jaccard_threshold,
+    )
+
+
+def _cross_dedup_batch_joins(
+    new_docs: DataFrame,
+    ref_buckets: DataFrame,
+    ref_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """The BATCH dataflow of :func:`cross_dedup_stream` (round 12):
+    id-only band rows + candidate-pruned set attach, value-identical to
+    the carry formulation (:func:`_cross_dedup_stream_joins`) but
+    without shipping each row's fingerprint set through the ×bands
+    explode.
+
+    Why: the carry formulation's bucket-join shuffle carries the
+    increment's entire set payload ×bands (~16 GB at a 250k-doc
+    increment of the 100× corpus), which crossed the one-box spill
+    threshold and went superlinear (INCREMENT_CURVE_r11); here the band
+    rows are fixed ~24 B (new_id, band, bucket), candidates dedup on
+    id-only keys, and the sets are computed ONLY for docs that appear
+    in a candidate pair (the verify_jaccard left-semi prune — the
+    second shingle pass over candidates is collision-bounded, not
+    increment-bounded).  The new side bands through the AGG formulation
+    (:func:`lsh_band_buckets`: codegen'd arithmetic, honest statistics,
+    measured ~3× cheaper than even the Arrow row-local path for batch);
+    the candidate-id semi-join and the set joins stay UN-hinted —
+    dup-heavy corpora can have O(n) candidates, so AQE
+    broadcasts-while-small instead of a forced broadcast (the r5
+    trap)."""
+    nb = lsh_band_buckets(new_docs, id_col, text_col, num_perm, bands, k).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    cand = (
+        nb.join(ref_buckets, ["band", "bucket"])
+        .select("new_id", "ref_id")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    cand_docs = new_docs.join(
+        cand.select(F.col("new_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+    new_sets = (
+        hashed_shingles(cand_docs, id_col, text_col, k, alias="__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__nset"))
+        .select(F.col(id_col).alias("new_id"), "__nset")
+    )
+    n_inter = F.size(F.array_intersect("__nset", "__rset"))
+    return (
+        cand.join(new_sets, "new_id")
+        .join(ref_sets, "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter / (F.size("__nset") + F.size("__rset") - n_inter), 6
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "ref_id", "jaccard")
     )
 
 

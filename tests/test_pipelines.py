@@ -1496,9 +1496,12 @@ def test_fp_set_arrow_kernel_equals_expr(spark):
 
 
 def test_cross_dedup_stream_batch_equals_pairs(spark):
-    """The ingest-guard formulation (row-local banding + static-side
-    joins + fingerprint-set jaccard) run on finite input must equal the
-    batch cross-corpus operator exactly."""
+    """BOTH ingest-guard formulations — the round-12 id-only batch
+    dataflow (default on batch input) and the carry formulation
+    (carry_sets=True, the stream-shaped plan) — run on finite input
+    must equal the batch cross-corpus operator exactly.  This is the
+    equality contract that lets d6s ship the payload-free bucket join
+    while st7 keeps driver-checking the streaming plan."""
     from pyspark.sql import functions as F
 
     from maple_spark.catalog import load_table
@@ -1509,9 +1512,30 @@ def test_cross_dedup_stream_batch_equals_pairs(spark):
     ref = d.where(F.col("doc_id") % 2 == 0)
     want = sorted(map(tuple, cross_dedup_pairs(
         new, ref, "doc_id", "text", jaccard_threshold=0.2).collect()))
-    got = sorted(map(tuple, cross_dedup_stream(
+    got_idonly = sorted(map(tuple, cross_dedup_stream(
         new, ref, "doc_id", "text", jaccard_threshold=0.2).collect()))
-    assert got == want and len(want) > 0
+    got_carry = sorted(map(tuple, cross_dedup_stream(
+        new, ref, "doc_id", "text", jaccard_threshold=0.2,
+        carry_sets=True).collect()))
+    assert got_idonly == want and len(want) > 0
+    assert got_carry == want
+
+
+def test_cross_dedup_stream_rejects_idonly_on_stream(spark, tmp_path):
+    """carry_sets=False on a streaming input must fail loudly — the
+    id-only formulation's agg banding needs a groupBy a stateless
+    stream cannot run."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines.dedup import cross_dedup_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    d.limit(5).coalesce(1).write.parquet(f"{tmp_path}/f1")
+    stream = spark.readStream.schema(d.schema).parquet(f"{tmp_path}/f*")
+    with pytest.raises(ValueError, match="carry_sets"):
+        cross_dedup_stream(
+            stream, d, "doc_id", "text",
+            jaccard_threshold=0.2, carry_sets=False,
+        )
 
 
 def test_weighted_reservoir_properties(spark):
