@@ -119,6 +119,16 @@ _EXPORT = re.compile(
     r"^\s*EXPORT\s+(?P<name>\w+)\s+TO\s+'(?P<path>[^']+)'(?P<rest>.*)$",
     re.I | re.S,
 )
+# IMPORT t FROM 'path' [FORMAT orc|csv|json|parquet] — the read-back
+# inverse of EXPORT (round 12: a dialect-only script could previously
+# write a partitioned export but not read it back).  Routes to
+# engine.import_table: a metadata-only view registration (never copies
+# the files), Hive-partitioned layouts and codecs read natively.
+_IMPORT = re.compile(
+    r"^\s*IMPORT\s+(?P<name>\w+)\s+FROM\s+'(?P<path>[^']+)'"
+    r"(?:\s+FORMAT\s+(?P<fmt>\w+))?\s*$",
+    re.I,
+)
 _EXPORT_FMT = re.compile(r"\bFORMAT\s+(?P<fmt>\w+)", re.I)
 _EXPORT_COMP = re.compile(r"\bCOMPRESSION\s+(?P<codec>\w+)", re.I)
 _EXPORT_PART = re.compile(
@@ -376,6 +386,13 @@ def route_statement(engine, stmt: str):
         return engine.export(
             m.group("name"), m.group("path"), fmt,
             partition_by=cols, compression=codec,
+        )
+
+    m = _IMPORT.match(stmt)
+    if m:
+        return engine.import_table(
+            m.group("name"), m.group("path"),
+            (m.group("fmt") or "parquet").lower(),
         )
 
     m = _OPTIMIZE.match(stmt)

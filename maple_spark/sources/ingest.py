@@ -95,6 +95,19 @@ def jsonl_to_parquet(
 #: external spark-avro package, so it is NOT offered here)
 _CONVERT_FORMATS = ("parquet", "orc", "json", "csv")
 
+#: compression codecs accepted per format — validated BEFORE any write:
+#: mode('overwrite') clears an existing target directory before Spark
+#: would reject a bogus codec, so `EXPORT t TO existing COMPRESSION bogus`
+#: must fail while the previous export is still intact (ADVICE round 11).
+#: Conservative subset of Spark 4's per-format codec tables, limited to
+#: what this container's JVM carries (lzo/brotli need native libs).
+_WRITE_CODECS = {
+    "parquet": {"none", "uncompressed", "snappy", "gzip", "lz4", "lz4_raw", "zstd"},
+    "orc": {"none", "uncompressed", "snappy", "zlib", "lz4", "zstd"},
+    "csv": {"none", "uncompressed", "bzip2", "deflate", "gzip", "lz4", "snappy", "zstd"},
+    "json": {"none", "uncompressed", "bzip2", "deflate", "gzip", "lz4", "snappy", "zstd"},
+}
+
 
 def write_and_reread(
     spark: SparkSession,
@@ -140,6 +153,13 @@ def write_and_reread(
         raise ValueError(
             f"convert/export supports {_CONVERT_FORMATS}, got {out_format!r}"
         )
+    if compression is not None and compression not in _WRITE_CODECS[out_format]:
+        # before mode('overwrite') touches the target: a bad codec must
+        # not destroy the previous export (ADVICE round 11)
+        raise ValueError(
+            f"{out_format} compression must be one of "
+            f"{sorted(_WRITE_CODECS[out_format])}, got {compression!r}"
+        )
     out = df
     if sort_by:
         out = out.repartitionByRange(partitions or 8, *sort_by).sortWithinPartitions(
@@ -155,8 +175,8 @@ def write_and_reread(
     if compression:
         # per-write codec choice (e.g. zstd for cold archives, snappy/
         # lz4 for hot scan paths) — at 100 TB the scan-speed-vs-size
-        # trade is per-table policy, not a cluster-wide default; Spark
-        # validates the codec name per format at write time
+        # trade is per-table policy, not a cluster-wide default; the
+        # codec was whitelist-validated above, BEFORE the overwrite
         writer = writer.option("compression", compression)
     writer.format(out_format).save(out_path)
     back = spark.read

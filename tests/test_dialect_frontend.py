@@ -650,3 +650,110 @@ def test_export_statement_compression_clause(engine, tmp_path):
     )
     assert len(res[0]) == engine.table("region").count()
     assert any(f.endswith(".zstd.parquet") for f in os.listdir(out))
+
+def test_import_statement_round_trip(engine, tmp_path):
+    """IMPORT t FROM 'path' [FORMAT f] — the read-back inverse of
+    EXPORT (round 12: a dialect-only script can now write AND read a
+    partitioned, codec'd export).  The imported table must equal the
+    exported one value-exactly (parquet/orc are self-describing), be
+    queryable by name, and be VIEW-backed (DML must not rewrite the
+    imported files — the read-only source contract)."""
+    import os
+
+    out = str(tmp_path / "nation_rt")
+    engine.execute_script(
+        f"EXPORT nation TO '{out}' PARTITION BY (n_regionkey)"
+        " COMPRESSION zstd;"
+    )
+    res = engine.execute_script(f"IMPORT nation_rt FROM '{out}';")
+    want = sorted(
+        map(tuple, engine.table("nation").select(
+            "n_nationkey", "n_name", "n_regionkey").collect())
+    )
+    got = sorted(
+        map(tuple, engine.sql(
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation_rt"
+        ).collect())
+    )
+    assert got == want and len(res[0]) == len(want)
+    # view-backed: DML re-registers the view, the files stay intact
+    assert engine.store_path("nation_rt") is None
+    files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    engine.execute_script("DELETE FROM nation_rt WHERE n_regionkey = 0;")
+    files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    assert files_after == files_before
+    assert engine.sql(
+        "SELECT COUNT(*) AS n FROM nation_rt WHERE n_regionkey = 0"
+    ).collect()[0]["n"] == 0
+    # partition pruning works on the imported layout: the re-import
+    # reads the col=value directories as a partition column
+    res = engine.execute_script(
+        f"IMPORT nation_rt2 FROM '{out}' FORMAT parquet;"
+    )
+    assert len(res[0]) == len(want)
+    with pytest.raises(ValueError, match="IMPORT supports"):
+        engine.execute_script(f"IMPORT bad FROM '{out}' FORMAT avro;")
+
+
+def test_import_statement_orc_and_csv(engine, tmp_path):
+    """IMPORT of the other EXPORT formats: orc round-trips types
+    (self-describing); csv re-infers (text carries no types) but keeps
+    values."""
+    out_orc = str(tmp_path / "region_orc_rt")
+    engine.execute_script(f"EXPORT region TO '{out_orc}' FORMAT orc;")
+    engine.execute_script(f"IMPORT region_orc FROM '{out_orc}' FORMAT orc;")
+    assert sorted(
+        map(tuple, engine.sql("SELECT * FROM region_orc").collect())
+    ) == sorted(map(tuple, engine.table("region").collect()))
+    out_csv = str(tmp_path / "region_csv_rt")
+    engine.execute_script(f"EXPORT region TO '{out_csv}' FORMAT csv;")
+    engine.execute_script(f"IMPORT region_csv FROM '{out_csv}' FORMAT csv;")
+    got = {
+        r["r_regionkey"]: r["r_name"]
+        for r in engine.sql(
+            "SELECT r_regionkey, r_name FROM region_csv"
+        ).collect()
+    }
+    want = {
+        r["r_regionkey"]: r["r_name"]
+        for r in engine.table("region").select(
+            "r_regionkey", "r_name").collect()
+    }
+    assert got == want
+
+
+def test_export_bad_codec_preserves_previous_export(engine, tmp_path):
+    """A bogus COMPRESSION codec must fail BEFORE mode('overwrite')
+    clears the target: the previous export survives (ADVICE round 11 —
+    Spark's own codec validation happens after the directory wipe)."""
+    import os
+
+    out = str(tmp_path / "region_keep")
+    engine.execute_script(f"EXPORT region TO '{out}' FORMAT parquet;")
+    files_before = sorted(os.listdir(out))
+    assert files_before
+    with pytest.raises(ValueError, match="compression"):
+        engine.execute_script(
+            f"EXPORT region TO '{out}' COMPRESSION bogus;"
+        )
+    assert sorted(os.listdir(out)) == files_before
+
+
+def test_export_default_format_matches_dialect(engine, tmp_path):
+    """engine.export and the dialect EXPORT statement share ONE default
+    format (parquet) — two defaults for the same sink surface drift
+    (ADVICE round 11)."""
+    import os
+
+    out_api = str(tmp_path / "def_api")
+    engine.export("region", out_api)
+    out_sql = str(tmp_path / "def_sql")
+    engine.execute_script(f"EXPORT region TO '{out_sql}';")
+    for out in (out_api, out_sql):
+        assert any(f.endswith(".parquet") for f in os.listdir(out)), out

@@ -190,6 +190,24 @@ def test_dialect_utility_statements_interleaved(engine, tmp_path):
         # overwrite the same sink dir (mode=overwrite contract)
         f"EXPORT states TO '{tmp_path}/exp_soup' FORMAT orc",
         f"EXPORT states TO '{tmp_path}/exp_part' PARTITION BY (id)",
+        f"EXPORT states TO '{tmp_path}/exp_z' COMPRESSION zstd",
+    ]
+    # write→read round-trip seeds for the IMPORT soup entries (round 12:
+    # IMPORT joins the soup so routing slips / misdispatch into
+    # spark.sql are fuzz-caught like every other utility statement);
+    # imported views are read-only snapshots of the store AT EXPORT
+    # TIME, so the soup only checks routing + readability, and the
+    # final model equality below proves they never leak into `states`
+    engine.execute_script(
+        f"EXPORT states TO '{tmp_path}/imp_seed' PARTITION BY (id)"
+    )
+    engine.execute_script(
+        f"EXPORT states TO '{tmp_path}/imp_seed_csv' FORMAT csv"
+    )
+    utilities += [
+        f"IMPORT imp_a FROM '{tmp_path}/imp_seed'",
+        f"IMPORT imp_b FROM '{tmp_path}/imp_seed' FORMAT parquet",
+        f"IMPORT imp_c FROM '{tmp_path}/imp_seed_csv' FORMAT csv",
     ]
     for step in range(30):
         if rnd.random() < 0.5:
