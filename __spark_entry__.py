@@ -1391,13 +1391,14 @@ def d6s_snapshot_guard(spark, sf_dir):
     ONCE (params pinned in meta.parquet; ~11x per-increment speedup at
     100x, SNAPSHOT_AMORT_r09.json), and cross_dedup_stream(ref_df=None,
     reference_snapshot=...) guards the increment against the parquet
-    tables — no reference re-scan.  The increment takes the round-12
+    tables — no reference re-scan.  carry_sets=False pins the round-12
     id-only batch formulation (_cross_dedup_batch_joins: fixed-width
     band rows through the bucket join, sets attached candidate-bounded
-    — the INCREMENT_CURVE_r11 250k-cliff fix, re-measured in
-    INCREMENT_CURVE_r12).  Output == d6_cross_dedup on the same parity
-    split (equality-tested in pytest); oracle shared verbatim with
-    d6/st7."""
+    — the INCREMENT_CURVE_r11 250k-cliff fix; the half-corpus increment
+    this entry runs is exactly the over-32MiB regime the API's size
+    router would pick it for, INCREMENT_CURVE_r12).  Output ==
+    d6_cross_dedup on the same parity split (equality-tested in
+    pytest); oracle shared verbatim with d6/st7."""
     d = _t(spark, sf_dir, "documents")
     new = d.where(F.col("doc_id") % 2 == 1)
     ref = d.where(F.col("doc_id") % 2 == 0)
@@ -1407,7 +1408,7 @@ def d6s_snapshot_guard(spark, sf_dir):
     )
     return dedup.cross_dedup_stream(
         new, None, "doc_id", "text", num_perm=64, bands=16, k=8,
-        jaccard_threshold=0.2, reference_snapshot=snap,
+        jaccard_threshold=0.2, reference_snapshot=snap, carry_sets=False,
     )
 
 

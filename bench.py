@@ -84,6 +84,10 @@ HEADLINE = [
     # train split)
     "t20_bigram_perplexity",
     "t21_trigram_perplexity",
+    # round 12: the 4-gram tier and the snapshot-scored backoff LM
+    # (the production fit-once/score-the-crawl shape)
+    "t22_fourgram_perplexity",
+    "t20s_lm_snapshot_backoff",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -94,12 +98,16 @@ HEADLINE = [
 CONSTRUCT_TIMED = {
     "sim4_ivf_topk",
     "sim5_semdedup",
-    # t19/cp5/t20/t21 localCheckpoint their count/gated tables at build —
-    # the corpus-proportional pass must sit inside the clock
+    # t19/cp5/t20/t21/t22 localCheckpoint their count/gated tables at
+    # build — the corpus-proportional pass must sit inside the clock;
+    # t20s PERSISTS its snapshot at build (the amortized cost the probe
+    # exists to measure)
     "t19_perplexity_score",
     "cp5_perplexity_mix",
     "t20_bigram_perplexity",
     "t21_trigram_perplexity",
+    "t22_fourgram_perplexity",
+    "t20s_lm_snapshot_backoff",
 }
 
 

@@ -862,24 +862,27 @@ def cross_dedup_stream(
     sets — equal up to md5 collisions (p ≈ |set|²/2^60 per pair).
 
     ``carry_sets`` picks the stream-side formulation (round 12 — the
-    r11 verdict's 250k-increment cliff fix).  Default (None): STREAMS
-    carry each row's fingerprint set in-row through the ×bands explode
-    (the only formulation that stays a stateless map — joining the set
-    back would be a stream-stream self-join needing watermarks; state
-    cost is bounded by the MICRO-BATCH, which production keeps small);
-    BATCH inputs take :func:`_cross_dedup_batch_joins` — id-only band
-    rows through the agg banding core, then the sets attached only for
-    verified CANDIDATE docs (the verify_jaccard prune).  The carry
-    variant shipped ~16× the increment's set payload through the
-    bucket-join shuffle and went superlinear at half-corpus increments
-    (INCREMENT_CURVE_r11: 125k docs 14.7 s → 250k docs 102 s on one
-    box); the id-only formulation shuffles fixed ~24 B band rows and
-    re-derives sets candidate-bounded.  ``carry_sets=True`` forces the
-    carry formulation on a batch input (the measurement control arm);
-    ``False`` on a stream raises (the agg banding needs a groupBy a
-    stateless stream cannot run).  Output is identical either way —
-    equality-tested in tests/test_pipelines.py and the stream/batch
-    tests, which now cross the two formulations."""
+    r11 verdict's 250k-increment cliff fix).  The CARRY formulation
+    ships each row's fingerprint set in-row through the ×bands explode
+    — the only formulation that stays a stateless map (joining the set
+    back would be a stream-stream self-join needing watermarks), but
+    its bucket-join shuffle carries ~16× the increment's set payload
+    and went superlinear at half-corpus increments (INCREMENT_CURVE_r11:
+    125k docs 14.7 s → 250k docs 102 s on one box).  The ID-ONLY
+    formulation (:func:`_cross_dedup_batch_joins`) shuffles fixed
+    ~24 B band rows and attaches sets only for verified CANDIDATE docs
+    (the verify_jaccard prune) — sublinear at big increments
+    (INCREMENT_CURVE_r12, interleaved arms: 33 s vs 53 s at a 60 MB
+    increment, 52 s vs 71 s at 121 MB) but ~7 s of fixed extra
+    scan/join stages that dominate SMALL ones (11.7 s vs 4.2 s at
+    2.4 MB).  Default (None) routes by that crossover: streams always
+    carry; a statable batch increment ≤ ``CARRY_SETS_MAX_BYTES`` (32
+    MiB, inside the measured 12-60 MB crossover) carries; bigger or
+    unstatable inputs go id-only.  ``carry_sets=True``/``False`` pins a
+    formulation (``False`` on a stream raises — the agg banding needs a
+    groupBy a stateless stream cannot run).  Output is identical either
+    way — equality-tested in tests/test_pipelines.py and the
+    stream/batch tests, which cross the two formulations."""
     # ref_sets stays the ROW-LOCAL (zero-exchange) set build, and that
     # is a measured 100× decision, not an accident
     # (scripts/st7_refprep_ab.py, interleaved min-of-N): at sf0.1 the
@@ -898,7 +901,17 @@ def cross_dedup_stream(
     _new_stats = parquet_files_stats(new_docs)
     big_stream = _new_stats is None or _new_stats[0] > CARRY_SETS_MAX_BYTES
     if carry_sets is None:
-        carry_sets = bool(new_docs.isStreaming)
+        # auto-route by the measured crossover (INCREMENT_CURVE_r12,
+        # interleaved arms): a small STATABLE batch increment keeps the
+        # one-pass carry formulation (4.2 s vs 11.7 s at a 2.4 MB
+        # increment — the id-only path's extra scan + join stages are
+        # fixed overhead that dominates small inputs); a big or
+        # unstatable one takes the id-only path (33 s vs 53 s at 60 MB,
+        # 52 s vs 71 s at 121 MB, and the carry arm is the superlinear
+        # one).  CARRY_SETS_MAX_BYTES (32 MiB) sits inside the measured
+        # 12-60 MB crossover — the same constant minhash_lsh_pairs
+        # routes on.  Streams always carry (stateless-map requirement).
+        carry_sets = bool(new_docs.isStreaming) or not big_stream
     if new_docs.isStreaming and not carry_sets:
         raise ValueError(
             "carry_sets=False needs a batch input: the id-only banding "

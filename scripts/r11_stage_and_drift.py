@@ -54,9 +54,14 @@ def _merge(path: str, patch: dict) -> None:
         with open(path) as f:
             data = json.load(f)
     for k, v in patch.items():
-        data.setdefault(k, {}).update(v) if isinstance(v, dict) else data.update(
-            {k: v}
-        )
+        # overwrite unless BOTH sides are dicts: setdefault on a key an
+        # older-format JSON holds as a scalar would return that scalar
+        # and .update would crash AFTER the expensive measurement ran
+        # (ADVICE round 11)
+        if isinstance(v, dict) and isinstance(data.get(k), dict):
+            data[k].update(v)
+        else:
+            data[k] = v
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(patch))

@@ -1497,11 +1497,12 @@ def test_fp_set_arrow_kernel_equals_expr(spark):
 
 def test_cross_dedup_stream_batch_equals_pairs(spark):
     """BOTH ingest-guard formulations — the round-12 id-only batch
-    dataflow (default on batch input) and the carry formulation
-    (carry_sets=True, the stream-shaped plan) — run on finite input
-    must equal the batch cross-corpus operator exactly.  This is the
-    equality contract that lets d6s ship the payload-free bucket join
-    while st7 keeps driver-checking the streaming plan."""
+    dataflow (the size router's pick for >32MiB increments) and the
+    carry formulation (the stream-shaped plan, and the router's pick
+    for small statable batches) — run on finite input must equal the
+    batch cross-corpus operator exactly.  This is the equality contract
+    that lets d6s ship the payload-free bucket join while st7 keeps
+    driver-checking the streaming plan."""
     from pyspark.sql import functions as F
 
     from maple_spark.catalog import load_table
@@ -1513,7 +1514,8 @@ def test_cross_dedup_stream_batch_equals_pairs(spark):
     want = sorted(map(tuple, cross_dedup_pairs(
         new, ref, "doc_id", "text", jaccard_threshold=0.2).collect()))
     got_idonly = sorted(map(tuple, cross_dedup_stream(
-        new, ref, "doc_id", "text", jaccard_threshold=0.2).collect()))
+        new, ref, "doc_id", "text", jaccard_threshold=0.2,
+        carry_sets=False).collect()))
     got_carry = sorted(map(tuple, cross_dedup_stream(
         new, ref, "doc_id", "text", jaccard_threshold=0.2,
         carry_sets=True).collect()))

@@ -20,6 +20,28 @@ from maple_spark.plans import (
 )
 
 
+#: The exact exchange/scan censuses in this file (hashpartitioning == 7,
+#: Scan parquet == 12, SinglePartition == 1, ...) are deliberate
+#: tripwires — a NEW shuffle class in a hot plan must fail a test — but
+#: the exact integers are properties of THIS Spark's formatted plans and
+#: an AQE/planner upgrade legitimately moves them (ADVICE round 11).
+#: Pin the version once so an upgrade fails HERE with instructions,
+#: instead of scattering census failures across the file.
+PINNED_SPARK_MINOR = "4.1"
+
+
+def test_plan_census_spark_version_pin():
+    import pyspark
+
+    assert pyspark.__version__.startswith(PINNED_SPARK_MINOR), (
+        f"the exact plan censuses in tests/test_plan_shape.py were audited "
+        f"against Spark {PINNED_SPARK_MINOR}.x; this is "
+        f"{pyspark.__version__} — re-audit the exchange/scan counts "
+        "(run scripts/dump_plans.py), fix any that moved, then bump "
+        "PINNED_SPARK_MINOR"
+    )
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     li = load_table(spark, SF_DIR, "lineitem").where(F.col("l_quantity") > 45)
     assert has_pushed_filters(li)
