@@ -605,7 +605,11 @@ def lm_score_agg(
 
 
 def build_lm_snapshot(
-    docs: DataFrame, path: str, text_col: str = "text", order: int = 1
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    order: int = 1,
+    min_count: int = 1,
 ) -> None:
     """Persist a stupid-backoff LM of the given ``order`` fit on ``docs``
     — the reference-corpus half of the CCNet gate (Wenzek et al. 2020
@@ -621,9 +625,23 @@ def build_lm_snapshot(
     gates read the parquet — the same amortization contract as
     ``dedup.build_reference_snapshot`` / ``similarity.build_ivf_snapshot``.
     One (context) shuffle per model table with map-side combine; every
-    output is vocabulary/n-gram-table-sized, never corpus-sized."""
+    output is vocabulary/n-gram-table-sized, never corpus-sized.
+
+    ``min_count`` prunes the HIGHER-ORDER model tables (bigram and up)
+    to n-grams seen at least that often — the standard KenLM-style
+    size lever (Heafield 2011 prunes singletons by default): on web
+    text most distinct n-grams above order 2 are singletons, so
+    ``min_count=2`` shrinks the 3/4-gram tables severalfold, which at
+    100 TB is the difference between a model table that joins
+    shuffle-side comfortably and one that dominates the snapshot.
+    Pruned n-grams simply back off (α·shorter-context), exactly as if
+    unseen — the scorer needs no flag, and the UNIGRAM vocab is never
+    pruned (it is the backoff floor and the OOV definition).  Default 1
+    = exact counts (the value-exact-oracle configuration)."""
     if order not in LM_CTX:
         raise ValueError(f"order must be one of {sorted(LM_CTX)}, got {order}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     if order == 1:
         wc = (
             docs.where(F.col(text_col).isNotNull())
@@ -640,19 +658,38 @@ def build_lm_snapshot(
         wc = e.groupBy(F.col("cur").alias("w")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
+
+        # pruning is NaN-safe by construction: a surviving n-gram's
+        # context (n-1)-gram count is >= its own count (every
+        # occurrence of the n-gram contains the context), so the
+        # scorer's denominator joins can never see a pruned context
+        # under the SAME threshold (proved per-order in
+        # tests/test_pipelines.py::test_lm_snapshot_min_count_prunes)
+        def _prune(model: DataFrame, cnt_col: str) -> DataFrame:
+            if min_count > 1:
+                return model.where(F.col(cnt_col) >= min_count)
+            return model
+
         p1 = "prev" if order == 2 else "p1"
-        e.where(F.col(p1).isNotNull()).groupBy(
-            F.col(p1).alias("prev"), F.col("cur")
-        ).agg(F.count(F.lit(1)).alias("bcnt")).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/bigram.parquet")
+        _prune(
+            e.where(F.col(p1).isNotNull())
+            .groupBy(F.col(p1).alias("prev"), F.col("cur"))
+            .agg(F.count(F.lit(1)).alias("bcnt")),
+            "bcnt",
+        ).write.mode("overwrite").parquet(f"{path}/bigram.parquet")
         if order >= 3:
-            e.where(F.col("p2").isNotNull()).groupBy("p2", "p1", "cur").agg(
-                F.count(F.lit(1)).alias("tcnt")
+            _prune(
+                e.where(F.col("p2").isNotNull())
+                .groupBy("p2", "p1", "cur")
+                .agg(F.count(F.lit(1)).alias("tcnt")),
+                "tcnt",
             ).write.mode("overwrite").parquet(f"{path}/trigram.parquet")
         if order >= 4:
-            e.where(F.col("p3").isNotNull()).groupBy("p3", "p2", "p1", "cur").agg(
-                F.count(F.lit(1)).alias("qcnt")
+            _prune(
+                e.where(F.col("p3").isNotNull())
+                .groupBy("p3", "p2", "p1", "cur")
+                .agg(F.count(F.lit(1)).alias("qcnt")),
+                "qcnt",
             ).write.mode("overwrite").parquet(f"{path}/fourgram.parquet")
     wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
     spark = docs.sparkSession

@@ -2166,3 +2166,67 @@ def test_build_lm_snapshot_rejects_unknown_order(spark):
     d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="order"):
         textstats.build_lm_snapshot(d, "/tmp/never-written", order=7)
+
+
+def test_lm_snapshot_min_count_prunes(spark):
+    """min_count pruning (the KenLM-style model-size lever): pruned
+    n-grams score exactly as if unseen (back off through the chain),
+    the unigram floor is never pruned, and the chain stays NaN-safe
+    because a surviving n-gram's context count >= its own count under
+    the same threshold.  Hand corpus: every train trigram is a
+    singleton, so min_count=2 empties the trigram table and prunes all
+    bigrams but a->b (count 3)."""
+    import hashlib
+    import math
+    import tempfile
+
+    import pytest as _pytest
+
+    from maple_spark.pipelines import textstats
+
+    def is_train(i: int) -> bool:
+        return int(hashlib.md5(f"lm|{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+
+    train_ids = [i for i in range(1, 200) if is_train(i)][:2]
+    held_ids = [i for i in range(1, 200) if not is_train(i)][:1]
+    train = spark.createDataFrame(
+        [(train_ids[0], "a b c a b"), (train_ids[1], "b a b")],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(held_ids[0], "a b a")], "doc_id long, text string"
+    )
+    ln = math.log
+    # train: unigrams a=3 b=4 c=1 (total 8); bigrams ab=3 bc=1 ca=1
+    # ba=1; trigrams all singletons.
+    with tempfile.TemporaryDirectory() as tmp:
+        textstats.build_lm_snapshot(train, tmp, order=3, min_count=2)
+        got = textstats.lm_score(held, tmp).collect()[0]
+        # held "a b a": a=uni; b=bigram a->b survives (3); a pos3:
+        # trigram pruned -> alpha*S(a|b): bigram b->a PRUNED ->
+        # alpha*unigram(a)
+        slc = (
+            (ln(3) - ln(8))
+            + (ln(3) - ln(3))
+            + (ln(0.4) + ln(0.4) + ln(3) - ln(8))
+        )
+        assert (got["n_words"], got["n_oov"]) == (3, 0)
+        assert got["xent"] == _pytest.approx(-slc / 3, abs=2e-6)
+        # the pruned tables really shrank
+        assert spark.read.parquet(f"{tmp}/trigram.parquet").count() == 0
+        bg = spark.read.parquet(f"{tmp}/bigram.parquet").collect()
+        assert {(r["prev"], r["cur"], r["bcnt"]) for r in bg} == {("a", "b", 3)}
+        # unigram floor unpruned (c is a singleton and stays)
+        assert spark.read.parquet(f"{tmp}/vocab.parquet").count() == 3
+    # min_count=1 is the exact configuration: identical to unpruned
+    with tempfile.TemporaryDirectory() as tmp:
+        textstats.build_lm_snapshot(train, tmp, order=3, min_count=1)
+        exact = textstats.lm_score(held, tmp).collect()[0]
+        slc1 = (
+            (ln(3) - ln(8))
+            + (ln(3) - ln(3))
+            + (ln(0.4) + ln(1) - ln(4))  # bigram b->a seen once
+        )
+        assert exact["xent"] == _pytest.approx(-slc1 / 3, abs=2e-6)
+    with _pytest.raises(ValueError, match="min_count"):
+        textstats.build_lm_snapshot(train, "/tmp/never", order=2, min_count=0)
