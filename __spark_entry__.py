@@ -1039,6 +1039,22 @@ def t13_pii_scrub(spark, sf_dir):
     )
 
 
+def t24_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule gate (Rae et al. 2021 A1.1) — the
+    doc-level heuristic filter production pipelines run FIRST, before
+    any model-based scoring: word-count bounds, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word ratio, stopword
+    presence; per-rule signal columns + the composite keep flag.
+    min_words/min_stop_hits are tuned to the synthetic corpus (10-99
+    word docs) so the gate discriminates here; the other thresholds
+    are the published defaults.  Map-only — zero exchanges at any
+    corpus size."""
+    from maple_spark.pipelines import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.gopher_quality_rules(d, min_words=30, min_stop_hits=1)
+
+
 def cp2_curation_pipeline(spark, sf_dir):
     """Capstone #2 — the curation pass composed as ONE oracle-checked
     dataflow: quality filter (t3) → benchmark decontamination (t11) →
@@ -3254,6 +3270,149 @@ def t22_fourgram_perplexity(spark, sf_dir):
     return _lm_score_from(d, joined, term)
 
 
+def t23_fivegram_perplexity(spark, sf_dir):
+    """5-gram stupid-backoff LM (round 12) — THE production order: the
+    CCNet quality gate scores web text with a 5-gram KenLM fit on
+    Wikipedia (Wenzek et al. 2020; Brants et al. 2007 define stupid
+    backoff), and this tier completes the chain t19→t20→t21→t22 built
+    order by order: S(w|p4..p1) = pcnt/qcnt(p4..p1) when the 5-gram was
+    seen in training, else 0.4·S(w|p3..p1) (t22's 4-gram chain,
+    recursing down to the unigram 0.4·cnt'(w)/total, OOV cnt':=1);
+    positions 1-4 score with the unigram/bigram/trigram/4-gram chains
+    directly.  Same md5 train split — at order 5 the model table misses
+    on nearly every held-out position, so the four-deep backoff
+    recursion is hash-checked at volume.
+
+    Scale shape = t22's with one more derived model: ONE corpus explode
+    (p4..p1 via element_at on the row's own array — no self-join), a
+    checkpointed (doc, p4, p3, p2, p1, cur, m) table, unigram vocab
+    joins under the vocab_hint size gate, bigram/trigram/4-gram/5-gram
+    models via their own groupBys with UN-HINTED joins (seven context
+    joins — none is broadcastable by contract at 100 TB, AQE decides
+    from measured size; at this order the model tables approach
+    token-count cardinality, which is exactly why build_lm_snapshot's
+    KenLM-style min_count pruning exists for the persisted form).
+    DECIMAL(38,12) per-term sums + round(6); NULL/wordless docs surface
+    NULL (the bpe2 contract)."""
+    d = _t(spark, sf_dir, "documents")
+    wcb, uv, tot, n_vocab = _lm_context_counts(
+        d, [("p4", 4), ("p3", 3), ("p2", 2), ("p1", 1)]
+    )
+    bm = (
+        wcb.where(F.col("is_train") & F.col("p1").isNotNull())
+        .groupBy("p1", "cur")
+        .agg(F.sum("m").alias("bcnt"))
+    )
+    tm = (
+        wcb.where(F.col("is_train") & F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "cur")
+        .agg(F.sum("m").alias("tcnt"))
+    )
+    qm = (
+        wcb.where(F.col("is_train") & F.col("p3").isNotNull())
+        .groupBy("p3", "p2", "p1", "cur")
+        .agg(F.sum("m").alias("qcnt"))
+    )
+    pm = (
+        wcb.where(F.col("is_train") & F.col("p4").isNotNull())
+        .groupBy("p4", "p3", "p2", "p1", "cur")
+        .agg(F.sum("m").alias("pcnt"))
+    )
+    joined = (
+        wcb.join(
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
+                n_vocab,
+            ),
+            F.col("cur") == F.col("__w"),
+            "left",
+        )
+        .drop("__w")
+        .join(
+            textstats.vocab_hint(
+                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1")),
+                n_vocab,
+            ),
+            F.col("p1") == F.col("__pw"),
+            "left",
+        )
+        .drop("__pw")
+        .join(bm, ["p1", "cur"], "left")
+        .join(
+            bm.select(
+                F.col("p1").alias("__c2"),
+                F.col("cur").alias("__c1"),
+                F.col("bcnt").alias("bcnt_ctx"),
+            ),
+            (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
+            "left",
+        )
+        .drop("__c2", "__c1")
+        .join(tm, ["p2", "p1", "cur"], "left")
+        .join(
+            tm.select(
+                F.col("p2").alias("__t3"),
+                F.col("p1").alias("__t2"),
+                F.col("cur").alias("__t1"),
+                F.col("tcnt").alias("tcnt_ctx"),
+            ),
+            (F.col("p3") == F.col("__t3"))
+            & (F.col("p2") == F.col("__t2"))
+            & (F.col("p1") == F.col("__t1")),
+            "left",
+        )
+        .drop("__t3", "__t2", "__t1")
+        .join(qm, ["p3", "p2", "p1", "cur"], "left")
+        .join(
+            qm.select(
+                F.col("p3").alias("__q4"),
+                F.col("p2").alias("__q3"),
+                F.col("p1").alias("__q2"),
+                F.col("cur").alias("__q1"),
+                F.col("qcnt").alias("qcnt_ctx"),
+            ),
+            (F.col("p4") == F.col("__q4"))
+            & (F.col("p3") == F.col("__q3"))
+            & (F.col("p2") == F.col("__q2"))
+            & (F.col("p1") == F.col("__q1")),
+            "left",
+        )
+        .drop("__q4", "__q3", "__q2", "__q1")
+        .join(pm, ["p4", "p3", "p2", "p1", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    lntot = F.log(F.col("total").cast("double"))
+    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
+    big_chain = F.when(
+        F.col("bcnt").isNotNull(),
+        F.log(F.col("bcnt").cast("double"))
+        - F.log(F.col("cnt_p1").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + uni)
+    tri_chain = F.when(
+        F.col("tcnt").isNotNull(),
+        F.log(F.col("tcnt").cast("double"))
+        - F.log(F.col("bcnt_ctx").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + big_chain)
+    four_chain = F.when(
+        F.col("qcnt").isNotNull(),
+        F.log(F.col("qcnt").cast("double"))
+        - F.log(F.col("tcnt_ctx").cast("double")),
+    ).otherwise(F.log(F.lit(0.4)) + tri_chain)
+    term = (
+        F.when(F.col("p1").isNull(), uni)
+        .when(F.col("p2").isNull(), big_chain)
+        .when(F.col("p3").isNull(), tri_chain)
+        .when(F.col("p4").isNull(), four_chain)
+        .when(
+            F.col("pcnt").isNotNull(),
+            F.log(F.col("pcnt").cast("double"))
+            - F.log(F.col("qcnt_ctx").cast("double")),
+        )
+        .otherwise(F.log(F.lit(0.4)) + four_chain)
+    )
+    return _lm_score_from(d, joined, term)
+
+
 def t19s_lm_snapshot_score(spark, sf_dir):
     """The PRODUCTION shape of the perplexity gate — the quality twin
     of d6s: textstats.build_lm_snapshot persists the unigram LM fit on
@@ -3639,8 +3798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SELECT-shaped, so these are the likeliest real-user shapes), the
     # never-checked streaming (st3/st4/st5) and time-series
     # (ts1/ts2/ts3) families, rj1 + dml_delete (their families' last
-    # never-checked members), and the TWO NEW round-12 operators
-    # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM),
+    # never-checked members), and the THREE NEW round-12 operators
+    # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM,
+    # t23 5-gram LM — cp4, driver-checked r11, moved out mid-round to
+    # seat t23; the capstone family keeps cp1/cp2/cp3 in-window),
     # rotating OUT nineteen r11-checked members whose family keeps an
     # externally-checked representative (q6/q10/q12/q14/q19/q21 → q3
     # stays + 9 new q's in; t19/t20/cp5/bpe3 → t21 stays checked +
@@ -3674,19 +3835,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_hash_split": t5_hash_split,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
-        "sim5_semdedup": sim5_semdedup,
+        "t24_gopher_rules": t24_gopher_rules,
         "mm1_media_features": mm1_media_features,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "cp3_pretraining_ingest": cp3_pretraining_ingest,
-        "cp4_dedup_token_budget": cp4_dedup_token_budget,
+        "t23_fivegram_perplexity": t23_fivegram_perplexity,
         "t21_trigram_perplexity": t21_trigram_perplexity,
         "d6s_snapshot_guard": d6s_snapshot_guard,
         "t19s_lm_snapshot_score": t19s_lm_snapshot_score,
-        # round 12 rotation: the two NEW operators (in-window from
-        # birth) + the never-checked TPC-H tail + the streaming and
-        # time-series families + rj1/dml_delete
+        # round 12 rotation: the NEW operators (in-window from birth;
+        # the third, t23, sits in cp4's old slot above) + the
+        # never-checked TPC-H tail + the streaming and time-series
+        # families + rj1/dml_delete
         "t20s_lm_snapshot_backoff": t20s_lm_snapshot_backoff,
         "t22_fourgram_perplexity": t22_fourgram_perplexity,
         "q2_groupwise_max": q2_groupwise_max,
@@ -3708,7 +3870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_delete_where": dml_delete_where,
         # --- end of the driver-checked first-50 window ---
         # rotated out of the window in round 12 (all externally checked
-        # in round 11, still selfchecked):
+        # in a prior round, still selfchecked).  cp4 and sim5 moved out
+        # mid-round to seat the NEW t23 / t24 in-window from birth
+        # (capstone family keeps cp1/cp2/cp3 in-window, similarity
+        # keeps sim2/sim3; both were driver-checked r11):
+        "cp4_dedup_token_budget": cp4_dedup_token_budget,
+        "sim5_semdedup": sim5_semdedup,
         "j4_join_left": j4_join_left,
         "rj2_interval_overlap": rj2_interval_overlap,
         "a6_minmax_sumavg": a6_minmax_sumavg,
@@ -5819,6 +5986,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN wstats ON w.doc_id = wstats.doc_id
             LEFT JOIN bstats ON w.doc_id = bstats.doc_id
         """,
+        # t24: comparisons run on the RAW (unrounded) doubles in both
+        # engines — the division of identical integers is IEEE-identical,
+        # so the keep flag cannot flip at a threshold; round(6) only in
+        # the final projection (the repo-wide ratio discipline)
+        "t24_gopher_rules": """
+            WITH raw AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0 THEN
+                       length(array_to_string(ws, '')) / len(ws) END AS mean_len,
+                     CASE WHEN len(ws) > 0 THEN
+                       (len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')))
+                       / len(ws) END AS sym_ratio,
+                     CASE WHEN len(ws) > 0 THEN
+                       len(list_filter(ls, l -> l LIKE '- %'
+                                            OR l LIKE '* %'
+                                            OR l LIKE '•%'))
+                       / len(ls) END AS bullet_ratio,
+                     CASE WHEN len(ws) > 0 THEN
+                       len(list_filter(ls, l -> l LIKE '%...'))
+                       / len(ls) END AS ellipsis_ratio,
+                     CASE WHEN len(ws) > 0 THEN
+                       len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                       / len(ws) END AS alpha_ratio,
+                     CASE WHEN len(ws) > 0 THEN
+                       len(list_filter(
+                         ['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(ws, s))) END AS n_stop
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ws,
+                       string_split(text, chr(10)) AS ls,
+                       text
+                FROM documents
+              )
+            )
+            SELECT doc_id,
+                   CASE WHEN n_words > 0 THEN CAST(n_words AS BIGINT) END
+                     AS n_words,
+                   round(mean_len, 6) AS mean_word_len,
+                   round(sym_ratio, 6) AS symbol_word_ratio,
+                   round(bullet_ratio, 6) AS bullet_line_ratio,
+                   round(ellipsis_ratio, 6) AS ellipsis_line_ratio,
+                   round(alpha_ratio, 6) AS alpha_word_ratio,
+                   CAST(n_stop AS BIGINT) AS n_stop_hits,
+                   coalesce(
+                     n_words >= 30 AND n_words <= 100000
+                     AND mean_len >= 3.0 AND mean_len <= 10.0
+                     AND sym_ratio <= 0.1
+                     AND bullet_ratio <= 0.9
+                     AND ellipsis_ratio <= 0.3
+                     AND alpha_ratio >= 0.8
+                     AND n_stop >= 1, false) AS keep
+            FROM raw
+        """,
         "ts3_hierarchical_rollup": """
             WITH hourly AS (
               SELECT date_trunc('hour', ts) AS bucket, event_type,
@@ -6336,6 +6560,88 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN tm tc ON tc.p2 = w.p3 AND tc.p1 = w.p2 AND tc.cur = w.p1
               LEFT JOIN qm q ON q.p3 = w.p3 AND q.p2 = w.p2 AND q.p1 = w.p1
                             AND q.cur = w.cur
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.n_oov,
+                   round(-CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
+    # t23: 5-gram stupid-backoff — the production order; one more
+    # composed chain level (_quad appears twice: the p4-NULL position
+    # branch and the unseen-5-gram backoff), one more model CTE (pm)
+    # and two more context joins (qc = 4-gram denominator, f = 5-gram)
+    _quad = (
+        "(CASE WHEN q.qcnt IS NOT NULL THEN"
+        " ln(CAST(q.qcnt AS DOUBLE)) - ln(CAST(tc.tcnt AS DOUBLE))"
+        f" ELSE ln(0.4) + {_tri} END)"
+    )
+    out["t23_fivegram_perplexity"] = f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (
+              SELECT doc_id,
+                     CASE WHEN i > 4 THEN arr[i - 4] END AS p4,
+                     CASE WHEN i > 3 THEN arr[i - 3] END AS p3,
+                     CASE WHEN i > 2 THEN arr[i - 2] END AS p2,
+                     CASE WHEN i > 1 THEN arr[i - 1] END AS p1,
+                     arr[i] AS cur
+              FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), wcb AS MATERIALIZED (
+              SELECT doc_id, p4, p3, p2, p1, cur,
+                     CAST(COUNT(*) AS BIGINT) AS m,
+                     (CAST(('0x' || substring(md5('lm|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0)
+                       AS is_train
+              FROM e GROUP BY doc_id, p4, p3, p2, p1, cur
+            ), uv AS MATERIALIZED (
+              SELECT cur AS w, SUM(m) AS cnt FROM wcb
+              WHERE is_train GROUP BY cur
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), bm AS MATERIALIZED (
+              SELECT p1, cur, SUM(m) AS bcnt FROM wcb
+              WHERE is_train AND p1 IS NOT NULL GROUP BY p1, cur
+            ), tm AS MATERIALIZED (
+              SELECT p2, p1, cur, SUM(m) AS tcnt FROM wcb
+              WHERE is_train AND p2 IS NOT NULL GROUP BY p2, p1, cur
+            ), qm AS MATERIALIZED (
+              SELECT p3, p2, p1, cur, SUM(m) AS qcnt FROM wcb
+              WHERE is_train AND p3 IS NOT NULL GROUP BY p3, p2, p1, cur
+            ), pm AS MATERIALIZED (
+              SELECT p4, p3, p2, p1, cur, SUM(m) AS pcnt FROM wcb
+              WHERE is_train AND p4 IS NOT NULL
+              GROUP BY p4, p3, p2, p1, cur
+            ), s AS (
+              SELECT w.doc_id,
+                     CAST(SUM(w.m) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN uc.cnt IS NULL THEN w.m ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(w.m AS DOUBLE) * (CASE
+                        WHEN w.p1 IS NULL THEN {_uni}
+                        WHEN w.p2 IS NULL THEN {_big}
+                        WHEN w.p3 IS NULL THEN {_tri}
+                        WHEN w.p4 IS NULL THEN {_quad}
+                        WHEN f.pcnt IS NOT NULL THEN
+                          ln(CAST(f.pcnt AS DOUBLE))
+                          - ln(CAST(qc.qcnt AS DOUBLE))
+                        ELSE ln(0.4) + {_quad}
+                      END) AS DECIMAL(38,12))) AS slc
+              FROM wcb w
+              LEFT JOIN uv uc ON uc.w = w.cur
+              LEFT JOIN uv up ON up.w = w.p1
+              LEFT JOIN bm b ON b.p1 = w.p1 AND b.cur = w.cur
+              LEFT JOIN bm bc ON bc.p1 = w.p2 AND bc.cur = w.p1
+              LEFT JOIN tm t ON t.p2 = w.p2 AND t.p1 = w.p1 AND t.cur = w.cur
+              LEFT JOIN tm tc ON tc.p2 = w.p3 AND tc.p1 = w.p2 AND tc.cur = w.p1
+              LEFT JOIN qm q ON q.p3 = w.p3 AND q.p2 = w.p2 AND q.p1 = w.p1
+                            AND q.cur = w.cur
+              LEFT JOIN qm qc ON qc.p3 = w.p4 AND qc.p2 = w.p3
+                             AND qc.p1 = w.p2 AND qc.cur = w.p1
+              LEFT JOIN pm f ON f.p4 = w.p4 AND f.p3 = w.p3 AND f.p2 = w.p2
+                            AND f.p1 = w.p1 AND f.cur = w.cur
               GROUP BY w.doc_id
             )
             SELECT d.doc_id, s.n_words, s.n_oov,

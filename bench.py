@@ -84,9 +84,11 @@ HEADLINE = [
     # train split)
     "t20_bigram_perplexity",
     "t21_trigram_perplexity",
-    # round 12: the 4-gram tier and the snapshot-scored backoff LM
-    # (the production fit-once/score-the-crawl shape)
+    # round 12: the 4-gram and 5-gram tiers (order 5 IS the production
+    # CCNet gate's order) and the snapshot-scored backoff LM (the
+    # production fit-once/score-the-crawl shape)
     "t22_fourgram_perplexity",
+    "t23_fivegram_perplexity",
     "t20s_lm_snapshot_backoff",
 ]
 
@@ -107,6 +109,7 @@ CONSTRUCT_TIMED = {
     "t20_bigram_perplexity",
     "t21_trigram_perplexity",
     "t22_fourgram_perplexity",
+    "t23_fivegram_perplexity",
     "t20s_lm_snapshot_backoff",
 }
 

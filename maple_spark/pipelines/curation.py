@@ -483,3 +483,99 @@ def duplicated_spans(
             ).alias("dup_span_frac"),
         )
     )
+
+
+#: Gopher rule A1.1's "must contain at least 2 of" stopword list
+#: (Rae et al. 2021) — the 8 words are part of the published rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021 Appendix A1.1 —
+    the doc-level heuristic filter FineWeb/RefinedWeb-style pipelines
+    run before model-based scoring; defaults are the published
+    thresholds): word count in [min_words, max_words], mean word
+    length in [3, 10] chars, symbol-to-word ratio ('#' or '...')
+    <= 0.1, <= 90% of lines starting with a bullet, <= 30% of lines
+    ending in an ellipsis, >= 80% of words containing an alphabetic
+    character, and >= 2 distinct stopwords present.
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    n_stop_hits, keep) — the signal columns so a pipeline can tune
+    thresholds from the measured distributions, plus the composite
+    ``keep``.  NULL/wordless docs surface NULL signals and keep=false
+    (a gate must decide; the bpe2 NULL-surfacing contract for the
+    metrics themselves).
+
+    Scale shape: map-only — every signal is computed from the row's
+    own text (split + higher-order filter/concat_ws length sums +
+    regexp_count, all Catalyst expressions; the per-word lambdas run
+    interpreted but row-local and linear in doc length).  Zero
+    exchanges at any corpus size; the cheapest filter in the pipeline
+    and the reason production runs it FIRST."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda x: x != "")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    # Σ word lengths via concat_ws — stays in codegen (no aggregate()
+    # lambda); mean/ratios only defined when the doc has words, so the
+    # 0/0 regime can't diverge cross-engine
+    sum_chars = F.length(F.concat_ws("", words))
+    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("•"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(words, s)))
+    has = n_words > 0
+    mean_len = F.when(has, sum_chars / n_words)
+    sym_ratio = F.when(has, n_symbols / n_words)
+    bullet_ratio = F.when(has, n_bullet / n_lines)
+    ellipsis_ratio = F.when(has, n_ellipsis / n_lines)
+    alpha_ratio = F.when(has, n_alpha / n_words)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_ratio <= max_bullet_line_ratio)
+        & (ellipsis_ratio <= max_ellipsis_line_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (F.when(has, n_stop) >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(has, n_words).cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.when(has, n_stop).cast("bigint").alias("n_stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

@@ -528,12 +528,14 @@ def vocab_hint(df: DataFrame, n_rows: int | None) -> DataFrame:
 
 #: Context-column spec per stupid-backoff order: (name, distance) pairs,
 #: farthest first — order 2 sees the previous token, order 3 the previous
-#: two, order 4 the previous three.
+#: two, order 5 the previous four (the production CCNet gate's order:
+#: Wenzek et al. 2020 score with a 5-gram KenLM).
 LM_CTX: dict[int, list[tuple[str, int]]] = {
     1: [],
     2: [("prev", 1)],
     3: [("p2", 2), ("p1", 1)],
     4: [("p3", 3), ("p2", 2), ("p1", 1)],
+    5: [("p4", 4), ("p3", 3), ("p2", 2), ("p1", 1)],
 }
 
 
@@ -616,7 +618,10 @@ def build_lm_snapshot(
     fit on Wikipedia, score the crawl; Brants et al. 2007 define stupid
     backoff): ``{path}/vocab.parquet`` (w, cnt),
     ``{path}/bigram.parquet`` (prev, cur, bcnt) for order ≥ 2,
-    ``{path}/trigram.parquet`` (p2, p1, cur, tcnt) for order ≥ 3, and
+    ``{path}/trigram.parquet`` (p2, p1, cur, tcnt) for order ≥ 3,
+    ``{path}/fourgram.parquet`` / ``{path}/fivegram.parquet`` one key
+    column wider each for order ≥ 4 / 5 (order 5 IS the production
+    gate's order), and
     ``{path}/meta.parquet`` (one row: total, n_vocab, order — derived
     from the PERSISTED vocab so the files cannot disagree; n_vocab
     drives :func:`vocab_hint`'s broadcast gate, order tells
@@ -691,12 +696,24 @@ def build_lm_snapshot(
                 .agg(F.count(F.lit(1)).alias("qcnt")),
                 "qcnt",
             ).write.mode("overwrite").parquet(f"{path}/fourgram.parquet")
+        if order >= 5:
+            _prune(
+                e.where(F.col("p4").isNotNull())
+                .groupBy("p4", "p3", "p2", "p1", "cur")
+                .agg(F.count(F.lit(1)).alias("pcnt")),
+                "pcnt",
+            ).write.mode("overwrite").parquet(f"{path}/fivegram.parquet")
     wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
     spark = docs.sparkSession
+    # order is a literal SELECT, not an aggregate over the vocab rows:
+    # max(lit(order)) over an EMPTY vocab (an all-NULL / empty-train
+    # corpus) is NULL, and lm_score would then plan LM_CTX[None]
+    # (fuzz-caught: test_perplexity_family_oracle_agree_on_random_corpora)
     spark.read.parquet(f"{path}/vocab.parquet").agg(
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("n_vocab"),
-        F.max(F.lit(order)).alias("order"),
+    ).select(
+        "total", "n_vocab", F.lit(order).alias("order")
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
@@ -723,7 +740,7 @@ def lm_score(
     broadcast-hinted ONLY under :func:`vocab_hint`'s recorded-size gate
     (a Heaps-law vocabulary at 100 TB must not be forced into the 8 GB
     broadcast wall — above the gate AQE decides from measured sizes);
-    the bigram/trigram/fourgram model joins are NEVER hinted (those
+    the bigram/…/fivegram model joins are NEVER hinted (those
     tables may not broadcast at any corpus size by contract); the total
     is a 1-row broadcast READ from the snapshot, never recomputed.
     Cross-engine exactness: per-term ln's as differences of ln(integer
@@ -861,6 +878,31 @@ def lm_score(
             .drop("__t3", "__t2", "__t1")
             .join(qm, ["p3", "p2", "p1", "cur"], "left")
         )
+        four_chain = F.when(
+            F.col("qcnt").isNotNull(),
+            F.log(F.col("qcnt").cast("double"))
+            - F.log(F.col("tcnt_ctx").cast("double")),
+        ).otherwise(F.log(F.lit(0.4)) + tri_chain)
+    if order >= 5:
+        pm = spark.read.parquet(f"{lm_snapshot}/fivegram.parquet")
+        joined = (
+            joined.join(
+                qm.select(
+                    F.col("p3").alias("__q4"),
+                    F.col("p2").alias("__q3"),
+                    F.col("p1").alias("__q2"),
+                    F.col("cur").alias("__q1"),
+                    F.col("qcnt").alias("qcnt_ctx"),
+                ),
+                (F.col("p4") == F.col("__q4"))
+                & (F.col("p3") == F.col("__q3"))
+                & (F.col("p2") == F.col("__q2"))
+                & (F.col("p1") == F.col("__q1")),
+                "left",
+            )
+            .drop("__q4", "__q3", "__q2", "__q1")
+            .join(pm, ["p4", "p3", "p2", "p1", "cur"], "left")
+        )
     if order == 2:
         term = F.when(F.col(p1).isNull(), uni).otherwise(big_chain)
     elif order == 3:
@@ -869,17 +911,25 @@ def lm_score(
             .when(F.col("p2").isNull(), big_chain)
             .otherwise(tri_chain)
         )
-    else:
-        four_chain = F.when(
-            F.col("qcnt").isNotNull(),
-            F.log(F.col("qcnt").cast("double"))
-            - F.log(F.col("tcnt_ctx").cast("double")),
-        ).otherwise(F.log(F.lit(0.4)) + tri_chain)
+    elif order == 4:
         term = (
             F.when(F.col("p1").isNull(), uni)
             .when(F.col("p2").isNull(), big_chain)
             .when(F.col("p3").isNull(), tri_chain)
             .otherwise(four_chain)
+        )
+    else:
+        five_chain = F.when(
+            F.col("pcnt").isNotNull(),
+            F.log(F.col("pcnt").cast("double"))
+            - F.log(F.col("qcnt_ctx").cast("double")),
+        ).otherwise(F.log(F.lit(0.4)) + four_chain)
+        term = (
+            F.when(F.col("p1").isNull(), uni)
+            .when(F.col("p2").isNull(), big_chain)
+            .when(F.col("p3").isNull(), tri_chain)
+            .when(F.col("p4").isNull(), four_chain)
+            .otherwise(five_chain)
         )
     joined = joined.crossJoin(F.broadcast(total))
     return lm_score_agg(df, joined, term, id_col)

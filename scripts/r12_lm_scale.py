@@ -16,6 +16,9 @@ die in a driver BroadcastExchange on the next — scale-sweep hygiene):
 
     SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py sf01
     SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py x100
+    # second wave — the production-order tier, its own fresh legs:
+    SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py t23_sf01
+    SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py t23_x100
 
 Each leg merges into LM_SCALE_r12.json:
   {leg: {t22_sec, t20s_build_sec, t20s_score_sec, runs, load_min, load_max}}
@@ -51,7 +54,7 @@ def _merge(leg: str, payload: dict) -> None:
 
 def main() -> None:
     leg = sys.argv[1] if len(sys.argv) > 1 else "sf01"
-    sf_dir = SF01 if leg == "sf01" else X100
+    sf_dir = SF01 if leg.endswith("sf01") else X100
 
     from pyspark.sql import functions as F
 
@@ -85,13 +88,24 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    arms = [("t22_sec", t22), ("t20s_build_sec", t20s_build),
-            ("t20s_score_sec", t20s_score)]
-    # warm (untimed): JVM, codegen, parquet footers; build runs first so
-    # score always has a snapshot to read
-    t20s_build()
-    t20s_score()
-    t22()
+    def t23():
+        e.t23_fivegram_perplexity(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    if leg.startswith("t23"):
+        # the round's second wave: the production-order tier, its own
+        # fresh-process legs (t23_sf01 / t23_x100)
+        arms = [("t23_sec", t23)]
+        t23()
+    else:
+        arms = [("t22_sec", t22), ("t20s_build_sec", t20s_build),
+                ("t20s_score_sec", t20s_score)]
+        # warm (untimed): JVM, codegen, parquet footers; build runs
+        # first so score always has a snapshot to read
+        t20s_build()
+        t20s_score()
+        t22()
     runs = int(os.environ.get("LM_SCALE_RUNS", "2"))
     best = {k: float("inf") for k, _ in arms}
     loads = []

@@ -37,11 +37,14 @@ def test_driver_window_composition():
     rotates IN the rest of the never-externally-checked tail — the
     TPC-H q-series (q2/q4/q11/q13/q15/q16/q17/q20/q22, the likeliest
     real-user shapes), the streaming (st3/st4/st5) and time-series
-    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the TWO NEW
+    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the FOUR NEW
     round-12 operators in-window from birth (t20s snapshot-backoff LM,
-    t22 4-gram LM), rotating OUT nineteen r11-checked members whose
-    family keeps an externally-checked representative.  d6s/st7 stay
-    in-window because their banding core changed this round.
+    t22 4-gram LM, and the mid-round t23 5-gram LM / t24 gopher gate
+    seated in cp4's / sim5's slots — both were driver-checked r11 and
+    their families keep cp1/cp2/cp3 / sim2+sim3 in-window), rotating
+    OUT twenty-one r11-checked members whose family keeps an
+    externally-checked representative.  d6s/st7
+    stay in-window because their banding core changed this round.
     Pin the composition so a refactor can't silently evict an
     operator."""
     window = list(e.queries())[:50]
@@ -53,14 +56,12 @@ def test_driver_window_composition():
         "sim3_lsh_topk",
         "t17_dup_spans",
         "sim2_embedding_near_dup",
-        "sim5_semdedup",
         "cp1_corpus_pipeline",
         "mm1_media_features",
         "d7_canonical_docs",
         "st8_stream_dedup",
         "cp2_curation_pipeline",
         "cp3_pretraining_ingest",
-        "cp4_dedup_token_budget",
         "d3_minhash_lsh",
         # LM family: the checked r11 representative + this round's code
         # changes (the vocab-hint gate touches t21's joins; the
@@ -72,6 +73,8 @@ def test_driver_window_composition():
         # round 12 rotation: NEW operators in-window from birth
         "t20s_lm_snapshot_backoff",
         "t22_fourgram_perplexity",
+        "t23_fivegram_perplexity",
+        "t24_gopher_rules",
         # round 12 rotation: the never-checked tail
         "q2_groupwise_max",
         "q4_order_priority",
@@ -225,13 +228,14 @@ def test_queries_are_lazy(spark):
         "d6s_snapshot_guard",
         "t19s_lm_snapshot_score",
         "t20s_lm_snapshot_backoff",
-        # t19/cp5/t20/t21/t22 localCheckpoint their count / gated tables
+        # the LM tiers localCheckpoint their count / gated tables
         # at build — corpus-proportional by design (bench CONSTRUCT_TIMED)
         "t19_perplexity_score",
         "cp5_perplexity_mix",
         "t20_bigram_perplexity",
         "t21_trigram_perplexity",
         "t22_fourgram_perplexity",
+        "t23_fivegram_perplexity",
     }
     per_builder_budget_sec = 20.0
     slow = {}

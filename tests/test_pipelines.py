@@ -2105,14 +2105,74 @@ def test_fourgram_perplexity_full_chain_hand_corpus(spark):
     assert xent == _pytest.approx(-slc / 5, abs=2e-6)
 
 
+def test_fivegram_perplexity_full_chain_hand_corpus(spark):
+    """t23 (the production 5-gram order) on a hand corpus where the
+    expected value is recomputed independently: a seen 5-gram, and an
+    unseen 5-gram backing off FOUR levels (alpha four times) through
+    unseen 4-gram/trigram/bigram to the OOV unigram.  Positions 1-4
+    take the unigram/bigram/trigram/4-gram chains directly."""
+    import hashlib
+    import math
+    import tempfile
+
+    import pytest as _pytest
+
+    import __spark_entry__ as e
+
+    def is_train(i: int) -> bool:
+        return int(hashlib.md5(f"lm|{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+
+    train_ids = [i for i in range(1, 200) if is_train(i)][:2]
+    held_ids = [i for i in range(1, 200) if not is_train(i)][:1]
+    docs = spark.createDataFrame(
+        [
+            (train_ids[0], "a b c a b", "en"),
+            (train_ids[1], "b a b", "en"),
+            # held out: "a b c a b x"
+            (held_ids[0], "a b c a b x", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_oov"], r["xent"])
+            for r in e.t23_fivegram_perplexity(spark, tmp).collect()
+        }
+    ln = math.log
+    # train: unigrams a=3 b=4 c=1 (total 8); bigrams ab=3 bc=1 ca=1
+    # ba=1; trigrams abc/bca/cab/bab = 1; 4-grams abca/bcab = 1;
+    # 5-grams abcab = 1.  held "a b c a b x":
+    #   a   pos1: unigram                       ln 3 - ln 8
+    #   b   pos2: bigram a->b seen              ln 3 - ln 3
+    #   c   pos3: trigram (a,b)->c seen         ln 1 - ln 3
+    #   a   pos4: 4-gram (a,b,c)->a seen        ln 1 - ln 1
+    #   b   5-gram (a,b,c,a)->b SEEN:
+    #       pcnt(abcab)=1 / qcnt(abca)=1        ln 1 - ln 1
+    #   x   5-gram (b,c,a,b)->x unseen -> α·S(x|c,a,b): 4-gram unseen
+    #       -> α·S(x|a,b): trigram unseen -> α·S(x|b): bigram unseen
+    #       -> α·unigram OOV                    4·ln .4 + ln 1 - ln 8
+    slc = (
+        (ln(3) - ln(8))
+        + (ln(3) - ln(3))
+        + (ln(1) - ln(3))
+        + (ln(1) - ln(1))
+        + (ln(1) - ln(1))
+        + (4 * ln(0.4) + ln(1) - ln(8))
+    )
+    n, oov, xent = got[held_ids[0]]
+    assert (n, oov) == (6, 1)
+    assert xent == _pytest.approx(-slc / 6, abs=2e-6)
+
+
 def test_lm_snapshot_backoff_equals_inline_tiers(spark):
-    """The persisted backoff LM (build_lm_snapshot order=2/3/4 +
+    """The persisted backoff LM (build_lm_snapshot order=2/3/4/5 +
     lm_score reading it) is value-identical to the inline tiers
-    t20/t21/t22 fit on the same md5 train half — the parquet
+    t20/t21/t22/t23 fit on the same md5 train half — the parquet
     round-trip of the model tables is lossless and the scoring term is
     the same chain, which is why t20s shares t20's oracle verbatim
-    (and why the order-3/4 snapshot paths need no registry entries of
-    their own)."""
+    (and why the order-3/4/5 snapshot paths need no registry entries
+    of their own)."""
     import tempfile
 
     import __spark_entry__ as e
@@ -2128,6 +2188,7 @@ def test_lm_snapshot_backoff_equals_inline_tiers(spark):
         2: e.t20_bigram_perplexity,
         3: e.t21_trigram_perplexity,
         4: e.t22_fourgram_perplexity,
+        5: e.t23_fivegram_perplexity,
     }
     for order, fn in inline.items():
         with tempfile.TemporaryDirectory() as tmp:
@@ -2230,3 +2291,55 @@ def test_lm_snapshot_min_count_prunes(spark):
         assert exact["xent"] == _pytest.approx(-slc1 / 3, abs=2e-6)
     with _pytest.raises(ValueError, match="min_count"):
         textstats.build_lm_snapshot(train, "/tmp/never", order=2, min_count=0)
+
+
+def test_gopher_rules_hand_corpus(spark):
+    """t24's per-rule arithmetic pinned on hand rows that exercise each
+    rule: a passing doc, a bullet-heavy doc, an ellipsis-heavy doc, a
+    symbol-spam doc, a no-alpha doc, NULL and empty docs (NULL metrics,
+    keep=false — a gate must decide)."""
+    from maple_spark.pipelines.curation import gopher_quality_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 12 words, all stopword 'the' variants + alpha — passes with
+            # min_words=10, min_stop_hits=1
+            (1, "the cat sat of the mat and that have with bee tool"),
+            # bullet lines: 3 of 4 start with '- ' (0.75 ratio)
+            (2, "- a\n- b\n- c\nplain"),
+            # both lines end in '...' (1.0 > 0.3 → fails)
+            (3, "first line...\nsecond line..."),
+            # symbol spam: '#' twice + one '...' over 3 words
+            (4, "ab# cd# ef..."),
+            # numeric-only words: alpha ratio 0
+            (5, "123 456 789 000 111 222 333 444 555 666"),
+            (6, None),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_rules(
+            docs, min_words=10, min_stop_hits=1
+        ).collect()
+    }
+    r1 = got[1]
+    # stop hits: the/of/and/that/have/with = 6 distinct
+    assert (r1["n_words"], r1["n_stop_hits"], r1["keep"]) == (12, 6, True)
+    assert r1["alpha_word_ratio"] == 1.0
+    r2 = got[2]
+    assert r2["bullet_line_ratio"] == 0.75
+    assert not r2["keep"]  # only 5 words
+    r3 = got[3]
+    assert r3["ellipsis_line_ratio"] == 1.0
+    assert not r3["keep"]
+    r4 = got[4]
+    assert r4["symbol_word_ratio"] == 1.0  # (2 '#' + 1 '...') / 3 words
+    assert not r4["keep"]
+    r5 = got[5]
+    assert r5["alpha_word_ratio"] == 0.0 and not r5["keep"]
+    for null_id in (6, 7):
+        r = got[null_id]
+        assert r["n_words"] is None and r["mean_word_len"] is None
+        assert r["keep"] is False

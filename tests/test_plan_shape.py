@@ -158,6 +158,16 @@ def test_hash_split_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_gopher_rules_is_map_only(spark):
+    """t24 (the Gopher gate) must be a pure map pass — it is the
+    filter production runs FIRST over the whole crawl, so any exchange
+    here would be a full-corpus shuffle for row-local arithmetic."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t24_gopher_rules(spark, SF_DIR), mode="simple")
+    assert "Exchange" not in plan
+
+
 def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     """The 100 TB safety net made visible: a join whose build side is
     statically over the broadcast estimate but *runtime*-small gets
@@ -390,6 +400,7 @@ def test_single_partition_exchanges_are_audited(spark):
         "t20_bigram_perplexity": 1,     # train word-total attach — one row
         "t21_trigram_perplexity": 1,    # train word-total attach — one row
         "t22_fourgram_perplexity": 1,   # train word-total attach — one row
+        "t23_fivegram_perplexity": 1,   # train word-total attach — one row
                                         # (t19s/t20s have NONE: their total
                                         # is READ from the snapshot)
         "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
@@ -587,4 +598,21 @@ def test_t22_fourgram_perplexity_plan(spark):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
     assert plan.count("hashpartitioning") == 9
+    assert plan.count("SinglePartition") == 1
+
+
+def test_t23_fivegram_perplexity_plan(spark):
+    """t23 (the production 5-gram order): same discipline as t22 with
+    one more derived model — eleven hash exchanges = the five derived
+    models (uv/bm/tm/qm/pm) + the doc_id score agg + AQE reuse; the
+    seven context joins are NOT strategy-pinned (at order 5 the model
+    tables approach token-count cardinality — the clearest case in the
+    LM family for leaving AQE free to shuffle them)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t23_fivegram_perplexity(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 11
     assert plan.count("SinglePartition") == 1

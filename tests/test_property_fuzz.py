@@ -601,8 +601,8 @@ def test_bpe_hybrid_driver_tier_matches_distributed(spark, words):
 def test_perplexity_family_oracle_agree_on_random_corpora(
     spark, tmp_path_factory, texts
 ):
-    """The three LM scorers (t19 inline unigram, t20 bigram backoff,
-    t19s snapshot gate) must stay value-exact vs their DuckDB oracles
+    """The LM scorers (inline tiers t19/t20/t21/t23 and the snapshot
+    gates t19s/t20s) must stay value-exact vs their DuckDB oracles
     on RANDOM corpora — NULL texts, empty/whitespace-only texts,
     multi-space runs (empty tokens), unicode, quote characters, and
     corpora whose md5 train half is empty (every count NULL) are all
@@ -642,7 +642,13 @@ def test_perplexity_family_oracle_agree_on_random_corpora(
         "t19_perplexity_score",
         "t20_bigram_perplexity",
         "t21_trigram_perplexity",
+        "t23_fivegram_perplexity",
         "t19s_lm_snapshot_score",
+        # the snapshot BACKOFF path: meta/order round-trip + the
+        # persisted-model scoring chain under empty-train/NULL regimes
+        # (the max(lit(order))-over-empty-vocab NULL-order regression
+        # was only reachable through a snapshot entry)
+        "t20s_lm_snapshot_backoff",
     ):
         sdf = e.queries()[name](spark, tmp).toPandas()
         odf = con.execute(e.oracle_sql()[name]).fetchdf()
