@@ -1090,6 +1090,67 @@ def cp2_curation_pipeline(spark, sf_dir):
     )
 
 
+def cp6_incremental_ingest(spark, sf_dir):
+    """Capstone #6 (round 12) — the INCREMENTAL production regime end
+    to end, with every corpus-sized artifact persisted and ZERO refit
+    on the increment path: the reference corpus (doc_id % 2 = 0 — the
+    accepted crawl so far) is fit ONCE into two snapshots
+    (dedup.build_reference_snapshot: LSH bucket + fingerprint-set
+    tables; textstats.build_lm_snapshot(order=2): vocab + bigram +
+    meta), and the new-crawl increment (doc_id % 2 = 1) then runs the
+    production gate ordering — cheapest first so each stage bounds the
+    next stage's input:
+
+      1. t24 gopher rules (map-only, zero exchanges) — heuristic floor;
+      2. t19s/t20s-shape LM scoring against the PERSISTED bigram model
+         (total READ, vocab under the size-gated hint, backoff + OOV
+         live because the model never saw the increment) — keep
+         xent <= 3.46 (the corpus-tuned quality band);
+      3. d6s-shape near-dup guard against the PERSISTED reference
+         buckets (id-only band rows, candidate-bounded verify) — drop
+         any increment doc with a verified jaccard >= 0.2 reference
+         twin.
+
+    Returns the admitted docs (doc_id, n_words, n_oov, xent).  The
+    oracle replays all three stages in one statement from the shared
+    t24/t20/d6 oracle pieces.  At 100 TB: stage 1 is a map, stage 2
+    joins model tables that amortize across every increment, stage 3's
+    explode is fixed-width id-only rows — the whole increment path
+    scales with the INCREMENT, never the reference
+    (INCREMENT_CURVE_r12 pins that curve for stage 3)."""
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    inc = d.where(F.col("doc_id") % 2 == 1)
+    from maple_spark.pipelines import curation
+
+    dsnap = _snapshot_root(sf_dir, "cp6_dedup_ref")
+    lmsnap = _snapshot_root(sf_dir, "cp6_lm_ref")
+    dedup.build_reference_snapshot(
+        ref, dsnap, "doc_id", "text", num_perm=64, bands=16, k=8
+    )
+    textstats.build_lm_snapshot(ref, lmsnap, order=2)
+    gkeep = (
+        curation.gopher_quality_rules(inc, min_words=30, min_stop_hits=1)
+        .where("keep")
+        .select("doc_id")
+    )
+    gated = inc.join(gkeep, "doc_id")
+    scored = textstats.lm_score(gated, lmsnap).where(F.col("xent") <= 3.46)
+    survivors = gated.join(scored.select("doc_id"), "doc_id")
+    dups = (
+        dedup.cross_dedup_stream(
+            survivors, None, "doc_id", "text", num_perm=64, bands=16, k=8,
+            jaccard_threshold=0.2, reference_snapshot=dsnap,
+            carry_sets=False,
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return scored.join(dups, "doc_id", "left_anti").select(
+        "doc_id", "n_words", "n_oov", "xent"
+    )
+
+
 def cp3_pretraining_ingest(spark, sf_dir):
     """Capstone #3 — the full pretraining-INGEST pass, the workload the
     north star names, composed as ONE oracle-checked dataflow over an
@@ -3798,10 +3859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SELECT-shaped, so these are the likeliest real-user shapes), the
     # never-checked streaming (st3/st4/st5) and time-series
     # (ts1/ts2/ts3) families, rj1 + dml_delete (their families' last
-    # never-checked members), and the THREE NEW round-12 operators
+    # never-checked members), and the FIVE NEW round-12 operators
     # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM,
-    # t23 5-gram LM — cp4, driver-checked r11, moved out mid-round to
-    # seat t23; the capstone family keeps cp1/cp2/cp3 in-window),
+    # and the mid-round t23 5-gram LM / t24 gopher gate / cp6
+    # incremental-ingest capstone — cp4/sim5/cp2, all driver-checked
+    # r11, moved out to seat them; their families keep checked reps),
     # rotating OUT nineteen r11-checked members whose family keeps an
     # externally-checked representative (q6/q10/q12/q14/q19/q21 → q3
     # stays + 9 new q's in; t19/t20/cp5/bpe3 → t21 stays checked +
@@ -3839,7 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_media_features": mm1_media_features,
         "st7_cross_dedup_stream": st7_cross_dedup_stream,
         "cp1_corpus_pipeline": cp1_corpus_pipeline,
-        "cp2_curation_pipeline": cp2_curation_pipeline,
+        "cp6_incremental_ingest": cp6_incremental_ingest,
         "cp3_pretraining_ingest": cp3_pretraining_ingest,
         "t23_fivegram_perplexity": t23_fivegram_perplexity,
         "t21_trigram_perplexity": t21_trigram_perplexity,
@@ -3872,10 +3934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the window in round 12 (all externally checked
         # in a prior round, still selfchecked).  cp4 and sim5 moved out
         # mid-round to seat the NEW t23 / t24 in-window from birth
-        # (capstone family keeps cp1/cp2/cp3 in-window, similarity
-        # keeps sim2/sim3; both were driver-checked r11):
+        # (capstone family keeps cp1/cp3 + the new cp6 in-window,
+        # similarity keeps sim2/sim3; all were driver-checked r11 —
+        # cp2 moved out likewise to seat cp6):
         "cp4_dedup_token_budget": cp4_dedup_token_budget,
         "sim5_semdedup": sim5_semdedup,
+        "cp2_curation_pipeline": cp2_curation_pipeline,
         "j4_join_left": j4_join_left,
         "rj2_interval_overlap": rj2_interval_overlap,
         "a6_minmax_sumavg": a6_minmax_sumavg,
@@ -4371,6 +4435,154 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS pack_id,
                    CAST(start_tok % 2048 AS BIGINT) AS pack_offset
             FROM cum
+        """
+
+    # cp6: the incremental production regime — gopher gate (t24's raw
+    # double comparisons) → reference-fit bigram LM band (t20's term
+    # discipline, model CTEs FROM the parity reference half) → d6's
+    # LSH candidate + exact-Jaccard verify restricted to the surviving
+    # increment.  tot/q are MATERIALIZED (scalar-subquery / 3-consumer
+    # CTEs — the bpe2 lesson).
+    cp6_oracle = f"""
+            WITH ginc AS MATERIALIZED (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ws,
+                       string_split(text, chr(10)) AS ls,
+                       text
+                FROM documents WHERE doc_id % 2 = 1
+              )
+              WHERE len(ws) >= 30 AND len(ws) <= 100000
+                AND (CASE WHEN len(ws) > 0 THEN
+                      length(array_to_string(ws, '')) / len(ws) END)
+                    BETWEEN 3.0 AND 10.0
+                AND (CASE WHEN len(ws) > 0 THEN
+                      (len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.')))
+                      / len(ws) END) <= 0.1
+                AND (CASE WHEN len(ws) > 0 THEN
+                      len(list_filter(ls, l -> l LIKE '- %'
+                                           OR l LIKE '* %'
+                                           OR l LIKE '•%'))
+                      / len(ls) END) <= 0.9
+                AND (CASE WHEN len(ws) > 0 THEN
+                      len(list_filter(ls, l -> l LIKE '%...'))
+                      / len(ls) END) <= 0.3
+                AND (CASE WHEN len(ws) > 0 THEN
+                      len(list_filter(ws,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                      / len(ws) END) >= 0.8
+                AND (CASE WHEN len(ws) > 0 THEN
+                      len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(ws, s))) END) >= 1
+            ), rt AS (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                       AS arr
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 0
+            ), re AS (
+              SELECT CASE WHEN i > 1 THEN arr[i - 1] END AS prev,
+                     arr[i] AS cur
+              FROM rt, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), uv AS MATERIALIZED (
+              SELECT cur AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM re GROUP BY cur
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), bm AS MATERIALIZED (
+              SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+              FROM re WHERE prev IS NOT NULL GROUP BY prev, cur
+            ), gt AS (
+              SELECT d.doc_id,
+                     list_filter(string_split(d.text, ' '), x -> x <> '')
+                       AS arr
+              FROM documents d JOIN ginc USING (doc_id)
+              WHERE d.text IS NOT NULL
+            ), ge AS (
+              SELECT doc_id,
+                     CASE WHEN i > 1 THEN arr[i - 1] END AS prev,
+                     arr[i] AS cur
+              FROM gt, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), gw AS MATERIALIZED (
+              SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS m
+              FROM ge GROUP BY doc_id, prev, cur
+            ), s AS (
+              SELECT w.doc_id,
+                     CAST(SUM(w.m) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN uc.cnt IS NULL THEN w.m ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(w.m AS DOUBLE) * (CASE
+                        WHEN w.prev IS NULL THEN
+                          ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                        WHEN b.bcnt IS NOT NULL THEN
+                          ln(CAST(b.bcnt AS DOUBLE))
+                          - ln(CAST(up.cnt AS DOUBLE))
+                        ELSE ln(0.4)
+                          + ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                      END) AS DECIMAL(38,12))) AS slc
+              FROM gw w
+              LEFT JOIN uv uc ON uc.w = w.cur
+              LEFT JOIN uv up ON up.w = w.prev
+              LEFT JOIN bm b ON b.prev = w.prev AND b.cur = w.cur
+              GROUP BY w.doc_id
+            ), q AS MATERIALIZED (
+              SELECT doc_id, n_words, n_oov,
+                     round(-CAST(slc AS DOUBLE) / n_words, 6) AS xent
+              FROM s
+              WHERE round(-CAST(slc AS DOUBLE) / n_words, 6) <= 3.46
+            ), consts(perm, a, b) AS (VALUES {_mh_vals}),
+            baseh AS (
+              SELECT DISTINCT doc_id, ({_sh_fp} % {_ph.P31}) AS r
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+              WHERE doc_id % 2 = 0 OR doc_id IN (SELECT doc_id FROM q)
+            ), sig AS (
+              SELECT doc_id, perm, MIN((a * r + b) % {_ph.P31}) AS mh
+              FROM baseh CROSS JOIN consts
+              GROUP BY doc_id, perm
+            ), sigl AS (
+              SELECT doc_id, list(mh ORDER BY perm) AS hs
+              FROM sig GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, CAST(b AS INTEGER) AS band, {_mh_bucket} AS bucket
+              FROM sigl, unnest(generate_series(0, 15)) AS g(b)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id IN (SELECT doc_id FROM q)
+                AND b.doc_id % 2 = 0
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 8) AS shingle
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+              WHERE doc_id % 2 = 0 OR doc_id IN (SELECT doc_id FROM q)
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT c.new_id, c.ref_id, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.new_id
+              JOIN sh b ON b.doc_id = c.ref_id AND b.shingle = a.shingle
+              GROUP BY c.new_id, c.ref_id
+            ), dup AS (
+              SELECT DISTINCT new_id
+              FROM inter
+              JOIN counts ca ON ca.doc_id = new_id
+              JOIN counts cb ON cb.doc_id = ref_id
+              WHERE round(CAST(n_inter AS DOUBLE) /
+                          (ca.n_shingles + cb.n_shingles - n_inter), 6)
+                    >= 0.2
+            )
+            SELECT doc_id, n_words, n_oov, xent FROM q
+            WHERE doc_id NOT IN (SELECT new_id FROM dup)
         """
 
     _tok_h1 = _ph.sql_fp60("t.tok")
@@ -6082,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 25
         """,
         "cp3_pretraining_ingest": cp3_oracle,
+        "cp6_incremental_ingest": cp6_oracle,
         "cp2_curation_pipeline": """
             WITH scored AS (
               SELECT doc_id, text, lang, source,

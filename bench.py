@@ -90,6 +90,9 @@ HEADLINE = [
     "t22_fourgram_perplexity",
     "t23_fivegram_perplexity",
     "t20s_lm_snapshot_backoff",
+    # round 12 second wave: the incremental production regime end to
+    # end (gopher gate → snapshot-LM band → snapshot dedup guard)
+    "cp6_incremental_ingest",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -111,6 +114,9 @@ CONSTRUCT_TIMED = {
     "t22_fourgram_perplexity",
     "t23_fivegram_perplexity",
     "t20s_lm_snapshot_backoff",
+    # cp6 PERSISTS both reference snapshots at build — the amortized
+    # once-per-snapshot cost belongs inside the clock
+    "cp6_incremental_ingest",
 }
 
 

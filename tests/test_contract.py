@@ -37,12 +37,13 @@ def test_driver_window_composition():
     rotates IN the rest of the never-externally-checked tail — the
     TPC-H q-series (q2/q4/q11/q13/q15/q16/q17/q20/q22, the likeliest
     real-user shapes), the streaming (st3/st4/st5) and time-series
-    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the FOUR NEW
+    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the FIVE NEW
     round-12 operators in-window from birth (t20s snapshot-backoff LM,
-    t22 4-gram LM, and the mid-round t23 5-gram LM / t24 gopher gate
-    seated in cp4's / sim5's slots — both were driver-checked r11 and
-    their families keep cp1/cp2/cp3 / sim2+sim3 in-window), rotating
-    OUT twenty-one r11-checked members whose family keeps an
+    t22 4-gram LM, and the mid-round t23 5-gram LM / t24 gopher gate /
+    cp6 incremental-ingest capstone seated in cp4's / sim5's / cp2's
+    slots — all three evictees were driver-checked r11 and their
+    families keep cp1+cp3+cp6 / sim2+sim3 in-window), rotating OUT
+    twenty-two r11-checked members whose family keeps an
     externally-checked representative.  d6s/st7
     stay in-window because their banding core changed this round.
     Pin the composition so a refactor can't silently evict an
@@ -60,7 +61,6 @@ def test_driver_window_composition():
         "mm1_media_features",
         "d7_canonical_docs",
         "st8_stream_dedup",
-        "cp2_curation_pipeline",
         "cp3_pretraining_ingest",
         "d3_minhash_lsh",
         # LM family: the checked r11 representative + this round's code
@@ -75,6 +75,7 @@ def test_driver_window_composition():
         "t22_fourgram_perplexity",
         "t23_fivegram_perplexity",
         "t24_gopher_rules",
+        "cp6_incremental_ingest",
         # round 12 rotation: the never-checked tail
         "q2_groupwise_max",
         "q4_order_priority",
@@ -228,6 +229,7 @@ def test_queries_are_lazy(spark):
         "d6s_snapshot_guard",
         "t19s_lm_snapshot_score",
         "t20s_lm_snapshot_backoff",
+        "cp6_incremental_ingest",
         # the LM tiers localCheckpoint their count / gated tables
         # at build — corpus-proportional by design (bench CONSTRUCT_TIMED)
         "t19_perplexity_score",

@@ -601,6 +601,24 @@ def test_t22_fourgram_perplexity_plan(spark):
     assert plan.count("SinglePartition") == 1
 
 
+def test_cp6_incremental_ingest_plan(spark):
+    """cp6's plan must be the INCREMENTAL one: both reference-derived
+    artifacts come from parquet snapshot scans (the lm_ref / dedup_ref
+    paths appear as Scans), there is NO SinglePartition exchange
+    anywhere (every total/model is READ, never recomputed — the t19s
+    pin extended to the whole capstone) and no CartesianProduct.  The
+    eighteen hash exchanges and Generates are increment-sided (gopher
+    is map-only; the LM aggregation and the id-only band explode scale
+    with the increment, INCREMENT_CURVE_r12)."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.cp6_incremental_ingest(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cp6_lm_ref" in plan and "cp6_dedup_ref" in plan
+    assert plan.count("hashpartitioning") == 18
+
+
 def test_t23_fivegram_perplexity_plan(spark):
     """t23 (the production 5-gram order): same discipline as t22 with
     one more derived model — eleven hash exchanges = the five derived
