@@ -658,3 +658,79 @@ def test_perplexity_family_oracle_agree_on_random_corpora(
         got = norm(list(sdf.columns), list(sdf.itertuples(index=False)))
         want = norm(list(odf.columns), list(odf.itertuples(index=False)))
         assert got == want, (name, texts, got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.lists(
+                    st.sampled_from(
+                        ["the", "be", "ab", "x1", "##", "...", "åß",
+                         "-", "*", "•x", 'a"b', ""]
+                    ),
+                    max_size=7,
+                ).map(" ".join),
+                max_size=4,
+            ).map("\n".join),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_rules_oracle_agrees_on_random_corpora(
+    spark, tmp_path_factory, texts
+):
+    """t24 must stay value-exact vs its DuckDB oracle on RANDOM
+    corpora — the cross-engine surface here is the line split
+    (split('\\n') vs string_split(chr(10))), LIKE-vs-startswith/endswith
+    bullet and ellipsis matching ('- ', '* ', '•', '%...'),
+    regexp_count vs regexp_extract_all for '#'/'...' (non-overlapping
+    left-to-right in both), the [A-Za-z] word class on unicode, and the
+    NULL/empty/whitespace-only regimes where every metric must surface
+    NULL with keep=false in BOTH engines."""
+    import math
+
+    import duckdb as _duck
+
+    import __spark_entry__ as e
+
+    tmp = str(tmp_path_factory.mktemp("gopherfuzz"))
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            vals = []
+            for i in order:
+                v = r[i]
+                if isinstance(v, float):
+                    v = None if math.isnan(v) else round(v, 9)
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=repr)
+
+    sdf = e.queries()["t24_gopher_rules"](spark, tmp).toPandas()
+    odf = con.execute(e.oracle_sql()["t24_gopher_rules"]).fetchdf()
+    odf = odf.astype(object).where(odf.notna(), None)
+    sdf = sdf.astype(object).where(sdf.notna(), None)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    got = norm(list(sdf.columns), list(sdf.itertuples(index=False)))
+    want = norm(list(odf.columns), list(odf.itertuples(index=False)))
+    assert got == want, (texts, got, want)

@@ -789,3 +789,63 @@ def test_lm_gate_stream_zero_state_equality(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[2][2] == 1
     assert by_id[4][1:] == (None, None, None)
+
+
+def test_gopher_gate_stream_zero_state_equality(spark, tmp_path):
+    """The gopher gate (t24, round 12) is row-local — no cross-row
+    state at all — so its streaming binding is the same zero-state
+    foreachBatch as the LM gate's, and the FIRST stage of an
+    incremental ingest (cp6's ordering) can run on the stream path
+    unchanged.  Same docs as 3 file micro-batches vs one batch must
+    gate identically, including the NULL/empty rows (keep=false both
+    ways)."""
+    from maple_spark.pipelines.curation import gopher_quality_rules
+
+    rows = [
+        (1, "the cat sat of the mat and that have with bee tool"),
+        (2, "- a\n- b\n- c\nplain"),
+        (3, "first line...\nsecond line..."),
+        (4, None),
+        (5, "123 456 789 000 111 222 333 444 555 666"),
+        (6, ""),
+    ]
+    d = str(tmp_path / "docs")
+    for i in range(3):
+        spark.createDataFrame(
+            rows[2 * i : 2 * i + 2], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{d}/f{i}")
+
+    batch_all = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(
+        map(
+            tuple,
+            gopher_quality_rules(
+                batch_all, min_words=10, min_stop_hits=1
+            ).collect(),
+        )
+    )
+
+    got = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _epoch: got.extend(
+                gopher_quality_rules(
+                    b, min_words=10, min_stop_hits=1
+                ).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert sorted(map(tuple, got)) == expect
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][-1] is True
+    assert by_id[4][-1] is False and by_id[4][1] is None
+    assert by_id[6][-1] is False
