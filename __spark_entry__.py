@@ -3061,6 +3061,38 @@ def _lm_score_from(d, joined, term):
     return textstats.lm_score_agg(d, joined, term, "doc_id")
 
 
+
+def _lm_inline_tier(spark, sf_dir, order):
+    """Shared construction for the inline backoff tiers t20-t23 — the
+    tiers differ ONLY by LM_CTX order: derive each n-gram model from
+    the checkpointed train half of wcb, then build the join pyramid +
+    backoff term through textstats.lm_backoff_join (the ONE definition
+    also used by the snapshot scorer, so the tiers and lm_score cannot
+    drift — round-12 review; three hand-kept copies preceded this)."""
+    d = _t(spark, sf_dir, "documents")
+    ctx = textstats.LM_CTX[order]
+    names = [n for n, _ in ctx]
+    wcb, uv, tot, n_vocab = _lm_context_counts(d, ctx)
+    train = wcb.where("is_train")
+    models = {}
+    for n in range(2, order + 1):
+        keys = names[-(n - 1):]
+        models[n] = (
+            train.where(F.col(keys[0]).isNotNull())
+            .groupBy(*keys, "cur")
+            .agg(F.sum("m").alias(textstats.LM_CNT_COLS[n]))
+        )
+    joined, term = textstats.lm_backoff_join(
+        wcb,
+        uv.select(F.col("cur").alias("w"), "cnt"),
+        tot,
+        n_vocab,
+        order,
+        models,
+    )
+    return _lm_score_from(d, joined, term)
+
+
 def t20_bigram_perplexity(spark, sf_dir):
     """Bigram stupid-backoff LM scoring (round 11) — one n-gram order up
     from t19 toward the production CCNet gate (Wenzek et al. 2020 use a
@@ -3091,47 +3123,7 @@ def t20_bigram_perplexity(spark, sf_dir):
     DECIMAL(38,12) before the order-independent sum, final round(6)
     absorbing libm's last ulp (the t19 discipline).  Wordless/NULL
     docs surface NULL via the left join (the bpe2 contract)."""
-    d = _t(spark, sf_dir, "documents")
-    wcb, uv, tot, n_vocab = _lm_context_counts(d, [("prev", 1)])
-    bm = (
-        wcb.where(F.col("is_train") & F.col("prev").isNotNull())
-        .groupBy("prev", "cur")
-        .agg(F.sum("m").alias("bcnt"))
-    )
-    joined = (
-        wcb.join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
-                n_vocab,
-            ),
-            F.col("cur") == F.col("__w"),
-            "left",
-        )
-        .drop("__w")
-        .join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_prev")),
-                n_vocab,
-            ),
-            F.col("prev") == F.col("__pw"),
-            "left",
-        )
-        .drop("__pw")
-        .join(bm, ["prev", "cur"], "left")
-        .crossJoin(F.broadcast(tot))
-    )
-    lntot = F.log(F.col("total").cast("double"))
-    lncc = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double"))
-    term = (
-        F.when(F.col("prev").isNull(), lncc - lntot)
-        .when(
-            F.col("bcnt").isNotNull(),
-            F.log(F.col("bcnt").cast("double"))
-            - F.log(F.col("cnt_prev").cast("double")),
-        )
-        .otherwise(F.log(F.lit(0.4)) + lncc - lntot)
-    )
-    return _lm_score_from(d, joined, term)
+    return _lm_inline_tier(spark, sf_dir, 2)
 
 
 def t21_trigram_perplexity(spark, sf_dir):
@@ -3155,69 +3147,7 @@ def t21_trigram_perplexity(spark, sf_dir):
     broadcastable by contract at 100 TB, AQE decides from measured
     size).  DECIMAL(38,12) per-term sums + round(6); NULL/wordless
     docs surface NULL (the bpe2 contract)."""
-    d = _t(spark, sf_dir, "documents")
-    wcb, uv, tot, n_vocab = _lm_context_counts(d, [("p2", 2), ("p1", 1)])
-    bm = (
-        wcb.where(F.col("is_train") & F.col("p1").isNotNull())
-        .groupBy("p1", "cur")
-        .agg(F.sum("m").alias("bcnt"))
-    )
-    tm = (
-        wcb.where(F.col("is_train") & F.col("p2").isNotNull())
-        .groupBy("p2", "p1", "cur")
-        .agg(F.sum("m").alias("tcnt"))
-    )
-    joined = (
-        wcb.join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
-                n_vocab,
-            ),
-            F.col("cur") == F.col("__w"),
-            "left",
-        )
-        .drop("__w")
-        .join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1")),
-                n_vocab,
-            ),
-            F.col("p1") == F.col("__pw"),
-            "left",
-        )
-        .drop("__pw")
-        .join(bm, ["p1", "cur"], "left")
-        .join(
-            bm.select(
-                F.col("p1").alias("__c2"),
-                F.col("cur").alias("__c1"),
-                F.col("bcnt").alias("bcnt_ctx"),
-            ),
-            (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
-            "left",
-        )
-        .drop("__c2", "__c1")
-        .join(tm, ["p2", "p1", "cur"], "left")
-        .crossJoin(F.broadcast(tot))
-    )
-    lntot = F.log(F.col("total").cast("double"))
-    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
-    big_chain = F.when(
-        F.col("bcnt").isNotNull(),
-        F.log(F.col("bcnt").cast("double"))
-        - F.log(F.col("cnt_p1").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + uni)
-    term = (
-        F.when(F.col("p1").isNull(), uni)
-        .when(F.col("p2").isNull(), big_chain)
-        .when(
-            F.col("tcnt").isNotNull(),
-            F.log(F.col("tcnt").cast("double"))
-            - F.log(F.col("bcnt_ctx").cast("double")),
-        )
-        .otherwise(F.log(F.lit(0.4)) + big_chain)
-    )
-    return _lm_score_from(d, joined, term)
+    return _lm_inline_tier(spark, sf_dir, 3)
 
 
 def t22_fourgram_perplexity(spark, sf_dir):
@@ -3239,96 +3169,7 @@ def t22_fourgram_perplexity(spark, sf_dir):
     broadcastable by contract at 100 TB, AQE decides from measured
     size).  DECIMAL(38,12) per-term sums + round(6); NULL/wordless docs
     surface NULL (the bpe2 contract)."""
-    d = _t(spark, sf_dir, "documents")
-    wcb, uv, tot, n_vocab = _lm_context_counts(
-        d, [("p3", 3), ("p2", 2), ("p1", 1)]
-    )
-    bm = (
-        wcb.where(F.col("is_train") & F.col("p1").isNotNull())
-        .groupBy("p1", "cur")
-        .agg(F.sum("m").alias("bcnt"))
-    )
-    tm = (
-        wcb.where(F.col("is_train") & F.col("p2").isNotNull())
-        .groupBy("p2", "p1", "cur")
-        .agg(F.sum("m").alias("tcnt"))
-    )
-    qm = (
-        wcb.where(F.col("is_train") & F.col("p3").isNotNull())
-        .groupBy("p3", "p2", "p1", "cur")
-        .agg(F.sum("m").alias("qcnt"))
-    )
-    joined = (
-        wcb.join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
-                n_vocab,
-            ),
-            F.col("cur") == F.col("__w"),
-            "left",
-        )
-        .drop("__w")
-        .join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1")),
-                n_vocab,
-            ),
-            F.col("p1") == F.col("__pw"),
-            "left",
-        )
-        .drop("__pw")
-        .join(bm, ["p1", "cur"], "left")
-        .join(
-            bm.select(
-                F.col("p1").alias("__c2"),
-                F.col("cur").alias("__c1"),
-                F.col("bcnt").alias("bcnt_ctx"),
-            ),
-            (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
-            "left",
-        )
-        .drop("__c2", "__c1")
-        .join(tm, ["p2", "p1", "cur"], "left")
-        .join(
-            tm.select(
-                F.col("p2").alias("__t3"),
-                F.col("p1").alias("__t2"),
-                F.col("cur").alias("__t1"),
-                F.col("tcnt").alias("tcnt_ctx"),
-            ),
-            (F.col("p3") == F.col("__t3"))
-            & (F.col("p2") == F.col("__t2"))
-            & (F.col("p1") == F.col("__t1")),
-            "left",
-        )
-        .drop("__t3", "__t2", "__t1")
-        .join(qm, ["p3", "p2", "p1", "cur"], "left")
-        .crossJoin(F.broadcast(tot))
-    )
-    lntot = F.log(F.col("total").cast("double"))
-    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
-    big_chain = F.when(
-        F.col("bcnt").isNotNull(),
-        F.log(F.col("bcnt").cast("double"))
-        - F.log(F.col("cnt_p1").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + uni)
-    tri_chain = F.when(
-        F.col("tcnt").isNotNull(),
-        F.log(F.col("tcnt").cast("double"))
-        - F.log(F.col("bcnt_ctx").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + big_chain)
-    term = (
-        F.when(F.col("p1").isNull(), uni)
-        .when(F.col("p2").isNull(), big_chain)
-        .when(F.col("p3").isNull(), tri_chain)
-        .when(
-            F.col("qcnt").isNotNull(),
-            F.log(F.col("qcnt").cast("double"))
-            - F.log(F.col("tcnt_ctx").cast("double")),
-        )
-        .otherwise(F.log(F.lit(0.4)) + tri_chain)
-    )
-    return _lm_score_from(d, joined, term)
+    return _lm_inline_tier(spark, sf_dir, 4)
 
 
 def t23_fivegram_perplexity(spark, sf_dir):
@@ -3355,123 +3196,7 @@ def t23_fivegram_perplexity(spark, sf_dir):
     KenLM-style min_count pruning exists for the persisted form).
     DECIMAL(38,12) per-term sums + round(6); NULL/wordless docs surface
     NULL (the bpe2 contract)."""
-    d = _t(spark, sf_dir, "documents")
-    wcb, uv, tot, n_vocab = _lm_context_counts(
-        d, [("p4", 4), ("p3", 3), ("p2", 2), ("p1", 1)]
-    )
-    bm = (
-        wcb.where(F.col("is_train") & F.col("p1").isNotNull())
-        .groupBy("p1", "cur")
-        .agg(F.sum("m").alias("bcnt"))
-    )
-    tm = (
-        wcb.where(F.col("is_train") & F.col("p2").isNotNull())
-        .groupBy("p2", "p1", "cur")
-        .agg(F.sum("m").alias("tcnt"))
-    )
-    qm = (
-        wcb.where(F.col("is_train") & F.col("p3").isNotNull())
-        .groupBy("p3", "p2", "p1", "cur")
-        .agg(F.sum("m").alias("qcnt"))
-    )
-    pm = (
-        wcb.where(F.col("is_train") & F.col("p4").isNotNull())
-        .groupBy("p4", "p3", "p2", "p1", "cur")
-        .agg(F.sum("m").alias("pcnt"))
-    )
-    joined = (
-        wcb.join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__w"), F.col("cnt").alias("cnt_cur")),
-                n_vocab,
-            ),
-            F.col("cur") == F.col("__w"),
-            "left",
-        )
-        .drop("__w")
-        .join(
-            textstats.vocab_hint(
-                uv.select(F.col("cur").alias("__pw"), F.col("cnt").alias("cnt_p1")),
-                n_vocab,
-            ),
-            F.col("p1") == F.col("__pw"),
-            "left",
-        )
-        .drop("__pw")
-        .join(bm, ["p1", "cur"], "left")
-        .join(
-            bm.select(
-                F.col("p1").alias("__c2"),
-                F.col("cur").alias("__c1"),
-                F.col("bcnt").alias("bcnt_ctx"),
-            ),
-            (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
-            "left",
-        )
-        .drop("__c2", "__c1")
-        .join(tm, ["p2", "p1", "cur"], "left")
-        .join(
-            tm.select(
-                F.col("p2").alias("__t3"),
-                F.col("p1").alias("__t2"),
-                F.col("cur").alias("__t1"),
-                F.col("tcnt").alias("tcnt_ctx"),
-            ),
-            (F.col("p3") == F.col("__t3"))
-            & (F.col("p2") == F.col("__t2"))
-            & (F.col("p1") == F.col("__t1")),
-            "left",
-        )
-        .drop("__t3", "__t2", "__t1")
-        .join(qm, ["p3", "p2", "p1", "cur"], "left")
-        .join(
-            qm.select(
-                F.col("p3").alias("__q4"),
-                F.col("p2").alias("__q3"),
-                F.col("p1").alias("__q2"),
-                F.col("cur").alias("__q1"),
-                F.col("qcnt").alias("qcnt_ctx"),
-            ),
-            (F.col("p4") == F.col("__q4"))
-            & (F.col("p3") == F.col("__q3"))
-            & (F.col("p2") == F.col("__q2"))
-            & (F.col("p1") == F.col("__q1")),
-            "left",
-        )
-        .drop("__q4", "__q3", "__q2", "__q1")
-        .join(pm, ["p4", "p3", "p2", "p1", "cur"], "left")
-        .crossJoin(F.broadcast(tot))
-    )
-    lntot = F.log(F.col("total").cast("double"))
-    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
-    big_chain = F.when(
-        F.col("bcnt").isNotNull(),
-        F.log(F.col("bcnt").cast("double"))
-        - F.log(F.col("cnt_p1").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + uni)
-    tri_chain = F.when(
-        F.col("tcnt").isNotNull(),
-        F.log(F.col("tcnt").cast("double"))
-        - F.log(F.col("bcnt_ctx").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + big_chain)
-    four_chain = F.when(
-        F.col("qcnt").isNotNull(),
-        F.log(F.col("qcnt").cast("double"))
-        - F.log(F.col("tcnt_ctx").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + tri_chain)
-    term = (
-        F.when(F.col("p1").isNull(), uni)
-        .when(F.col("p2").isNull(), big_chain)
-        .when(F.col("p3").isNull(), tri_chain)
-        .when(F.col("p4").isNull(), four_chain)
-        .when(
-            F.col("pcnt").isNotNull(),
-            F.log(F.col("pcnt").cast("double"))
-            - F.log(F.col("qcnt_ctx").cast("double")),
-        )
-        .otherwise(F.log(F.lit(0.4)) + four_chain)
-    )
-    return _lm_score_from(d, joined, term)
+    return _lm_inline_tier(spark, sf_dir, 5)
 
 
 def t19s_lm_snapshot_score(spark, sf_dir):

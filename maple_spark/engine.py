@@ -318,5 +318,9 @@ class MapleEngine:
                 "inferSchema", "true"
             )
         df = reader.format(in_format).load(in_path)
+        # an IMPORT onto a name that was a STORE must drop the store-path
+        # binding, or later DML/OPTIMIZE would route at the OLD store's
+        # parquet files and silently revert the import (round-12 review)
+        self._store_paths.pop(name.lower(), None)
         self.replace_view(name, df)
         return df

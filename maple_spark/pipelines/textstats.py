@@ -606,6 +606,105 @@ def lm_score_agg(
     return docs.select(id_col).join(scored, id_col, "left")
 
 
+#: per-order model count-column names, orders 2..5
+LM_CNT_COLS = {2: "bcnt", 3: "tcnt", 4: "qcnt", 5: "pcnt"}
+
+
+def lm_backoff_join(
+    wcb: DataFrame,
+    uv: DataFrame,
+    total: DataFrame,
+    n_vocab: int | None,
+    order: int,
+    models: dict[int, DataFrame],
+):
+    """The ONE definition of the stupid-backoff model-join pyramid and
+    scoring term, shared by the inline tiers (t20-t23) and the
+    snapshot scorer :func:`lm_score` — three hand-kept copies of this
+    ~80-line construction had to stay byte-consistent for the
+    shared-oracle equality contract, the exact drift class
+    :func:`lm_positions`/:func:`lm_score_agg` were factored out to
+    prevent (round-12 review).
+
+    ``wcb``: (…, *ctx_names, cur, m) position-count rows.  ``uv``:
+    (w, cnt) unigram vocab — joined twice under :func:`vocab_hint`'s
+    size gate (cur probability + nearest-context denominator).
+    ``models[n]`` for n = 2..order: the n-gram table with columns
+    (ctx_names[-(n-1):], cur, LM_CNT_COLS[n]) — each joined ONCE for
+    its probability and (below the top order) ONCE shifted one
+    position back as the (n+1)-gram's denominator; all model joins are
+    deliberately UN-hinted (an n-gram table may not broadcast at any
+    corpus size).  Returns (joined, term): the joined frame with the
+    1-row total attached (broadcast) and the order-deep backoff term —
+    feed both to :func:`lm_score_agg`."""
+    names = [n for n, _ in LM_CTX[order]]
+    near = names[-1]
+    j = (
+        wcb.join(
+            vocab_hint(
+                uv.select(F.col("w").alias("__w"), F.col("cnt").alias("cnt_cur")),
+                n_vocab,
+            ),
+            F.col("cur") == F.col("__w"),
+            "left",
+        )
+        .drop("__w")
+        .join(
+            vocab_hint(
+                uv.select(F.col("w").alias("__pw"), F.col("cnt").alias("cnt_p1")),
+                n_vocab,
+            ),
+            F.col(near) == F.col("__pw"),
+            "left",
+        )
+        .drop("__pw")
+    )
+    for n in range(2, order + 1):
+        cnt_col = LM_CNT_COLS[n]
+        keys = names[-(n - 1):]
+        j = j.join(models[n], keys + ["cur"], "left")
+        if n < order:
+            # the (n+1)-gram's denominator: this model shifted one
+            # position back — keys match names[-n:-1], cur matches the
+            # nearest context
+            wkeys = names[-n:-1]
+            tmp = [f"__s{i}" for i in range(len(keys))] + ["__sc"]
+            shifted = models[n].select(
+                *[F.col(k).alias(t) for k, t in zip(keys, tmp[:-1])],
+                F.col("cur").alias("__sc"),
+                F.col(cnt_col).alias(f"{cnt_col}_ctx"),
+            )
+            cond = F.col(near) == F.col("__sc")
+            for wk, t in zip(wkeys, tmp[:-1]):
+                cond = cond & (F.col(wk) == F.col(t))
+            j = j.join(shifted, cond, "left").drop(*tmp)
+    lntot = F.log(F.col("total").cast("double"))
+    chains = [
+        F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
+    ]
+    denoms = {2: F.col("cnt_p1")}
+    for n in range(3, order + 1):
+        denoms[n] = F.col(f"{LM_CNT_COLS[n - 1]}_ctx")
+    for n in range(2, order + 1):
+        chains.append(
+            F.when(
+                F.col(LM_CNT_COLS[n]).isNotNull(),
+                F.log(F.col(LM_CNT_COLS[n]).cast("double"))
+                - F.log(denoms[n].cast("double")),
+            ).otherwise(F.log(F.lit(0.4)) + chains[-1])
+        )
+    term = None
+    for i, name in enumerate(reversed(names)):
+        # position scores with the longest chain its prefix affords:
+        # p1 NULL -> unigram, p2 NULL -> bigram chain, ...
+        branch = F.when(F.col(name).isNull(), chains[i])
+        term = branch if term is None else term.when(
+            F.col(name).isNull(), chains[i]
+        )
+    term = term.otherwise(chains[-1])
+    return j.crossJoin(F.broadcast(total)), term
+
+
 def build_lm_snapshot(
     docs: DataFrame,
     path: str,
@@ -629,8 +728,11 @@ def build_lm_snapshot(
     reference snapshot; the scorer and any number of streaming ingest
     gates read the parquet — the same amortization contract as
     ``dedup.build_reference_snapshot`` / ``similarity.build_ivf_snapshot``.
-    One (context) shuffle per model table with map-side combine; every
-    output is vocabulary/n-gram-table-sized, never corpus-sized.
+    ONE corpus explode + ONE corpus-sized shuffle (to the widest
+    fixed-width count table, eagerly checkpointed); every model table
+    re-aggregates that table with map-side combine, so the corpus is
+    scanned once no matter the order.  Every output is
+    vocabulary/n-gram-table-sized, never corpus-sized.
 
     ``min_count`` prunes the HIGHER-ORDER model tables (bigram and up)
     to n-grams seen at least that often — the standard KenLM-style
@@ -656,13 +758,22 @@ def build_lm_snapshot(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
     else:
-        # per-model aggregations over ONE shared position explode; each
-        # is its own (context) shuffle with map-side combine.  The build
-        # never touches doc ids — the model is global counts.
-        e = lm_positions(docs, LM_CTX[order], None, text_col)
-        wc = e.groupBy(F.col("cur").alias("w")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        # ONE corpus explode + ONE corpus-sized shuffle, to the widest
+        # fixed-width count table, eagerly checkpointed — every model
+        # table then derives by RE-AGGREGATING that table, never the
+        # corpus (round-12 review: the previous per-model formulation
+        # re-ran the tokenize+posexplode lineage once per .write — ~5
+        # corpus scans at order 5, at the 100 TB fit-once scale this
+        # function exists for).  The build never touches doc ids — the
+        # model is global counts.
+        names = [n for n, _ in LM_CTX[order]]
+        g = (
+            lm_positions(docs, LM_CTX[order], None, text_col)
+            .groupBy(*names, "cur")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
         )
+        wc = g.groupBy(F.col("cur").alias("w")).agg(F.sum("cnt").alias("cnt"))
 
         # pruning is NaN-safe by construction: a surviving n-gram's
         # context (n-1)-gram count is >= its own count (every
@@ -677,30 +788,32 @@ def build_lm_snapshot(
 
         p1 = "prev" if order == 2 else "p1"
         _prune(
-            e.where(F.col(p1).isNotNull())
+            g.where(F.col(p1).isNotNull())
             .groupBy(F.col(p1).alias("prev"), F.col("cur"))
-            .agg(F.count(F.lit(1)).alias("bcnt")),
+            .agg(F.sum("cnt").alias("bcnt")),
             "bcnt",
         ).write.mode("overwrite").parquet(f"{path}/bigram.parquet")
         if order >= 3:
             _prune(
-                e.where(F.col("p2").isNotNull())
+                g.where(F.col("p2").isNotNull())
                 .groupBy("p2", "p1", "cur")
-                .agg(F.count(F.lit(1)).alias("tcnt")),
+                .agg(F.sum("cnt").alias("tcnt")),
                 "tcnt",
             ).write.mode("overwrite").parquet(f"{path}/trigram.parquet")
         if order >= 4:
             _prune(
-                e.where(F.col("p3").isNotNull())
+                g.where(F.col("p3").isNotNull())
                 .groupBy("p3", "p2", "p1", "cur")
-                .agg(F.count(F.lit(1)).alias("qcnt")),
+                .agg(F.sum("cnt").alias("qcnt")),
                 "qcnt",
             ).write.mode("overwrite").parquet(f"{path}/fourgram.parquet")
         if order >= 5:
+            # g IS the five-gram table — no further aggregation
             _prune(
-                e.where(F.col("p4").isNotNull())
-                .groupBy("p4", "p3", "p2", "p1", "cur")
-                .agg(F.count(F.lit(1)).alias("pcnt")),
+                g.where(F.col("p4").isNotNull()).select(
+                    "p4", "p3", "p2", "p1", "cur",
+                    F.col("cnt").alias("pcnt"),
+                ),
                 "pcnt",
             ).write.mode("overwrite").parquet(f"{path}/fivegram.parquet")
     wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
@@ -804,132 +917,20 @@ def lm_score(
         .groupBy(id_col, *names, "cur")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    p1 = names[-1]  # nearest context column ("prev" at order 2)
-    joined = (
-        wcb.join(
-            vocab_hint(
-                vocab.select(F.col("w").alias("__w"), F.col("cnt").alias("cnt_cur")),
-                n_vocab,
-            ),
-            F.col("cur") == F.col("__w"),
-            "left",
+    near = names[-1]  # nearest context column ("prev" at order 2)
+    # each model table is read ONCE and reused for its probability and
+    # denominator joins (round-12 review); the pyramid + term are the
+    # shared lm_backoff_join definition
+    models = {
+        2: spark.read.parquet(f"{lm_snapshot}/bigram.parquet").select(
+            F.col("prev").alias(near), "cur", "bcnt"
         )
-        .drop("__w")
-        .join(
-            vocab_hint(
-                vocab.select(F.col("w").alias("__pw"), F.col("cnt").alias("cnt_p1")),
-                n_vocab,
-            ),
-            F.col(p1) == F.col("__pw"),
-            "left",
-        )
-        .drop("__pw")
-        .join(
-            spark.read.parquet(f"{lm_snapshot}/bigram.parquet").select(
-                F.col("prev").alias(p1), "cur", "bcnt"
-            ),
-            [p1, "cur"],
-            "left",
-        )
-    )
-    lntot = F.log(F.col("total").cast("double"))
-    uni = F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
-    big_chain = F.when(
-        F.col("bcnt").isNotNull(),
-        F.log(F.col("bcnt").cast("double"))
-        - F.log(F.col("cnt_p1").cast("double")),
-    ).otherwise(F.log(F.lit(0.4)) + uni)
+    }
     if order >= 3:
-        tm = spark.read.parquet(f"{lm_snapshot}/trigram.parquet")
-        bg = spark.read.parquet(f"{lm_snapshot}/bigram.parquet")
-        joined = (
-            joined.join(
-                bg.select(
-                    F.col("prev").alias("__c2"),
-                    F.col("cur").alias("__c1"),
-                    F.col("bcnt").alias("bcnt_ctx"),
-                ),
-                (F.col("p2") == F.col("__c2")) & (F.col("p1") == F.col("__c1")),
-                "left",
-            )
-            .drop("__c2", "__c1")
-            .join(tm, ["p2", "p1", "cur"], "left")
-        )
-        tri_chain = F.when(
-            F.col("tcnt").isNotNull(),
-            F.log(F.col("tcnt").cast("double"))
-            - F.log(F.col("bcnt_ctx").cast("double")),
-        ).otherwise(F.log(F.lit(0.4)) + big_chain)
+        models[3] = spark.read.parquet(f"{lm_snapshot}/trigram.parquet")
     if order >= 4:
-        qm = spark.read.parquet(f"{lm_snapshot}/fourgram.parquet")
-        joined = (
-            joined.join(
-                tm.select(
-                    F.col("p2").alias("__t3"),
-                    F.col("p1").alias("__t2"),
-                    F.col("cur").alias("__t1"),
-                    F.col("tcnt").alias("tcnt_ctx"),
-                ),
-                (F.col("p3") == F.col("__t3"))
-                & (F.col("p2") == F.col("__t2"))
-                & (F.col("p1") == F.col("__t1")),
-                "left",
-            )
-            .drop("__t3", "__t2", "__t1")
-            .join(qm, ["p3", "p2", "p1", "cur"], "left")
-        )
-        four_chain = F.when(
-            F.col("qcnt").isNotNull(),
-            F.log(F.col("qcnt").cast("double"))
-            - F.log(F.col("tcnt_ctx").cast("double")),
-        ).otherwise(F.log(F.lit(0.4)) + tri_chain)
+        models[4] = spark.read.parquet(f"{lm_snapshot}/fourgram.parquet")
     if order >= 5:
-        pm = spark.read.parquet(f"{lm_snapshot}/fivegram.parquet")
-        joined = (
-            joined.join(
-                qm.select(
-                    F.col("p3").alias("__q4"),
-                    F.col("p2").alias("__q3"),
-                    F.col("p1").alias("__q2"),
-                    F.col("cur").alias("__q1"),
-                    F.col("qcnt").alias("qcnt_ctx"),
-                ),
-                (F.col("p4") == F.col("__q4"))
-                & (F.col("p3") == F.col("__q3"))
-                & (F.col("p2") == F.col("__q2"))
-                & (F.col("p1") == F.col("__q1")),
-                "left",
-            )
-            .drop("__q4", "__q3", "__q2", "__q1")
-            .join(pm, ["p4", "p3", "p2", "p1", "cur"], "left")
-        )
-    if order == 2:
-        term = F.when(F.col(p1).isNull(), uni).otherwise(big_chain)
-    elif order == 3:
-        term = (
-            F.when(F.col("p1").isNull(), uni)
-            .when(F.col("p2").isNull(), big_chain)
-            .otherwise(tri_chain)
-        )
-    elif order == 4:
-        term = (
-            F.when(F.col("p1").isNull(), uni)
-            .when(F.col("p2").isNull(), big_chain)
-            .when(F.col("p3").isNull(), tri_chain)
-            .otherwise(four_chain)
-        )
-    else:
-        five_chain = F.when(
-            F.col("pcnt").isNotNull(),
-            F.log(F.col("pcnt").cast("double"))
-            - F.log(F.col("qcnt_ctx").cast("double")),
-        ).otherwise(F.log(F.lit(0.4)) + four_chain)
-        term = (
-            F.when(F.col("p1").isNull(), uni)
-            .when(F.col("p2").isNull(), big_chain)
-            .when(F.col("p3").isNull(), tri_chain)
-            .when(F.col("p4").isNull(), four_chain)
-            .otherwise(five_chain)
-        )
-    joined = joined.crossJoin(F.broadcast(total))
+        models[5] = spark.read.parquet(f"{lm_snapshot}/fivegram.parquet")
+    joined, term = lm_backoff_join(wcb, vocab, total, n_vocab, order, models)
     return lm_score_agg(df, joined, term, id_col)

@@ -153,13 +153,18 @@ def write_and_reread(
         raise ValueError(
             f"convert/export supports {_CONVERT_FORMATS}, got {out_format!r}"
         )
-    if compression is not None and compression not in _WRITE_CODECS[out_format]:
-        # before mode('overwrite') touches the target: a bad codec must
-        # not destroy the previous export (ADVICE round 11)
-        raise ValueError(
-            f"{out_format} compression must be one of "
-            f"{sorted(_WRITE_CODECS[out_format])}, got {compression!r}"
-        )
+    if compression is not None:
+        # fold case first — Spark itself accepts 'ZSTD'/'Snappy', so the
+        # whitelist must not reject spellings the writer would take
+        # (round-12 review); then validate BEFORE mode('overwrite')
+        # touches the target: a bad codec must not destroy the previous
+        # export (ADVICE round 11)
+        compression = compression.lower()
+        if compression not in _WRITE_CODECS[out_format]:
+            raise ValueError(
+                f"{out_format} compression must be one of "
+                f"{sorted(_WRITE_CODECS[out_format])}, got {compression!r}"
+            )
     out = df
     if sort_by:
         out = out.repartitionByRange(partitions or 8, *sort_by).sortWithinPartitions(

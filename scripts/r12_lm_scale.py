@@ -19,6 +19,9 @@ die in a driver BroadcastExchange on the next — scale-sweep hygiene):
     # second wave — the production-order tier, its own fresh legs:
     SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py t23_sf01
     SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py t23_x100
+    # capstone, stage-attributed (build-once vs increment path):
+    SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py cp6_sf01
+    SPARK_GRAFT_DRIVER_MEM=24g python scripts/r12_lm_scale.py cp6_x100
 
 Each leg merges into LM_SCALE_r12.json:
   {leg: {t22_sec, t20s_build_sec, t20s_score_sec, runs, load_min, load_max}}
@@ -93,11 +96,62 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def cp6_build():
+        from maple_spark.pipelines import dedup as _dd
+
+        ref = d.where(F.col("doc_id") % 2 == 0)  # the entry's parity ref
+        _dd.build_reference_snapshot(
+            ref, f"{snap}_cp6d", "doc_id", "text",
+            num_perm=64, bands=16, k=8,
+        )
+        textstats.build_lm_snapshot(ref, f"{snap}_cp6lm", order=2)
+
+    def cp6_increment():
+        # the per-crawl-increment path: gopher -> persisted-LM band ->
+        # id-only guard against the persisted buckets (cp6's stages 1-3
+        # with the entry's exact parameterization, snapshots REUSED)
+        from maple_spark.pipelines import dedup as _dd
+        from maple_spark.pipelines.curation import gopher_quality_rules
+
+        inc = d.where(F.col("doc_id") % 2 == 1)
+        gk = (
+            gopher_quality_rules(inc, min_words=30, min_stop_hits=1)
+            .where("keep")
+            .select("doc_id")
+        )
+        gated = inc.join(gk, "doc_id")
+        scored = textstats.lm_score(gated, f"{snap}_cp6lm").where(
+            F.col("xent") <= 3.46
+        )
+        survivors = gated.join(scored.select("doc_id"), "doc_id")
+        dups = (
+            _dd.cross_dedup_stream(
+                survivors, None, "doc_id", "text", num_perm=64, bands=16,
+                k=8, jaccard_threshold=0.2,
+                reference_snapshot=f"{snap}_cp6d", carry_sets=False,
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        scored.join(dups, "doc_id", "left_anti").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     if leg.startswith("t23"):
         # the round's second wave: the production-order tier, its own
         # fresh-process legs (t23_sf01 / t23_x100)
         arms = [("t23_sec", t23)]
         t23()
+    elif leg.startswith("cp6"):
+        # stage-attributed capstone legs (cp6_sf01 / cp6_x100): the
+        # once-per-snapshot build vs the per-increment path.  NOTE: the
+        # increment here is the parity HALF-corpus — the worst-case
+        # regime; production increments are the small-increment side of
+        # INCREMENT_CURVE_r12.  train (doc_id%2=0) is the reference.
+        arms = [("cp6_build_sec", cp6_build),
+                ("cp6_increment_sec", cp6_increment)]
+        cp6_build()
+        cp6_increment()
     else:
         arms = [("t22_sec", t22), ("t20s_build_sec", t20s_build),
                 ("t20s_score_sec", t20s_score)]

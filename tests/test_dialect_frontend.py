@@ -757,3 +757,37 @@ def test_export_default_format_matches_dialect(engine, tmp_path):
     engine.execute_script(f"EXPORT region TO '{out_sql}';")
     for out in (out_api, out_sql):
         assert any(f.endswith(".parquet") for f in os.listdir(out)), out
+
+
+def test_import_over_store_name_unbinds_store_path(engine, states_csv, tmp_path):
+    """IMPORT onto a name that was a STORE must drop the store-path
+    binding (round-12 review): otherwise a later UPDATE/INSERT/OPTIMIZE
+    routes at the OLD store's parquet files — rewriting them with the
+    imported rows and then reloading the stale store, silently
+    reverting the import."""
+    import os
+
+    out = str(tmp_path / "states_export")
+    engine.execute_script(
+        f"""
+        CREATE STORE states FROM '{states_csv}' (id int, name varchar(30));
+        EXPORT states TO '{out}' FORMAT parquet;
+        """
+    )
+    store_path = engine.store_path("states")
+    assert store_path is not None
+    before = sorted(os.listdir(store_path))
+    engine.execute_script(f"IMPORT states FROM '{out}' FORMAT parquet;")
+    # the name is no longer store-backed ...
+    assert engine.store_path("states") is None
+    # ... so DML goes through the view machinery and the old store
+    # files are untouched
+    engine.execute_script("UPDATE states SET name = 'X' WHERE id = 1;")
+    assert sorted(os.listdir(store_path)) == before
+    rows = {
+        tuple(r)
+        for r in engine.sql(
+            "SELECT id, name FROM states WHERE id <= 2"
+        ).collect()
+    }
+    assert rows == {(1, "X"), (2, "Alaska")}
