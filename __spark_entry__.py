@@ -3199,6 +3199,35 @@ def t23_fivegram_perplexity(spark, sf_dir):
     return _lm_inline_tier(spark, sf_dir, 5)
 
 
+def t25_lm_snapshot_merge(spark, sf_dir):
+    """Mergeable LM snapshots (round 12): fit the reference's two
+    shards INDEPENDENTLY (doc_id%4 ∈ {0,2} — shard-parallel, or
+    equivalently an incremental refresh that only ever fits the new
+    shard), merge by per-key count sums
+    (textstats.merge_lm_snapshots), score the held-out half against
+    the merged model.  n-gram counts are mergeable partials, so this
+    is VALUE-IDENTICAL to a monolithic fit on the whole reference —
+    the oracle is exactly that monolithic formulation, making the
+    merge's exactness driver-checked (pytest additionally pins
+    table-for-table equality and the mixed-order / pruned-input
+    refusals).  At 100 TB: old shards are never re-scanned; a
+    snapshot refresh costs one shard fit + model-table-sized sums."""
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    held = d.where(F.col("doc_id") % 2 == 1)
+    root = _snapshot_root(sf_dir, "lm_merge")
+    textstats.build_lm_snapshot(
+        ref.where(F.col("doc_id") % 4 == 0), f"{root}/a", order=2
+    )
+    textstats.build_lm_snapshot(
+        ref.where(F.col("doc_id") % 4 == 2), f"{root}/b", order=2
+    )
+    textstats.merge_lm_snapshots(
+        spark, [f"{root}/a", f"{root}/b"], f"{root}/m"
+    )
+    return textstats.lm_score(held, f"{root}/m")
+
+
 def t19s_lm_snapshot_score(spark, sf_dir):
     """The PRODUCTION shape of the perplexity gate — the quality twin
     of d6s: textstats.build_lm_snapshot persists the unigram LM fit on
@@ -3612,7 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_sort_rownum": o1_sort_rownum,
         "set_union": set_union,
         "w1_window_rank": w1_window_rank,
-        "d7_canonical_docs": d7_canonical_docs,
+        "t25_lm_snapshot_merge": t25_lm_snapshot_merge,
         "q3_shipping_priority": q3_shipping_priority,
         "st8_stream_dedup": st8_stream_dedup,
         "t1_text_stats": t1_text_stats,
@@ -3660,11 +3689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in a prior round, still selfchecked).  cp4 and sim5 moved out
         # mid-round to seat the NEW t23 / t24 in-window from birth
         # (capstone family keeps cp1/cp3 + the new cp6 in-window,
-        # similarity keeps sim2/sim3; all were driver-checked r11 —
-        # cp2 moved out likewise to seat cp6):
+        # similarity keeps sim2/sim3, dedup keeps d1/d3/d6s/st7/st8;
+        # all were driver-checked r11 — cp2 moved out likewise to seat
+        # cp6, d7 to seat t25):
         "cp4_dedup_token_budget": cp4_dedup_token_budget,
         "sim5_semdedup": sim5_semdedup,
         "cp2_curation_pipeline": cp2_curation_pipeline,
+        "d7_canonical_docs": d7_canonical_docs,
         "j4_join_left": j4_join_left,
         "rj2_interval_overlap": rj2_interval_overlap,
         "a6_minmax_sumavg": a6_minmax_sumavg,
@@ -6422,6 +6453,71 @@ def oracle_sql() -> dict[str, str]:
     # (the model tables round-trip losslessly and the scoring term is
     # the same chain — the sim4s/sim6s/d6s shared-oracle precedent)
     out["t20s_lm_snapshot_backoff"] = out["t20_bigram_perplexity"]
+    # t25: the merged-shards snapshot is value-identical to a
+    # MONOLITHIC fit on the whole parity reference — so that is the
+    # oracle: model CTEs from doc_id%2=0, t20's term discipline,
+    # scoring (and NULL-surfacing) every doc_id%2=1 row
+    out["t25_lm_snapshot_merge"] = """
+            WITH rt AS (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                       AS arr
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 0
+            ), re AS (
+              SELECT CASE WHEN i > 1 THEN arr[i - 1] END AS prev,
+                     arr[i] AS cur
+              FROM rt, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), uv AS MATERIALIZED (
+              SELECT cur AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM re GROUP BY cur
+            ), tot AS MATERIALIZED (
+              SELECT SUM(cnt) AS total FROM uv
+            ), bm AS MATERIALIZED (
+              SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+              FROM re WHERE prev IS NOT NULL GROUP BY prev, cur
+            ), gt AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS arr
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 1
+            ), ge AS (
+              SELECT doc_id,
+                     CASE WHEN i > 1 THEN arr[i - 1] END AS prev,
+                     arr[i] AS cur
+              FROM gt, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+            ), gw AS MATERIALIZED (
+              SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS m
+              FROM ge GROUP BY doc_id, prev, cur
+            ), s AS (
+              SELECT w.doc_id,
+                     CAST(SUM(w.m) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN uc.cnt IS NULL THEN w.m ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     SUM(CAST(CAST(w.m AS DOUBLE) * (CASE
+                        WHEN w.prev IS NULL THEN
+                          ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                        WHEN b.bcnt IS NOT NULL THEN
+                          ln(CAST(b.bcnt AS DOUBLE))
+                          - ln(CAST(up.cnt AS DOUBLE))
+                        ELSE ln(0.4)
+                          + ln(CAST(coalesce(uc.cnt, 1) AS DOUBLE))
+                          - ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                      END) AS DECIMAL(38,12))) AS slc
+              FROM gw w
+              LEFT JOIN uv uc ON uc.w = w.cur
+              LEFT JOIN uv up ON up.w = w.prev
+              LEFT JOIN bm b ON b.prev = w.prev AND b.cur = w.cur
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, s.n_words, s.n_oov,
+                   round(-CAST(s.slc AS DOUBLE) / s.n_words, 6) AS xent
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            WHERE d.doc_id % 2 = 1
+        """
     # t22: 4-gram stupid-backoff — the repeated backoff branches (uni
     # appears 4x, the bigram chain 3x, the trigram chain 2x) are
     # composed ONCE in Python and interpolated, so every occurrence is

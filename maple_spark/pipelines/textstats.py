@@ -8,6 +8,8 @@ aggregates).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -826,8 +828,82 @@ def build_lm_snapshot(
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("n_vocab"),
     ).select(
-        "total", "n_vocab", F.lit(order).alias("order")
+        "total",
+        "n_vocab",
+        F.lit(order).alias("order"),
+        # recorded so merge_lm_snapshots can refuse pruned inputs:
+        # prune-then-merge undercounts vs merge-then-prune
+        F.lit(min_count).alias("min_count"),
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+
+#: per-order model table file + key layout, orders 2..5 (the merge and
+#: any future snapshot tooling iterate this instead of hand-listing)
+LM_MODEL_TABLES = {
+    2: ("bigram.parquet", ["prev", "cur"], "bcnt"),
+    3: ("trigram.parquet", ["p2", "p1", "cur"], "tcnt"),
+    4: ("fourgram.parquet", ["p3", "p2", "p1", "cur"], "qcnt"),
+    5: ("fivegram.parquet", ["p4", "p3", "p2", "p1", "cur"], "pcnt"),
+}
+
+
+def merge_lm_snapshots(spark, paths: list[str], out: str) -> None:
+    """Merge stupid-backoff LM snapshots fit on DISJOINT corpus shards
+    into one snapshot equal to a single fit on the union — n-gram
+    counts are mergeable partials (plain sums per key), so a 100 TB
+    reference can be fit shard-parallel (or refreshed incrementally:
+    fit ONLY the new crawl's shard, merge into the standing snapshot)
+    without ever re-scanning old shards.  Exactness is the point:
+    ``merge(build(A), build(B)) == build(A ∪ B)`` table-for-table
+    (pytest pins equality and associativity), so the merged snapshot
+    scores bit-identically to a monolithic fit.
+
+    Refuses snapshots of mixed order, and refuses PRUNED inputs
+    (min_count > 1 in meta): a shard-pruned n-gram's count is lost, so
+    prune-then-merge undercounts vs merge-then-prune — prune once, at
+    the END, with build's min_count semantics (re-filter the merged
+    tables).  Pre-round-12 snapshots without the recorded min_count
+    merge as unpruned (they were built before pruning existed)."""
+    if len(paths) < 2:
+        raise ValueError("merge_lm_snapshots needs at least two snapshots")
+    metas = [spark.read.parquet(f"{p}/meta.parquet").first() for p in paths]
+    orders = {(m["order"] if "order" in m else 1) for m in metas}
+    if len(orders) != 1:
+        raise ValueError(f"cannot merge snapshots of mixed orders {sorted(orders)}")
+    order = orders.pop()
+    for p, m in zip(paths, metas):
+        if "min_count" in m and (m["min_count"] or 1) > 1:
+            raise ValueError(
+                f"{p} was built with min_count={m['min_count']}: "
+                "prune-then-merge undercounts — merge unpruned "
+                "snapshots and prune the merged result"
+            )
+    merged_vocab = (
+        functools.reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{p}/vocab.parquet") for p in paths],
+        )
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged_vocab.write.mode("overwrite").parquet(f"{out}/vocab.parquet")
+    for n in range(2, order + 1):
+        fname, keys, cnt_col = LM_MODEL_TABLES[n]
+        functools.reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{p}/{fname}") for p in paths],
+        ).groupBy(*keys).agg(F.sum(cnt_col).alias(cnt_col)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{fname}")
+    spark.read.parquet(f"{out}/vocab.parquet").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    ).select(
+        "total",
+        "n_vocab",
+        F.lit(order).alias("order"),
+        F.lit(1).alias("min_count"),
+    ).write.mode("overwrite").parquet(f"{out}/meta.parquet")
 
 
 def lm_score(

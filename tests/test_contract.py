@@ -37,13 +37,14 @@ def test_driver_window_composition():
     rotates IN the rest of the never-externally-checked tail — the
     TPC-H q-series (q2/q4/q11/q13/q15/q16/q17/q20/q22, the likeliest
     real-user shapes), the streaming (st3/st4/st5) and time-series
-    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the FIVE NEW
+    (ts1/ts2/ts3) families, rj1 and dml_delete — plus the SIX NEW
     round-12 operators in-window from birth (t20s snapshot-backoff LM,
     t22 4-gram LM, and the mid-round t23 5-gram LM / t24 gopher gate /
-    cp6 incremental-ingest capstone seated in cp4's / sim5's / cp2's
-    slots — all three evictees were driver-checked r11 and their
-    families keep cp1+cp3+cp6 / sim2+sim3 in-window), rotating OUT
-    twenty-two r11-checked members whose family keeps an
+    cp6 incremental-ingest capstone / t25 merged-LM-snapshot probe
+    seated in cp4's / sim5's / cp2's / d7's slots — all four evictees
+    were driver-checked in a prior round and their families keep
+    cp1+cp3+cp6 / sim2+sim3 / d1+d3+d6s+st7+st8 in-window), rotating
+    OUT twenty-three r11-checked members whose family keeps an
     externally-checked representative.  d6s/st7
     stay in-window because their banding core changed this round.
     Pin the composition so a refactor can't silently evict an
@@ -59,7 +60,6 @@ def test_driver_window_composition():
         "sim2_embedding_near_dup",
         "cp1_corpus_pipeline",
         "mm1_media_features",
-        "d7_canonical_docs",
         "st8_stream_dedup",
         "cp3_pretraining_ingest",
         "d3_minhash_lsh",
@@ -76,6 +76,7 @@ def test_driver_window_composition():
         "t23_fivegram_perplexity",
         "t24_gopher_rules",
         "cp6_incremental_ingest",
+        "t25_lm_snapshot_merge",
         # round 12 rotation: the never-checked tail
         "q2_groupwise_max",
         "q4_order_priority",
@@ -230,6 +231,7 @@ def test_queries_are_lazy(spark):
         "t19s_lm_snapshot_score",
         "t20s_lm_snapshot_backoff",
         "cp6_incremental_ingest",
+        "t25_lm_snapshot_merge",
         # the LM tiers localCheckpoint their count / gated tables
         # at build — corpus-proportional by design (bench CONSTRUCT_TIMED)
         "t19_perplexity_score",

@@ -2343,3 +2343,64 @@ def test_gopher_rules_hand_corpus(spark):
         r = got[null_id]
         assert r["n_words"] is None and r["mean_word_len"] is None
         assert r["keep"] is False
+
+
+def test_merge_lm_snapshots_equals_monolithic_fit(spark):
+    """merge(build(A), build(B)) == build(A ∪ B) table-for-table, and
+    the merged snapshot scores bit-identically — n-gram counts are
+    mergeable partials, the property that lets a 100 TB reference fit
+    shard-parallel or refresh incrementally.  Also pins the refusal
+    rules: mixed orders, pruned inputs."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from maple_spark.pipelines import textstats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    a = ref.where(F.col("doc_id") % 4 == 0)
+    b = ref.where(F.col("doc_id") % 4 == 2)
+    held = d.where(F.col("doc_id") % 2 == 1).limit(40)
+    for order in (1, 3):
+        with tempfile.TemporaryDirectory() as tmp:
+            textstats.build_lm_snapshot(a, f"{tmp}/a", order=order)
+            textstats.build_lm_snapshot(b, f"{tmp}/b", order=order)
+            textstats.build_lm_snapshot(ref, f"{tmp}/full", order=order)
+            textstats.merge_lm_snapshots(
+                spark, [f"{tmp}/a", f"{tmp}/b"], f"{tmp}/m"
+            )
+            for fname in ["vocab.parquet"] + (
+                ["bigram.parquet", "trigram.parquet"] if order == 3 else []
+            ):
+                got = sorted(
+                    map(tuple, spark.read.parquet(f"{tmp}/m/{fname}").collect())
+                )
+                want = sorted(
+                    map(
+                        tuple,
+                        spark.read.parquet(f"{tmp}/full/{fname}").collect(),
+                    )
+                )
+                assert got == want, (order, fname)
+            got = sorted(
+                map(tuple, textstats.lm_score(held, f"{tmp}/m").collect())
+            )
+            want = sorted(
+                map(tuple, textstats.lm_score(held, f"{tmp}/full").collect())
+            )
+            assert got == want, order
+    with tempfile.TemporaryDirectory() as tmp:
+        textstats.build_lm_snapshot(a, f"{tmp}/o1", order=1)
+        textstats.build_lm_snapshot(b, f"{tmp}/o2", order=2)
+        with _pytest.raises(ValueError, match="mixed orders"):
+            textstats.merge_lm_snapshots(
+                spark, [f"{tmp}/o1", f"{tmp}/o2"], f"{tmp}/x"
+            )
+        textstats.build_lm_snapshot(a, f"{tmp}/p", order=2, min_count=2)
+        with _pytest.raises(ValueError, match="min_count=2"):
+            textstats.merge_lm_snapshots(
+                spark, [f"{tmp}/p", f"{tmp}/o2"], f"{tmp}/y"
+            )
+        with _pytest.raises(ValueError, match="at least two"):
+            textstats.merge_lm_snapshots(spark, [f"{tmp}/o1"], f"{tmp}/z")
