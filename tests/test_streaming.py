@@ -849,3 +849,61 @@ def test_gopher_gate_stream_zero_state_equality(spark, tmp_path):
     assert by_id[1][-1] is True
     assert by_id[4][-1] is False and by_id[4][1] is None
     assert by_id[6][-1] is False
+
+
+def test_lm_backoff_gate_stream_zero_state_equality(spark, tmp_path):
+    """The ORDER-3 snapshot gate streams with the same zero-state
+    foreachBatch as the unigram one (round 12): the backoff chain's
+    model joins are batch-local reads of the frozen snapshot, so the
+    higher-order production gate (t20s/t19s shape) needs no state
+    store either.  Same docs as micro-batches vs one batch must score
+    identically, including positions that exercise the trigram →
+    bigram → unigram backoff and OOV."""
+    from maple_spark.pipelines import textstats
+
+    train = spark.createDataFrame(
+        [(100, "a b c a b"), (101, "b a b")], "doc_id long, text string"
+    )
+    snap = str(tmp_path / "lm3_snap")
+    textstats.build_lm_snapshot(train, snap, order=3)
+
+    rows = [
+        (1, "a b c a"),    # seen trigrams
+        (2, "a zzz b a"),  # OOV + backoff through unseen bigrams
+        (3, "c c c"),
+        (4, None),
+        (5, "b a b c"),
+        (6, ""),
+    ]
+    d = str(tmp_path / "docs")
+    for i in range(3):
+        spark.createDataFrame(
+            rows[2 * i : 2 * i + 2], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{d}/f{i}")
+
+    batch_all = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = sorted(
+        map(tuple, textstats.lm_score(batch_all, snap).collect())
+    )
+
+    got = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _epoch: got.extend(
+                textstats.lm_score(b, snap).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert sorted(map(tuple, got)) == expect
+    by_id = {t[0]: t for t in got}
+    assert by_id[2][2] == 1          # the OOV token backed off
+    assert by_id[4][1:] == (None, None, None)
