@@ -3613,16 +3613,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SELECT-shaped, so these are the likeliest real-user shapes), the
     # never-checked streaming (st3/st4/st5) and time-series
     # (ts1/ts2/ts3) families, rj1 + dml_delete (their families' last
-    # never-checked members), and the FIVE NEW round-12 operators
+    # never-checked members), and the SIX NEW round-12 operators
     # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM,
     # and the mid-round t23 5-gram LM / t24 gopher gate / cp6
-    # incremental-ingest capstone — cp4/sim5/cp2, all driver-checked
-    # r11, moved out to seat them; their families keep checked reps),
+    # incremental-ingest capstone / t25 merged-LM-snapshot probe —
+    # cp4/sim5/cp2/d7, all driver-checked in a prior round, moved out
+    # to seat them; their families keep checked reps),
     # rotating OUT nineteen r11-checked members whose family keeps an
     # externally-checked representative (q6/q10/q12/q14/q19/q21 → q3
     # stays + 9 new q's in; t19/t20/cp5/bpe3 → t21 stays checked +
     # t20s/t22 from birth, bpe1/2/3 all checked r10/r11; sim4s/sim6s →
-    # sim2/sim3/sim5 stay; d4 → d1/d3/d7/d6s stay; rj2 → rj1 in + aj1
+    # sim2/sim3 stay; d4 → d1/d3/d6s stay; rj2 → rj1 in + aj1
     # checked r9; a6 → a2 stays; a14 → a15 stays; j4_left → j2 stays;
     # t15 → t5 stays; dml_update → dml_delete in — all stay
     # selfchecked).  d6s/st7 stay in-window because their banding core
