@@ -3228,6 +3228,43 @@ def t25_lm_snapshot_merge(spark, sf_dir):
     return textstats.lm_score(held, f"{root}/m")
 
 
+def t26_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS 2023 — "Data Selection
+    for Language Models via Importance Resampling"): pick the 100
+    raw-pool documents that look most like the target corpus.  Target =
+    the ``lang = 'en'`` docs (the "clean reference" role Wikipedia
+    plays in the paper), pool = every other document; features are
+    HASHED unigram+bigram counts in 512 md5 buckets; each pool doc
+    weighs log w = Σ_b c_b·(ln p_b − ln q_b) under add-one-smoothed
+    bucket distributions, and selection is Gumbel-top-k (∝ w, without
+    replacement) with the content-stable md5 draw as the noise source.
+    The reference engine has no counterpart (north-star work); this is
+    the selection operator that feeds the same pipelines as the
+    perplexity gates t19..t23.
+
+    Scale shape (see sampling.dsir_importance): ONE corpus
+    tokenize/explode via the LM tiers' shared lm_positions, counts
+    checkpointed once and reused by both distribution fits and the
+    scoring join; the λ model is ≤ 512 rows BY CONSTRUCTION (hashing
+    bounds the feature space — the DSIR design point), so its
+    force-broadcast can never hit the 8 GB wall, unlike a Heaps-law
+    vocabulary; top-k plans as TakeOrderedAndProject.  Cross-engine
+    exactness: DECIMAL(38,12) c·λ partial sums, Gumbel key summed in
+    DECIMAL too, output rounded to 6 digits (the t19/t8 rule)."""
+    from maple_spark.pipelines import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.dsir_importance(
+        d, F.col("lang") == F.lit("en"), n_buckets=512, k=100
+    )
+    return s.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("slc").cast("double"), 6).alias("logw"),
+        F.round(F.col("key").cast("double"), 6).alias("dsir_key"),
+    )
+
+
 def t19s_lm_snapshot_score(spark, sf_dir):
     """The PRODUCTION shape of the perplexity gate — the quality twin
     of d6s: textstats.build_lm_snapshot persists the unigram LM fit on
@@ -3616,9 +3653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-checked members), and the SIX NEW round-12 operators
     # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM,
     # and the mid-round t23 5-gram LM / t24 gopher gate / cp6
-    # incremental-ingest capstone / t25 merged-LM-snapshot probe —
-    # cp4/sim5/cp2/d7, all driver-checked in a prior round, moved out
-    # to seat them; their families keep checked reps),
+    # incremental-ingest capstone / t25 merged-LM-snapshot probe /
+    # late-round t26 DSIR selection — cp4/sim5/cp2/d7/t5, all
+    # driver-checked in a prior round, moved out to seat them; their
+    # families keep checked reps),
     # rotating OUT nineteen r11-checked members whose family keeps an
     # externally-checked representative (q6/q10/q12/q14/q19/q21 → q3
     # stays + 9 new q's in; t19/t20/cp5/bpe3 → t21 stays checked +
@@ -3649,7 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_dup_spans": t17_dup_spans,
         "d1_dedup_exact": d1_dedup_exact,
         "d3_minhash_lsh": d3_minhash_lsh,
-        "t5_hash_split": t5_hash_split,
+        "t26_dsir_select": t26_dsir_select,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "sim3_lsh_topk": sim3_lsh_topk,
         "t24_gopher_rules": t24_gopher_rules,
@@ -3694,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all were driver-checked r11 — cp2 moved out likewise to seat
         # cp6, d7 to seat t25):
         "cp4_dedup_token_budget": cp4_dedup_token_budget,
+        "t5_hash_split": t5_hash_split,
         "sim5_semdedup": sim5_semdedup,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "d7_canonical_docs": d7_canonical_docs,
@@ -6454,6 +6493,63 @@ def oracle_sql() -> dict[str, str]:
     # (the model tables round-trip losslessly and the scoring term is
     # the same chain — the sim4s/sim6s/d6s shared-oracle precedent)
     out["t20s_lm_snapshot_backoff"] = out["t20_bigram_perplexity"]
+    # t26: DSIR — hashed-ngram bucket counts, add-one-smoothed
+    # target/pool distributions, DECIMAL c·λ sums, Gumbel-top-100 on
+    # the md5 draw; λ's four ln terms are spelled in the Spark
+    # builder's exact left-assoc order so the doubles agree bit-wise
+    out["t26_dsir_select"] = """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS is_t,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, is_t, arr[i] AS gram
+              FROM toks, unnest(generate_series(1, len(arr))) AS t(i)
+              WHERE len(arr) > 0
+              UNION ALL
+              SELECT doc_id, is_t, arr[i - 1] || ' ' || arr[i] AS gram
+              FROM toks, unnest(generate_series(2, len(arr))) AS t(i)
+              WHERE len(arr) > 1
+            ), c AS MATERIALIZED (
+              SELECT doc_id, is_t,
+                     CAST(('0x' || substring(md5('dsir|' || gram), 1, 4))
+                          AS BIGINT) % 512 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM g GROUP BY 1, 2, 3
+            ), td AS MATERIALIZED (
+              SELECT b, SUM(c) AS t_cnt FROM c WHERE is_t GROUP BY b
+            ), rd AS MATERIALIZED (
+              SELECT b, SUM(c) AS r_cnt FROM c WHERE NOT is_t GROUP BY b
+            ), tt AS (SELECT COALESCE(SUM(t_cnt), 0) AS tot_t FROM td),
+               rt AS (SELECT COALESCE(SUM(r_cnt), 0) AS tot_r FROM rd),
+               model AS (
+              SELECT rd.b,
+                     ln(CAST(COALESCE(td.t_cnt, 0) + 1 AS DOUBLE))
+                     - ln(CAST((SELECT tot_t FROM tt) + 512 AS DOUBLE))
+                     - ln(CAST(rd.r_cnt + 1 AS DOUBLE))
+                     + ln(CAST((SELECT tot_r FROM rt) + 512 AS DOUBLE)) AS lam
+              FROM rd LEFT JOIN td ON td.b = rd.b
+            ), s AS (
+              SELECT c.doc_id,
+                     CAST(SUM(c.c) AS BIGINT) AS n_grams,
+                     SUM(CAST(CAST(c.c AS DOUBLE) * m.lam
+                              AS DECIMAL(38,12))) AS slc
+              FROM c JOIN model m ON m.b = c.b
+              WHERE NOT c.is_t
+              GROUP BY c.doc_id
+            ), keyed AS (
+              SELECT doc_id, n_grams, slc,
+                     slc + CAST(-ln(-ln((CAST(CAST(('0x' || substring(
+                         md5('dsirg0|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) AS DOUBLE) + 0.5) / 65536.0))
+                       AS DECIMAL(38,12)) AS key
+              FROM s
+            )
+            SELECT doc_id, n_grams,
+                   round(CAST(slc AS DOUBLE), 6) AS logw,
+                   round(CAST(key AS DOUBLE), 6) AS dsir_key
+            FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+        """
     # t25: the merged-shards snapshot is value-identical to a
     # MONOLITHIC fit on the whole parity reference — so that is the
     # oracle: model CTEs from doc_id%2=0, t20's term discipline,

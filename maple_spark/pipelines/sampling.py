@@ -222,3 +222,137 @@ def weighted_reservoir(
         .where(F.col("__rk") <= k)
         .drop("__score", "__rk")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+    k: int | None = None,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick raw-pool documents that *look like* a small
+    target corpus by (1) featurizing every document as HASHED
+    unigram+bigram bucket counts, (2) fitting add-one-smoothed bucket
+    distributions p (target) and q (pool), (3) weighting each pool doc
+    log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b), and (4) Gumbel-top-k
+    resampling ∝ w without replacement.  The reference engine has no
+    counterpart (its grammar stops at SQL); this is the
+    pretraining-data-selection operator the LM-quality family
+    (t19..t23) feeds.
+
+    ``target_pred`` is a boolean Column splitting docs into the target
+    corpus (True) and the raw pool (False); only pool docs are scored.
+
+    Scale shape — and WHY hashing is the point: the corpus tokenizes
+    and explodes ONCE (``textstats.lm_positions`` — the LM tiers'
+    tokenizer, so the gram rules cannot drift), each position emitting
+    its unigram + the space-joined bigram ending there; counts
+    aggregate map-side into the eagerly-checkpointed (doc, bucket, c)
+    table that feeds BOTH distribution fits and the scoring join.
+    Unlike a Heaps-law vocabulary (t19's un-hintable join), the hashed
+    feature space is FIXED at ``n_buckets`` rows no matter the corpus
+    size — the λ model table is ≤ n_buckets rows by construction, so
+    its force-broadcast can never hit the 8 GB wall at 100 TB; that
+    boundedness is exactly DSIR's design point.  The per-doc score is
+    one map-side-combined groupBy on the id; the Gumbel top-k is a
+    TakeOrdered (no global sort materialization).
+
+    Cross-engine exactness (the t19 discipline): λ_b is a difference
+    of lns of integer counts; each c·λ product casts to
+    DECIMAL(38,12) before the order-independent sum; the Gumbel noise
+    g = −ln(−ln(u)) draws u from the content-stable 16-bit md5 draw
+    (seed ``dsir g{salt}|id``, (draw+0.5)/65536 so u is never 0/1) and
+    joins the key in DECIMAL(38,12) too, so selection order is
+    deterministic and a vanilla-DuckDB oracle replays build, weights,
+    and the selected set value-exactly.  Empty/NULL-text pool docs
+    have no features and are excluded (not resampled) by contract.
+
+    Returns (id, n_grams, slc DECIMAL, key DECIMAL) for the pool —
+    top-k rows when ``k`` is given; callers round for display.
+    """
+    from maple_spark.pipelines import textstats
+
+    B = int(n_buckets)
+    # pack (id, is_target) into ONE struct so both ride the explode and
+    # the counts groupBy without a join back to the docs table
+    tagged = docs.select(
+        F.struct(
+            F.col(id_col).alias("__id"), target_pred.alias("__is_t")
+        ).alias("__row"),
+        F.col(text_col),
+    )
+    pos = textstats.lm_positions(tagged, [("prev", 1)], "__row", text_col)
+    # one pass over positions: each row emits its unigram and (when a
+    # previous token exists) the space-joined bigram — concat() is NULL
+    # on the first position and the filter drops it
+    grams = (
+        pos.select(
+            "__row",
+            F.explode(
+                F.array(
+                    F.col("cur"),
+                    F.concat(F.col("prev"), F.lit(" "), F.col("cur")),
+                )
+            ).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    bucket = md5_draw16(F.concat(F.lit("dsir|"), F.col("gram"))) % B
+    c = (
+        grams.select("__row", bucket.alias("b"))
+        .groupBy("__row", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    td = c.where(F.col("__row.__is_t")).groupBy("b").agg(F.sum("c").alias("t_cnt"))
+    rd = c.where(~F.col("__row.__is_t")).groupBy("b").agg(F.sum("c").alias("r_cnt"))
+    tt = td.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("tot_t"))
+    rt = rd.agg(F.coalesce(F.sum("r_cnt"), F.lit(0)).alias("tot_r"))
+    lam = (
+        F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double"))
+        - F.log((F.col("tot_t") + B).cast("double"))
+        - F.log((F.col("r_cnt") + 1).cast("double"))
+        + F.log((F.col("tot_r") + B).cast("double"))
+    )
+    # pool-observed buckets only (a target-only bucket can never join a
+    # pool doc); <= n_buckets rows BY CONSTRUCTION -> the one join in
+    # this module where force-broadcast is provably safe at any scale
+    model = (
+        rd.join(td, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select("b", lam.alias("lam"))
+    )
+    u = (
+        md5_draw16(
+            F.concat(F.lit(f"dsirg{salt}|"), F.col("__row.__id").cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(65536.0)
+    scored = (
+        c.where(~F.col("__row.__is_t"))
+        .join(F.broadcast(model), "b")
+        .groupBy(F.col("__row"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("c").cast("double") * F.col("lam")).cast("decimal(38,12)")
+            ).alias("slc"),
+        )
+        .select(
+            F.col("__row.__id").alias(id_col),
+            "n_grams",
+            "slc",
+            (
+                F.col("slc")
+                + (-F.log(-F.log(u))).cast("decimal(38,12)")
+            ).alias("key"),
+        )
+    )
+    if k is not None:
+        scored = scored.orderBy(F.col("key").desc(), F.col(id_col).asc()).limit(k)
+    return scored

@@ -70,13 +70,17 @@ def test_driver_window_composition():
         "t19s_lm_snapshot_score",
         # banding-core change coverage (round 12 task 2)
         "d6s_snapshot_guard",
-        # round 12 rotation: NEW operators in-window from birth
+        # round 12 rotation: NEW operators in-window from birth (t26
+        # DSIR seated late-round in t5's slot — t5 was driver-checked
+        # r11 and the sampling family's external coverage transfers to
+        # the t26 gate this round)
         "t20s_lm_snapshot_backoff",
         "t22_fourgram_perplexity",
         "t23_fivegram_perplexity",
         "t24_gopher_rules",
         "cp6_incremental_ingest",
         "t25_lm_snapshot_merge",
+        "t26_dsir_select",
         # round 12 rotation: the never-checked tail
         "q2_groupwise_max",
         "q4_order_priority",
@@ -111,7 +115,7 @@ def test_driver_window_composition():
         "q3_shipping_priority", # multi-operator queries
         "t1_text_stats",        # text analysis
         "d1_dedup_exact",       # dedup
-        "t5_hash_split",        # sampling
+        "t26_dsir_select",      # sampling/selection (t5 out late r12)
     ):
         assert family_rep in window, family_rep
     # every window entry must carry a driver-runnable oracle (the

@@ -634,3 +634,29 @@ def test_t23_fivegram_perplexity_plan(spark):
     assert "partial_sum" in plan
     assert plan.count("hashpartitioning") == 11
     assert plan.count("SinglePartition") == 1
+
+
+def test_t26_dsir_plan(spark):
+    """t26 (DSIR selection): the corpus tokenizes/explodes ONCE into
+    the checkpointed (doc, bucket, c) table (no Generate in the scored
+    plan — both the position posexplode and the unigram+bigram explode
+    happen pre-checkpoint), the ≤512-row λ model joins BROADCAST (the
+    force-hint is provably safe here: hashing bounds the feature space
+    at n_buckets regardless of corpus size — the inverse of t19's
+    un-hintable Heaps-law vocab), the two distribution totals are
+    1-row broadcasts (the scalar-subquery pattern → exactly two
+    SinglePartition aggs), per-doc scores partial-sum map-side, and
+    the Gumbel top-100 plans as TakeOrderedAndProject — no global
+    sort.  Five hash exchanges: td/rd bucket fits, the model's
+    left-join alignment, the per-doc score agg + AQE reuse."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.t26_dsir_select(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 5
+    assert plan.count("SinglePartition") == 2
