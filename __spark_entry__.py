@@ -789,6 +789,29 @@ def d6_cross_dedup(spark, sf_dir):
     )
 
 
+def d8_bloom_guard(spark, sf_dir):
+    """Bloom-prefiltered exact admission guard
+    (dedup.bloom_membership_guard): admit the crawl-batch docs (odd
+    doc_id) whose canonical bag-of-words-SET fingerprint
+    (dedup.wordset_fp — the canonicalization tier between d1's exact
+    content hash and d3's MinHash) is NOT present in the reference
+    corpus (even doc_id).  The Bloom filter is built DISTRIBUTED (k
+    salted xxhash64 bit positions per reference fingerprint, map-side
+    bit_or into ≤ m/64 (word, bits) rows, folded into one broadcast
+    map row) and only ROUTES: bit-miss rows are definitely-new and
+    skip the join entirely; bit-hit rows (members + ~1% false
+    positives) verify via left-anti join — so the output is EXACT and
+    the oracle is the plain NOT EXISTS, while at 100 TB the
+    anti-join's left side shrinks from |batch| to |members| +
+    fpp·|batch|.  A reference whose sizing rule exceeds the broadcast
+    bitset budget routes to the plain anti-join instead (size-gated
+    strategy, same output — the ingest-guard router discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    return dedup.bloom_membership_guard(batch, ref, "doc_id", "text", fpp=0.01)
+
+
 def bpe1_bpe_merges(spark, sf_dir):
     """BPE vocabulary induction (textstats.bpe_merges): the first 5
     merge rules over the corpus word-frequency table — Sennrich et al.
@@ -3654,9 +3677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-window from birth (t20s snapshot-backoff LM, t22 4-gram LM,
     # and the mid-round t23 5-gram LM / t24 gopher gate / cp6
     # incremental-ingest capstone / t25 merged-LM-snapshot probe /
-    # late-round t26 DSIR selection — cp4/sim5/cp2/d7/t5, all
-    # driver-checked in a prior round, moved out to seat them; their
-    # families keep checked reps),
+    # late-round t26 DSIR selection + d8 bloom guard —
+    # cp4/sim5/cp2/d7/t5/d1, all driver-checked in a prior round,
+    # moved out to seat them; their families keep checked reps),
     # rotating OUT nineteen r11-checked members whose family keeps an
     # externally-checked representative (q6/q10/q12/q14/q19/q21 → q3
     # stays + 9 new q's in; t19/t20/cp5/bpe3 → t21 stays checked +
@@ -3685,7 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st8_stream_dedup": st8_stream_dedup,
         "t1_text_stats": t1_text_stats,
         "t17_dup_spans": t17_dup_spans,
-        "d1_dedup_exact": d1_dedup_exact,
+        "d8_bloom_guard": d8_bloom_guard,
         "d3_minhash_lsh": d3_minhash_lsh,
         "t26_dsir_select": t26_dsir_select,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
@@ -3733,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cp6, d7 to seat t25):
         "cp4_dedup_token_budget": cp4_dedup_token_budget,
         "t5_hash_split": t5_hash_split,
+        "d1_dedup_exact": d1_dedup_exact,
         "sim5_semdedup": sim5_semdedup,
         "cp2_curation_pipeline": cp2_curation_pipeline,
         "d7_canonical_docs": d7_canonical_docs,
@@ -6493,6 +6517,25 @@ def oracle_sql() -> dict[str, str]:
     # (the model tables round-trip losslessly and the scoring term is
     # the same chain — the sim4s/sim6s/d6s shared-oracle precedent)
     out["t20s_lm_snapshot_backoff"] = out["t20_bigram_perplexity"]
+    # d8: the Bloom filter only routes — the EXACT semantics is the
+    # plain NOT EXISTS on the canonical word-set fingerprint, so that
+    # is the oracle (false positives die in the verify anti-join);
+    # coalesce('') matches Spark's concat_ws on a zero-token text
+    out["d8_bloom_guard"] = """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(coalesce(list_aggregate(list_sort(list_distinct(
+                         list_filter(string_split(text, ' '), x -> x <> ''))),
+                         'string_agg', ' '), '')) AS wordset_md5
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT b.doc_id, b.wordset_md5
+            FROM f b
+            WHERE b.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM f r
+                              WHERE r.doc_id % 2 = 0
+                                AND r.wordset_md5 = b.wordset_md5)
+        """
     # t26: DSIR — hashed-ngram bucket counts, add-one-smoothed
     # target/pool distributions, DECIMAL c·λ sums, Gumbel-top-100 on
     # the md5 draw; λ's four ln terms are spelled in the Spark

@@ -2181,3 +2181,123 @@ def ngram_jaccard_pairs_best(
             if "prefix-join regime" not in str(e):
                 raise
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, k, threshold)
+
+
+def wordset_fp(text_col: str = "text"):
+    """Canonical bag-of-words-SET fingerprint: md5 of the space-joined,
+    binary-sorted distinct whitespace tokens.  The canonicalization
+    tier between exact content equality (tier 1) and MinHash
+    similarity (tier 2): word order, repetition, and duplicate tokens
+    are normalized away, so permuted/repeated rewrites of the same
+    vocabulary collide.  Engine-portable: DuckDB's
+    list_sort/list_distinct/string_agg/md5 reproduce it byte-for-byte
+    (binary collation both sides); a zero-token text fingerprints as
+    md5('') in both engines."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def bloom_membership_guard(
+    batch: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    max_bits: int = 1 << 27,
+) -> DataFrame:
+    """Exact membership admission with a DISTRIBUTED-BUILT Bloom
+    pre-filter: admit the batch docs whose :func:`wordset_fp`
+    fingerprint does NOT appear in the reference corpus.  The output
+    is EXACT — the Bloom filter only routes: rows failing any bit are
+    *definitely* absent and skip the join entirely (map-only); rows
+    passing all k bits (true members + ~fpp false positives) are
+    verified by a left-anti join on the fingerprint.  That makes this
+    the admission-guard analog of Spark's own runtime-filter idea,
+    surfaced as an operator: at 100 TB the overwhelming majority of an
+    incremental crawl is new, so the expensive anti-join's left side
+    shrinks from |batch| to |members| + fpp·|batch| while the
+    negatives never shuffle at all.
+
+    Build shape: one pass over the reference emits k = m/n·ln2 bit
+    positions per fingerprint (xxhash64 salted by seed index),
+    collapses MAP-SIDE via bit_or into ≤ m/64 (word, bits) rows — the
+    shuffle carries at most partitions × m/64 fixed-width rows, never
+    the fingerprints — then folds into ONE map row broadcast to the
+    probe (the 1-row-total pattern; the driver-side map is bounded by
+    the CHOSEN m = -n·ln(fpp)/ln²2 bits, m ≤ ``max_bits``).  When the
+    sizing rule needs more than ``max_bits`` (a reference too big for
+    a broadcast bitset — the 8 GB wall argument), the guard ROUTES to
+    the plain anti-join instead of building a useless saturated
+    filter: same exact output, size-gated strategy (the ingest-guard
+    router discipline).
+
+    Returns (id_col, wordset_md5) for admitted batch docs; NULL-text
+    rows are excluded by contract on both sides."""
+    import math
+
+    fp = wordset_fp(text_col)
+    bfp = (
+        batch.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), fp.alias("wordset_md5"))
+    )
+    rfp = (
+        ref.where(F.col(text_col).isNotNull())
+        .select(fp.alias("wordset_md5"))
+    )
+    n = int(expected_items) if expected_items is not None else ref.count()
+    n = max(n, 1)
+    m_req = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    if m_req > max_bits:
+        # saturated-filter regime: the bitset the sizing rule wants
+        # exceeds the broadcast budget -> plain anti-join (AQE picks
+        # broadcast-vs-shuffle from measured sizes)
+        return bfp.join(rfp, "wordset_md5", "left_anti").select(
+            id_col, "wordset_md5"
+        )
+    m = max(64, m_req)
+    k = max(1, round(m / n * math.log(2)))
+    pos = [
+        F.pmod(F.xxhash64(F.col("wordset_md5"), F.lit(s)), F.lit(m))
+        for s in range(k)
+    ]
+    words = (
+        rfp.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bits"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bm")
+        )
+        # the 1-row bits map feeds BOTH union branches (negatives and
+        # candidates); without this eager materialization each branch
+        # re-runs the whole reference build (no ReusedExchange across
+        # the union in this Spark), so pin build-ONCE here — the row
+        # is m/8 bytes by construction, bounded by max_bits
+        .localCheckpoint(eager=True)
+    )
+    probed = bfp.crossJoin(F.broadcast(words))
+    # k bit probes as ONE codegen'd conjunction (shift amounts are
+    # columns, so SQL-expr shiftleft — the pyspark wrapper only takes
+    # literal shifts); a missing map word means bits 0 -> absent
+    checks = [
+        f"(coalesce(element_at(bm, shiftright(pmod(xxhash64(wordset_md5, {s}),"
+        f" {m}), 6)), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(pmod(xxhash64(wordset_md5, {s}), {m}) % 64 AS INT))) != 0"
+        for s in range(k)
+    ]
+    might = F.expr(" AND ".join(checks))
+    negatives = probed.where(~might).select(id_col, "wordset_md5")
+    candidates = probed.where(might).select(id_col, "wordset_md5")
+    verified_new = candidates.join(rfp, "wordset_md5", "left_anti").select(
+        id_col, "wordset_md5"
+    )
+    return negatives.unionByName(verified_new)

@@ -81,6 +81,7 @@ def test_driver_window_composition():
         "cp6_incremental_ingest",
         "t25_lm_snapshot_merge",
         "t26_dsir_select",
+        "d8_bloom_guard",
         # round 12 rotation: the never-checked tail
         "q2_groupwise_max",
         "q4_order_priority",
@@ -114,7 +115,7 @@ def test_driver_window_composition():
         "w1_window_rank",       # windows
         "q3_shipping_priority", # multi-operator queries
         "t1_text_stats",        # text analysis
-        "d1_dedup_exact",       # dedup
+        "d8_bloom_guard",       # dedup (d1 out late r12; d3/d6s stay)
         "t26_dsir_select",      # sampling/selection (t5 out late r12)
     ):
         assert family_rep in window, family_rep

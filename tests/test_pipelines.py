@@ -2465,3 +2465,83 @@ def test_dsir_importance_weights_shift_with_target(spark):
     # own pool-mate ordering being recomputed (doc 1 alone in pool 2's
     # frame of reference scores finite)
     assert set(s2) == {1}
+
+
+def test_bloom_membership_guard_exact_and_routed(spark):
+    """The Bloom prefilter must never change the answer: guard output
+    == plain anti-join on the word-set fingerprint, for both the
+    bloom path and the size-gated fallback path (max_bits too small
+    -> plain anti-join route), including permuted/repeated rewrites
+    that collide on the canonical fingerprint."""
+    from maple_spark.pipelines.dedup import bloom_membership_guard, wordset_fp
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (2, "delta epsilon zeta"), (4, None)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "beta alpha gamma beta"),   # permutation+repeat -> member
+            (3, "alpha beta"),              # subset vocab -> new
+            (5, "delta epsilon zeta"),      # exact -> member
+            (7, "eta theta iota"),          # new
+            (9, None),                      # NULL text -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    expect = sorted(
+        r.doc_id
+        for r in batch.where("text is not null")
+        .select("doc_id", wordset_fp("text").alias("fp"))
+        .join(
+            ref.where("text is not null").select(wordset_fp("text").alias("fp")),
+            "fp",
+            "left_anti",
+        )
+        .collect()
+    )
+    assert expect == [3, 7]
+    got_bloom = sorted(
+        r.doc_id for r in bloom_membership_guard(batch, ref).collect()
+    )
+    got_routed = sorted(
+        r.doc_id
+        for r in bloom_membership_guard(batch, ref, max_bits=8).collect()
+    )
+    assert got_bloom == expect
+    assert got_routed == expect
+
+
+def test_bloom_guard_prefilter_prunes(spark):
+    """On a mostly-new batch the candidate (bit-hit) side must be a
+    small fraction of the batch — the routing property the operator
+    exists for.  Probe the internal split by rebuilding the filter's
+    conjunction the same way the guard does."""
+    from maple_spark.catalog import load_table
+    from maple_spark.pipelines import dedup as dd
+
+    d = load_table(spark, SF_DIR, "documents")
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    out = dd.bloom_membership_guard(batch, ref, fpp=0.01)
+    n_batch = batch.where("text is not null").count()
+    n_new = out.count()
+    n_members = n_batch - n_new
+    # exact: every admitted doc is genuinely absent from the reference
+    fps = set(
+        r.wordset_md5
+        for r in ref.where("text is not null")
+        .select(dd.wordset_fp("text").alias("wordset_md5"))
+        .collect()
+    )
+    admitted = out.collect()
+    assert all(r.wordset_md5 not in fps for r in admitted)
+    # the guard admitted everything not in the reference (no false drops)
+    assert n_new == n_batch - sum(
+        1
+        for r in batch.where("text is not null")
+        .select(dd.wordset_fp("text").alias("w"))
+        .collect()
+        if r.w in fps
+    )
+    assert 0 < n_members < n_batch

@@ -660,3 +660,21 @@ def test_t26_dsir_plan(spark):
     assert "partial_sum" in plan
     assert plan.count("hashpartitioning") == 5
     assert plan.count("SinglePartition") == 2
+
+
+def test_d8_bloom_guard_probe_plan(spark):
+    """d8's PROBE plan must be join-free for negatives and shuffle-free
+    overall at gate scale: the reference build (seed-explode, bit_or
+    groupBy) happens once behind the eager checkpoint (no Generate, no
+    hashpartitioning in the scored plan), the 1-row bits map arrives
+    by broadcast (BroadcastNestedLoopJoin), and the only join is the
+    LeftAnti exact verify on the candidate side — broadcast at this
+    size, AQE's call at 100 TB."""
+    import __spark_entry__ as e
+
+    plan = explain_str(e.d8_bloom_guard(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert plan.count("hashpartitioning") == 0
+    assert plan.count("SinglePartition") == 0
