@@ -93,6 +93,10 @@ HEADLINE = [
     # round 12 second wave: the incremental production regime end to
     # end (gopher gate → snapshot-LM band → snapshot dedup guard)
     "cp6_incremental_ingest",
+    # round 12 third wave: DSIR data selection and the bloom-routed
+    # admission guard
+    "t26_dsir_select",
+    "d8_bloom_guard",
 ]
 
 #: Queries whose REAL cost partly runs at DataFrame-construction time
@@ -117,6 +121,10 @@ CONSTRUCT_TIMED = {
     # cp6 PERSISTS both reference snapshots at build — the amortized
     # once-per-snapshot cost belongs inside the clock
     "cp6_incremental_ingest",
+    # t26 checkpoints the hashed-ngram counts table at build; d8
+    # counts the reference + checkpoints the bloom bits map at build
+    "t26_dsir_select",
+    "d8_bloom_guard",
 }
 
 

@@ -308,12 +308,24 @@ def dsir_importance(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    td = c.where(F.col("__row.__is_t")).groupBy("b").agg(F.sum("c").alias("t_cnt"))
-    rd = c.where(~F.col("__row.__is_t")).groupBy("b").agg(F.sum("c").alias("r_cnt"))
-    tt = td.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("tot_t"))
-    rt = rd.agg(F.coalesce(F.sum("r_cnt"), F.lit(0)).alias("tot_r"))
+    # ONE pass fits BOTH distributions: per-bucket target/pool sums in
+    # a single b-shuffle (a doc with a NULL predicate contributes to
+    # neither side, matching its exclusion from scoring), totals in one
+    # 1-row agg over the ≤ n_buckets rows
+    mc = c.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("__row.__is_t"), F.col("c")).otherwise(F.lit(0))
+        ).alias("t_cnt"),
+        F.sum(
+            F.when(~F.col("__row.__is_t"), F.col("c")).otherwise(F.lit(0))
+        ).alias("r_cnt"),
+    )
+    tots = mc.agg(
+        F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("tot_t"),
+        F.coalesce(F.sum("r_cnt"), F.lit(0)).alias("tot_r"),
+    )
     lam = (
-        F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double"))
+        F.log((F.col("t_cnt") + 1).cast("double"))
         - F.log((F.col("tot_t") + B).cast("double"))
         - F.log((F.col("r_cnt") + 1).cast("double"))
         + F.log((F.col("tot_r") + B).cast("double"))
@@ -322,9 +334,8 @@ def dsir_importance(
     # pool doc); <= n_buckets rows BY CONSTRUCTION -> the one join in
     # this module where force-broadcast is provably safe at any scale
     model = (
-        rd.join(td, "b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(rt))
+        mc.where(F.col("r_cnt") > 0)
+        .crossJoin(F.broadcast(tots))
         .select("b", lam.alias("lam"))
     )
     u = (

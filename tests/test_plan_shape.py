@@ -647,8 +647,10 @@ def test_t26_dsir_plan(spark):
     1-row broadcasts (the scalar-subquery pattern → exactly two
     SinglePartition aggs), per-doc scores partial-sum map-side, and
     the Gumbel top-100 plans as TakeOrderedAndProject — no global
-    sort.  Five hash exchanges: td/rd bucket fits, the model's
-    left-join alignment, the per-doc score agg + AQE reuse."""
+    sort.  Both distributions fit in ONE bucket shuffle (conditional
+    sums — not one aggregation per side) and their totals in ONE 1-row
+    agg, so the census is three hash exchanges (the b fit, the per-doc
+    score agg + AQE reuse) and a single SinglePartition."""
     import __spark_entry__ as e
 
     plan = explain_str(e.t26_dsir_select(spark, SF_DIR))
@@ -658,8 +660,8 @@ def test_t26_dsir_plan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
     assert "partial_sum" in plan
-    assert plan.count("hashpartitioning") == 5
-    assert plan.count("SinglePartition") == 2
+    assert plan.count("hashpartitioning") == 3
+    assert plan.count("SinglePartition") == 1
 
 
 def test_d8_bloom_guard_probe_plan(spark):
