@@ -404,6 +404,7 @@ def test_single_partition_exchanges_are_audited(spark):
                                         # (t19s/t20s have NONE: their total
                                         # is READ from the snapshot)
         "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
+        "t26_dsir_select": 1,           # λ-model totals row over ≤ n_buckets rows
         "ts1_gapfill": 1,               # series min/max bounds row
     }
     got = {}
