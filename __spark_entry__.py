@@ -1148,18 +1148,45 @@ def cp6_incremental_ingest(spark, sf_dir):
 
     dsnap = _snapshot_root(sf_dir, "cp6_dedup_ref")
     lmsnap = _snapshot_root(sf_dir, "cp6_lm_ref")
-    dedup.build_reference_snapshot(
-        ref, dsnap, "doc_id", "text", num_perm=64, bands=16, k=8
-    )
-    textstats.build_lm_snapshot(ref, lmsnap, order=2)
+    # the two reference snapshots are INDEPENDENT fits of the same ref
+    # corpus — build them as two concurrent driver-thread jobs so the
+    # second fit back-fills the executors the first one's stage tails
+    # leave idle (optimization guide §2.6); at cluster scale this is
+    # the same once-per-snapshot cost, just not serialized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fd = pool.submit(
+            dedup.build_reference_snapshot,
+            ref, dsnap, "doc_id", "text", num_perm=64, bands=16, k=8,
+        )
+        fl = pool.submit(textstats.build_lm_snapshot, ref, lmsnap, order=2)
+        fd.result(), fl.result()
     gkeep = (
         curation.gopher_quality_rules(inc, min_words=30, min_stop_hits=1)
         .where("keep")
         .select("doc_id")
     )
     gated = inc.join(gkeep, "doc_id")
-    scored = textstats.lm_score(gated, lmsnap).where(F.col("xent") <= 3.46)
-    survivors = gated.join(scored.select("doc_id"), "doc_id")
+    # materialize the gated-and-LM-scored admission table ONCE: three
+    # downstream consumers (the guard's band pass, its candidate-doc
+    # semi-join + set build, and the final anti-join) each re-derived
+    # the whole gopher-gate + model-join pyramid lineage before this —
+    # the before-plan scanned documents.parquet 41× (plans/r12/
+    # cp6_incremental_ingest_before.txt).  The checkpoint is a
+    # fixed-width (doc_id, n_words, n_oov, xent) table bounded by the
+    # INCREMENT, recomputed from the parquet inputs on every run —
+    # guide §3.3/§5 (materialize a multiply-consumed intermediate to
+    # truncate the plan), not cross-run caching.
+    scored = (
+        textstats.lm_score(gated, lmsnap)
+        .where(F.col("xent") <= 3.46)
+        .localCheckpoint(eager=True)
+    )
+    # scored ids ⊆ gated ids ⊆ inc ids, so re-attaching text for the
+    # guard needs only the inc scan + the id join (the decide-with-
+    # small-rows / re-attach-payload-once pattern, guide §8)
+    survivors = inc.join(scored.select("doc_id"), "doc_id")
     dups = (
         dedup.cross_dedup_stream(
             survivors, None, "doc_id", "text", num_perm=64, bands=16, k=8,
@@ -1201,6 +1228,18 @@ def cp3_pretraining_ingest(spark, sf_dir):
     new = d.where(F.col("doc_id") % 2 == 1)  # the arriving crawl
     ref = d.where(F.col("doc_id") % 2 == 0)  # existing corpus snapshot
     # 1. decontamination-by-dedup against the snapshot (d6 semantics)
+    #
+    # The dup-id drop list is LAZILY localCheckpointed (round-12
+    # optimization): survivors has TWO consumers (the 13-gram
+    # contamination scan and the clean anti-join), and each re-derived
+    # the whole banding + candidate + exact-verify lineage — the
+    # before-plan scanned documents.parquet 19× (plans/r12/
+    # cp3_pretraining_ingest_before.txt).  The checkpoint is id-only
+    # longs bounded by the dup RATE, materialized INSIDE the timed
+    # execution (eager=False — cp3 stays out of CONSTRUCT_TIMED, the
+    # bench still times the whole computation), recomputed from parquet
+    # every run.  Guide §3.3/§5: materialize a multiply-consumed
+    # intermediate; decide with small rows, re-attach by id join (§8).
     dup_ids = (
         dedup.cross_dedup_pairs(
             new, ref, "doc_id", "text",
@@ -1208,6 +1247,7 @@ def cp3_pretraining_ingest(spark, sf_dir):
         )
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # The drop lists are id-only longs whose size scales with the corpus
     # dup/contamination RATE — un-hinted so AQE broadcasts them while

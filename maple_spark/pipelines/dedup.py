@@ -765,15 +765,47 @@ def build_reference_snapshot(
     Both builds use the fastest tier unconditionally (Arrow kernel when
     available): a parquet WRITE is map-only — no join planning reads
     the UDF-erased in-flight statistics, and every downstream consumer
-    plans against the written files' honest parquet metadata."""
+    plans against the written files' honest parquet metadata.
+
+    ONE corpus text scan (optimization round 12, guide §2.3/§8): the
+    fingerprint-set table is written first from the single
+    shingle+md5 pass, and the bucket table is then derived FROM the
+    persisted sets (explode → mod-P31 → per-doc permutation mins →
+    band polynomials — the identical arithmetic :func:`lsh_band_buckets`
+    runs on text, since min-over-distinct-set == min-over-shingle-
+    multiset).  The previous formulation shingled and hashed the full
+    reference corpus TWICE (once per table); at 100 TB the second pass
+    is a second full read+hash of the corpus, where the set read-back
+    is fixed-width (≈8 B/distinct shingle) with honest parquet stats.
+    NULL-text docs band nowhere on either path: their persisted set is
+    ``[NULL]`` (the shingle row of a NULL text) and the explode's
+    null-element filter drops them, exactly like the text path's
+    ``text IS NOT NULL`` prune (equality pinned in
+    tests/test_pipelines.py::test_reference_snapshot_buckets_match_text_path)."""
+    from maple_spark.functions import phash
+
     spark = ref_df.sparkSession
-    lsh_band_buckets(ref_df, id_col, text_col, num_perm, bands, k).select(
-        F.col(id_col).alias("ref_id"), "band", "bucket"
-    ).write.mode("overwrite").parquet(f"{path}/buckets.parquet")
-    ref_df.select(
+    # _spread so the one shingle+md5 pass parallelizes on the single-
+    # row-group local fixture (no-op at scale — many input files skip
+    # it); the written file count then also parallelizes the read-back
+    _spread(ref_df.select(id_col, text_col)).select(
         F.col(id_col).alias("ref_id"),
         fp_set_best(text_col, k).alias("__rset"),
     ).write.mode("overwrite").parquet(f"{path}/fp_sets.parquet")
+    sets = spark.read.parquet(f"{path}/fp_sets.parquet")
+    sh = (
+        sets.select("ref_id", F.explode("__rset").alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .select("ref_id", (F.col("__h") % F.lit(phash.P31)).alias("__r"))
+    )
+    aggs = [
+        F.expr(f"min(({a} * __r + {b}) % {phash.P31})").alias(f"h{i}")
+        for i, (a, b) in enumerate(phash.perm_consts(num_perm))
+    ]
+    sig = sh.groupBy("ref_id").agg(*aggs)
+    _band_explode(sig, "ref_id", num_perm, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/buckets.parquet")
     spark.createDataFrame(
         [(int(num_perm), int(bands), int(k))], "num_perm int, bands int, k int"
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
@@ -2245,7 +2277,21 @@ def bloom_membership_guard(
         ref.where(F.col(text_col).isNotNull())
         .select(fp.alias("wordset_md5"))
     )
-    n = int(expected_items) if expected_items is not None else ref.count()
+    if expected_items is not None:
+        n = int(expected_items)
+    else:
+        # size from parquet FOOTER row counts when the reference is
+        # file-backed (metadata only, no job) instead of a full count()
+        # scan: the footer total is an UPPER bound on any filtered
+        # reference (more rows → bigger m → lower fpp), and Bloom
+        # sizing only routes — the verify anti-join keeps the output
+        # EXACT at any (m, k).  Unstatable sources fall back to the
+        # exact count (round-12 optimization: the count was a whole
+        # construction-time reference scan per build).
+        from maple_spark.pipelines.util import parquet_files_stats
+
+        _stats = parquet_files_stats(ref)
+        n = _stats[1] if _stats is not None and _stats[1] else ref.count()
     n = max(n, 1)
     m_req = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
     if m_req > max_bits:

@@ -558,8 +558,14 @@ def lm_positions(
     only global n-gram counts)."""
     ids = [id_col] if id_col is not None else []
     arr = F.filter(F.split(text_col, " "), lambda x: x != "")
+    # spread BEFORE tokenizing so the split/posexplode/element_at map
+    # work parallelizes on a single-row-group local fixture (spread is
+    # a no-op at scale — many input files — and on in-memory stream
+    # batches); without it every LM tier's checkpoint build ran its
+    # corpus explode on one core (optimization round 12, guide §2.5
+    # input-skew note)
     toks = (
-        docs.where(F.col(text_col).isNotNull())
+        spread(docs.where(F.col(text_col).isNotNull()).select(*ids, text_col))
         .select(*ids, arr.alias("arr"))
         .where(F.size("arr") > 0)
     )
@@ -641,6 +647,16 @@ def lm_backoff_join(
     feed both to :func:`lm_score_agg`."""
     names = [n for n, _ in LM_CTX[order]]
     near = names[-1]
+    # NO .drop() hygiene anywhere in the pyramid (optimization round
+    # 12): every drop()/rename on a Dataset re-runs Catalyst ANALYSIS
+    # over the whole join tree so far, and at order 5 the seven drops
+    # cost ~3.5 s of pure DRIVER time per construction (measured
+    # steady-state: 4.5 s → 0.9 s without them; the bench clock covers
+    # construction for every CONSTRUCT_TIMED LM tier).  The join-helper
+    # columns (__w/__pw/__s{n}_{i}/__sc{n}) get per-order-unique names
+    # instead, stay in the frame, and Catalyst's column pruning removes
+    # them physically — the executed plan is identical (value-equality
+    # and the per-tier plan censuses pin this).
     j = (
         wcb.join(
             vocab_hint(
@@ -650,7 +666,6 @@ def lm_backoff_join(
             F.col("cur") == F.col("__w"),
             "left",
         )
-        .drop("__w")
         .join(
             vocab_hint(
                 uv.select(F.col("w").alias("__pw"), F.col("cnt").alias("cnt_p1")),
@@ -659,7 +674,6 @@ def lm_backoff_join(
             F.col(near) == F.col("__pw"),
             "left",
         )
-        .drop("__pw")
     )
     for n in range(2, order + 1):
         cnt_col = LM_CNT_COLS[n]
@@ -670,16 +684,16 @@ def lm_backoff_join(
             # position back — keys match names[-n:-1], cur matches the
             # nearest context
             wkeys = names[-n:-1]
-            tmp = [f"__s{i}" for i in range(len(keys))] + ["__sc"]
+            tmp = [f"__s{n}_{i}" for i in range(len(keys))] + [f"__sc{n}"]
             shifted = models[n].select(
                 *[F.col(k).alias(t) for k, t in zip(keys, tmp[:-1])],
-                F.col("cur").alias("__sc"),
+                F.col("cur").alias(tmp[-1]),
                 F.col(cnt_col).alias(f"{cnt_col}_ctx"),
             )
-            cond = F.col(near) == F.col("__sc")
+            cond = F.col(near) == F.col(tmp[-1])
             for wk, t in zip(wkeys, tmp[:-1]):
                 cond = cond & (F.col(wk) == F.col(t))
-            j = j.join(shifted, cond, "left").drop(*tmp)
+            j = j.join(shifted, cond, "left")
     lntot = F.log(F.col("total").cast("double"))
     chains = [
         F.log(F.coalesce(F.col("cnt_cur"), F.lit(1)).cast("double")) - lntot
@@ -789,36 +803,74 @@ def build_lm_snapshot(
             return model
 
         p1 = "prev" if order == 2 else "p1"
-        _prune(
-            g.where(F.col(p1).isNotNull())
-            .groupBy(F.col(p1).alias("prev"), F.col("cur"))
-            .agg(F.sum("cnt").alias("bcnt")),
-            "bcnt",
-        ).write.mode("overwrite").parquet(f"{path}/bigram.parquet")
+        writes = [
+            (
+                "bigram.parquet",
+                _prune(
+                    g.where(F.col(p1).isNotNull())
+                    .groupBy(F.col(p1).alias("prev"), F.col("cur"))
+                    .agg(F.sum("cnt").alias("bcnt")),
+                    "bcnt",
+                ),
+            )
+        ]
         if order >= 3:
-            _prune(
-                g.where(F.col("p2").isNotNull())
-                .groupBy("p2", "p1", "cur")
-                .agg(F.sum("cnt").alias("tcnt")),
-                "tcnt",
-            ).write.mode("overwrite").parquet(f"{path}/trigram.parquet")
+            writes.append(
+                (
+                    "trigram.parquet",
+                    _prune(
+                        g.where(F.col("p2").isNotNull())
+                        .groupBy("p2", "p1", "cur")
+                        .agg(F.sum("cnt").alias("tcnt")),
+                        "tcnt",
+                    ),
+                )
+            )
         if order >= 4:
-            _prune(
-                g.where(F.col("p3").isNotNull())
-                .groupBy("p3", "p2", "p1", "cur")
-                .agg(F.sum("cnt").alias("qcnt")),
-                "qcnt",
-            ).write.mode("overwrite").parquet(f"{path}/fourgram.parquet")
+            writes.append(
+                (
+                    "fourgram.parquet",
+                    _prune(
+                        g.where(F.col("p3").isNotNull())
+                        .groupBy("p3", "p2", "p1", "cur")
+                        .agg(F.sum("cnt").alias("qcnt")),
+                        "qcnt",
+                    ),
+                )
+            )
         if order >= 5:
             # g IS the five-gram table — no further aggregation
-            _prune(
-                g.where(F.col("p4").isNotNull()).select(
-                    "p4", "p3", "p2", "p1", "cur",
-                    F.col("cnt").alias("pcnt"),
-                ),
-                "pcnt",
-            ).write.mode("overwrite").parquet(f"{path}/fivegram.parquet")
-    wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
+            writes.append(
+                (
+                    "fivegram.parquet",
+                    _prune(
+                        g.where(F.col("p4").isNotNull()).select(
+                            "p4", "p3", "p2", "p1", "cur",
+                            F.col("cnt").alias("pcnt"),
+                        ),
+                        "pcnt",
+                    ),
+                )
+            )
+        writes.append(("vocab.parquet", wc))
+        # every model table re-aggregates the CHECKPOINTED g, so the
+        # writes are mutually independent jobs — submit them from a
+        # small thread pool so each job's tail back-fills the executors
+        # the previous job would have left idle (optimization guide
+        # §2.6: actions are only sequential because driver code calls
+        # them sequentially).  FIFO scheduling keeps the back-fill
+        # behavior; 3 in flight is enough to cover a straggling tail
+        # without the jobs fighting for executors.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(nm_df):
+            nm, df = nm_df
+            df.write.mode("overwrite").parquet(f"{path}/{nm}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_write, writes))
+    if order == 1:
+        wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
     spark = docs.sparkSession
     # order is a literal SELECT, not an aggregate over the vocab rows:
     # max(lit(order)) over an EMPTY vocab (an all-NULL / empty-train

@@ -1317,6 +1317,39 @@ def test_cross_dedup_stream_routes_ref_tier_off_ref_stats(spark, tmp_path):
     )
 
 
+def test_reference_snapshot_buckets_match_text_path(spark, tmp_path):
+    """The round-12 single-scan snapshot build derives the bucket table
+    FROM the persisted fingerprint sets instead of re-shingling text;
+    the result must be row-identical to banding the text directly
+    (lsh_band_buckets), including the NULL-text prune (NULL docs band
+    nowhere on either path) and empty/sub-k texts."""
+    from maple_spark.pipelines.dedup import (
+        build_reference_snapshot,
+        lsh_band_buckets,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(400)
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "tiny")],
+        "doc_id bigint, text string",
+    )
+    ref = d.select("doc_id", "text").unionByName(extra)
+    snap = str(tmp_path / "snap")
+    build_reference_snapshot(ref, snap, "doc_id", "text")
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{snap}/buckets.parquet").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            lsh_band_buckets(ref, "doc_id", "text")
+            .select(F.col("doc_id").alias("ref_id"), "band", "bucket")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_cross_dedup_stream_from_reference_snapshot(spark, tmp_path):
     """The amortization API: build_reference_snapshot persists the
     bucket + fingerprint-set tables once; cross_dedup_stream(...,

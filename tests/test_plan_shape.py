@@ -404,6 +404,7 @@ def test_single_partition_exchanges_are_audited(spark):
                                         # (t19s/t20s have NONE: their total
                                         # is READ from the snapshot)
         "cp5_perplexity_mix": 1,        # t18's quota-total row over the gated set
+        "cp6_incremental_ingest": 1,    # injected runtime Bloom build (≤ numBits)
         "t26_dsir_select": 1,           # λ-model totals row over ≤ n_buckets rows
         "ts1_gapfill": 1,               # series min/max bounds row
     }
@@ -603,21 +604,27 @@ def test_t22_fourgram_perplexity_plan(spark):
 
 
 def test_cp6_incremental_ingest_plan(spark):
-    """cp6's plan must be the INCREMENTAL one: both reference-derived
-    artifacts come from parquet snapshot scans (the lm_ref / dedup_ref
-    paths appear as Scans), there is NO SinglePartition exchange
-    anywhere (every total/model is READ, never recomputed — the t19s
-    pin extended to the whole capstone) and no CartesianProduct.  The
-    eighteen hash exchanges and Generates are increment-sided (gopher
-    is map-only; the LM aggregation and the id-only band explode scale
-    with the increment, INCREMENT_CURVE_r12)."""
+    """cp6's plan must be the INCREMENTAL one (round-12 optimization
+    shape): the gopher gate + LM scoring materialize ONCE into the
+    eager scored checkpoint (so the final plan no longer re-derives the
+    lm_ref model joins — they run in the construction-time checkpoint
+    job, which cp6's CONSTRUCT_TIMED bench clock covers), the guard
+    reads the persisted dedup_ref snapshot scans, and the exchange
+    census shrank 18 → 5 hash exchanges, all increment-sided.  The ONE
+    SinglePartition is Spark's injected runtime Bloom-filter build
+    (bloom_filter_agg over the admitted-id side — bounded by numBits,
+    never relation-sized; it prunes the increment re-scan before
+    banding, guide §3.2), pinned 1:1 against the partial bloom agg so
+    a NEW unaudited SinglePartition still fails.  No CartesianProduct."""
     import __spark_entry__ as e
 
     plan = explain_str(e.cp6_incremental_ingest(spark, SF_DIR))
-    assert "SinglePartition" not in plan
+    assert plan.count("SinglePartition") == plan.count(
+        "partial_bloom_filter_agg"
+    ) == 1
     assert "CartesianProduct" not in plan
-    assert "cp6_lm_ref" in plan and "cp6_dedup_ref" in plan
-    assert plan.count("hashpartitioning") == 18
+    assert "cp6_dedup_ref" in plan
+    assert plan.count("hashpartitioning") == 5
 
 
 def test_t23_fivegram_perplexity_plan(spark):
