@@ -853,6 +853,33 @@ def build_lm_snapshot(
                 )
             )
         writes.append(("vocab.parquet", wc))
+        # meta's totals derive from wc — which itself re-aggregates the
+        # CHECKPOINTED g — so computing them here costs a
+        # vocabulary-sized agg, not a read-back of the just-written
+        # vocab.parquet (one fewer sequential job per build; the two
+        # formulations cannot disagree because the parquet round-trip
+        # of exact longs is lossless).  order is a literal SELECT, not
+        # an aggregate over the vocab rows: max(lit(order)) over an
+        # EMPTY vocab (an all-NULL / empty-train corpus) is NULL, and
+        # lm_score would then plan LM_CTX[None] (fuzz-caught:
+        # test_perplexity_family_oracle_agree_on_random_corpora).
+        writes.append(
+            (
+                "meta.parquet",
+                wc.agg(
+                    F.sum("cnt").alias("total"),
+                    F.count(F.lit(1)).alias("n_vocab"),
+                ).select(
+                    "total",
+                    "n_vocab",
+                    F.lit(order).alias("order"),
+                    # recorded so merge_lm_snapshots can refuse pruned
+                    # inputs: prune-then-merge undercounts vs
+                    # merge-then-prune
+                    F.lit(min_count).alias("min_count"),
+                ),
+            )
+        )
         # every model table re-aggregates the CHECKPOINTED g, so the
         # writes are mutually independent jobs — submit them from a
         # small thread pool so each job's tail back-fills the executors
@@ -869,13 +896,13 @@ def build_lm_snapshot(
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             list(pool.map(_write, writes))
-    if order == 1:
-        wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
+        return
+    wc.write.mode("overwrite").parquet(f"{path}/vocab.parquet")
     spark = docs.sparkSession
-    # order is a literal SELECT, not an aggregate over the vocab rows:
-    # max(lit(order)) over an EMPTY vocab (an all-NULL / empty-train
-    # corpus) is NULL, and lm_score would then plan LM_CTX[None]
-    # (fuzz-caught: test_perplexity_family_oracle_agree_on_random_corpora)
+    # order-1 meta reads the persisted vocab back (wc's lineage is the
+    # corpus scan itself here — re-aggregating it would re-scan the
+    # corpus; the written file is the cheap source).  order is a
+    # literal SELECT for the same empty-vocab reason as above.
     spark.read.parquet(f"{path}/vocab.parquet").agg(
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("n_vocab"),
