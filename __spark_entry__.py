@@ -1172,8 +1172,9 @@ def cp6_incremental_ingest(spark, sf_dir):
     # downstream consumers (the guard's band pass, its candidate-doc
     # semi-join + set build, and the final anti-join) each re-derived
     # the whole gopher-gate + model-join pyramid lineage before this —
-    # the before-plan scanned documents.parquet 41× (plans/r12/
-    # cp6_incremental_ingest_before.txt).  The checkpoint is a
+    # the before-plan held 22 documents.parquet scans, 41 parquet scans
+    # total (plans/r12/cp6_incremental_ingest_before.txt).  The
+    # checkpoint is a
     # fixed-width (doc_id, n_words, n_oov, xent) table bounded by the
     # INCREMENT, recomputed from the parquet inputs on every run —
     # guide §3.3/§5 (materialize a multiply-consumed intermediate to
@@ -1233,7 +1234,7 @@ def cp3_pretraining_ingest(spark, sf_dir):
     # optimization): survivors has TWO consumers (the 13-gram
     # contamination scan and the clean anti-join), and each re-derived
     # the whole banding + candidate + exact-verify lineage — the
-    # before-plan scanned documents.parquet 19× (plans/r12/
+    # before-plan held 19 documents.parquet scan mentions (plans/r12/
     # cp3_pretraining_ingest_before.txt).  The checkpoint is id-only
     # longs bounded by the dup RATE, materialized INSIDE the timed
     # execution (eager=False — cp3 stays out of CONSTRUCT_TIMED, the
