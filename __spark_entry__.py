@@ -1162,12 +1162,19 @@ def cp6_incremental_ingest(spark, sf_dir):
         )
         fl = pool.submit(textstats.build_lm_snapshot, ref, lmsnap, order=2)
         fd.result(), fl.result()
-    gkeep = (
-        curation.gopher_quality_rules(inc, min_words=30, min_stop_hits=1)
+    # the gopher gate is a row-local predicate, so gate IN PLACE with
+    # text carried through (carry_cols) instead of joining kept ids
+    # back to the increment — removes one increment scan and an
+    # increment-sized join that was pure plumbing (round-12
+    # optimization; at 100 TB stage 1 stays the map-only filter the
+    # docstring promises)
+    gated = (
+        curation.gopher_quality_rules(
+            inc, min_words=30, min_stop_hits=1, carry_cols=("text",)
+        )
         .where("keep")
-        .select("doc_id")
+        .select("doc_id", "text")
     )
-    gated = inc.join(gkeep, "doc_id")
     # materialize the gated-and-LM-scored admission table ONCE: three
     # downstream consumers (the guard's band pass, its candidate-doc
     # semi-join + set build, and the final anti-join) each re-derived

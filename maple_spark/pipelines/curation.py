@@ -503,6 +503,7 @@ def gopher_quality_rules(
     max_ellipsis_line_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality-rule gate (Rae et al. 2021 Appendix A1.1 —
     the doc-level heuristic filter FineWeb/RefinedWeb-style pipelines
@@ -568,8 +569,17 @@ def gopher_quality_rules(
         & (alpha_ratio >= min_alpha_word_ratio)
         & (F.when(has, n_stop) >= min_stop_hits)
     )
+    # ``carry_cols`` ride through unchanged (the lsh_band_buckets_rowlocal
+    # pattern): the gate is row-local, so a pipeline that needs the text
+    # (or any other column) PAST the gate can filter in place instead of
+    # joining the kept ids back to the source — at 100 TB that join is a
+    # second increment scan plus an increment-sized shuffle/broadcast for
+    # what is semantically a map-only predicate (round-12 optimization;
+    # cp6 was the offender).  Default () keeps every existing caller's
+    # output byte-identical.
     return docs.select(
         F.col(id_col),
+        *carry_cols,
         F.when(has, n_words).cast("bigint").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(sym_ratio, 6).alias("symbol_word_ratio"),
