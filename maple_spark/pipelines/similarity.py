@@ -424,6 +424,85 @@ def _dist_structs(vec: Column | str, cents: list[list[float]]) -> Column:
     return F.expr(f"array({structs})")
 
 
+#: corpus parquet footprint above which the Lloyd assignment routes to
+#: the Arrow kernel (measured crossover, see the router note in
+#: :func:`_lloyd_cells`): 16 MiB ≈ 60k × 64-d float vectors, where the
+#: two formulations tie on the stats-pass shape; by 52 MB the kernel
+#: wins 1.35× end-to-end and 4.3× on the assignment alone.
+LLOYD_KERNEL_MIN_BYTES = 16 << 20
+
+
+def _assign_cells_arrow_udf(cents: list[list[float]]):
+    """Arrow-vectorized argmin-cell assignment — the bit-exact twin of
+    ``element_at(array_sort(_dist_structs(vec, cents)), 1)["cell"]``.
+
+    Why a Python kernel in this hot path (optimization round 13, guide
+    §4.2): the Catalyst formulation evaluates n_cells INTERPRETED
+    ``aggregate(zip_with(...))`` folds per row (higher-order functions
+    run outside whole-stage codegen), plus an array_sort over the
+    (dist, cell) structs — at 100 TB that interpreted (row × centroid ×
+    dim) triple product is the quantizer's dominant CPU term.  The
+    codegen-unroll variant was measured and REJECTED in round 12 (512-
+    term expressions blow up codegen compile time); this is the Arrow
+    escape hatch instead, the same pattern as dedup's banding kernel.
+
+    Exactness, term by term (the oracle reproduces the JVM fold, so the
+    kernel must too):
+
+    - float→double widening is exact on both sides (``astype`` ==
+      ``CAST``); subtraction/multiplication are single IEEE double ops.
+    - the left-to-right ``(acc, v) -> acc + v`` fold is reproduced with
+      ``np.add.accumulate`` (ufunc accumulate is DEFINED sequential:
+      out[i] = out[i-1] + x[i]; a plain ``.sum()`` would use pairwise
+      summation — NOT bit-identical).
+    - argmin ties break to the LOWEST cell: ``np.argmin`` returns the
+      first occurrence, exactly the (dist, cell) struct sort's order.
+    - NaN distances sort GREATER than any number in Spark's ordering —
+      mirrored by replacing NaN with +inf before the argmin (a NaN in
+      the vector NaNs every cell's fold; a NaN centroid component NaNs
+      only that cell).
+    - NULL / wrong-length vectors: ``zip_with`` pads the shorter side
+      with NULL, so EVERY cell's fold is NULL → all structs carry the
+      same non-comparable dist and the (dist, cell) tie-break lands on
+      cell 0 regardless of NULL ordering.  The kernel assigns 0 to any
+      row whose vector is missing or not exactly d wide; NULL *elements*
+      arrive as NaN through Arrow and correctly take the all-cells-
+      equal → cell-0 path via the ±inf rule.  (Parity on every edge
+      class is pinned in tests/test_pipelines.py.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (n_cells, d)
+    d = C.shape[1]
+
+    @pandas_udf("int")
+    def assign_cell(vecs):
+        n = len(vecs)
+        out = np.zeros(n, dtype=np.int64)
+        vals = vecs.to_numpy()
+        lens = np.fromiter(
+            (len(v) if v is not None else -1 for v in vals),
+            dtype=np.int64,
+            count=n,
+        )
+        ok = lens == d
+        if ok.any():
+            A = np.stack(vals[ok]).astype(np.float64)  # (m, d)
+            S = np.empty((A.shape[0], C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[0]):
+                diff = A - C[j]
+                np.multiply(diff, diff, out=diff)
+                # sequential prefix sum == the JVM's left-to-right fold
+                S[:, j] = np.add.accumulate(diff, axis=1)[:, -1]
+            np.copyto(S, np.inf, where=np.isnan(S))
+            out[ok] = S.argmin(axis=1)
+        return pd.Series(out).astype("int32")
+
+    return assign_cell
+
+
 def _lloyd_cells(
     corpus: DataFrame,
     id_col: str,
@@ -454,8 +533,34 @@ def _lloyd_cells(
         for r in c.orderBy("neighbor_id").limit(n_cells).collect()
     ]
 
+    from maple_spark.pipelines.dedup import _arrow_available
+    from maple_spark.pipelines.util import parquet_files_stats
+
+    # Tier router (the fp_set_best / carry_sets discipline): the Arrow
+    # kernel wins only once the corpus is big enough to amortize the
+    # per-pass Python-worker round trips — measured crossover on the
+    # stats-pass shape (SIM_KERNEL_AB_r13.json probes, local[32]):
+    # 0.8 MB/2k rows expr wins (0.63 vs 0.67 s), 5 MB/20k ~tie, 16 MB/
+    # 60k ~tie, 52 MB/200k kernel wins (1.45 vs 1.95 s; assignment
+    # alone 0.62 vs 2.68 s — the interpreted (row × cell × dim) folds
+    # are the at-scale CPU term, guide §4.2).  Small or UNSTATABLE
+    # (in-memory) corpora keep the Catalyst formulation — also the
+    # honest-statistics default (no UDF-erased size lineage).
+    _stats = parquet_files_stats(corpus)
+    use_kernel = (
+        _arrow_available()
+        and _stats is not None
+        and _stats[0] > LLOYD_KERNEL_MIN_BYTES
+    )
+
     def assign(cents):
-        # struct sort orders by (dist, cell): ties to the lowest cell
+        # Arrow kernel above the size gate, else the Catalyst
+        # struct-sort — ties to the lowest cell either way
+        # (value-identical, pytest-pinned)
+        if use_kernel:
+            return c.withColumn(
+                "cell", _assign_cells_arrow_udf(cents)(F.col("embedding"))
+            )
         return c.withColumn(
             "cell",
             F.element_at(

@@ -1050,6 +1050,61 @@ def test_ivf_snapshot_nondefault_lloyd_iters_probeable(spark, tmp_path):
         load_ivf_snapshot(spark, str(tmp_path / "nope"), n_cells=4)
 
 
+def test_assign_cells_arrow_kernel_matches_expression(spark):
+    """The Arrow argmin-cell kernel (round-13 optimization) must be
+    VALUE-IDENTICAL to the Catalyst struct-sort formulation on every
+    edge class the expression path defines semantics for: clean rows,
+    exact distance TIES (lowest cell wins), NULL vector, wrong-length
+    vectors (both shorter and longer than the centroids), a NaN
+    element, and a NULL element — the oracle reproduces the expression
+    path, so any kernel drift here is a silent wrong answer in
+    sim4/sim5."""
+    import math
+    import random
+
+    from maple_spark.pipelines.similarity import (
+        _assign_cells_arrow_udf,
+        _dist_structs,
+    )
+
+    rnd = random.Random(1301)
+    d = 16
+    clean = [
+        (i, [rnd.uniform(-1, 1) for _ in range(d)]) for i in range(40)
+    ]
+    # centroid 0 == centroid 1 → every row's dist ties between cells 0/1
+    cents = [[rnd.uniform(-1, 1) for _ in range(d)] for _ in range(4)]
+    cents[1] = list(cents[0])
+    edge = [
+        (100, None),                                   # NULL vector
+        (101, [0.5] * (d - 3)),                        # shorter than d
+        (102, [0.5] * (d + 3)),                        # longer than d
+        (103, [float("nan")] + [0.25] * (d - 1)),      # NaN element
+        (104, [None] + [0.25] * (d - 1)),              # NULL element
+        (105, list(cents[0])),                         # exact tie 0 vs 1
+    ]
+    df = spark.createDataFrame(
+        clean + edge, "vec_id long, embedding array<float>"
+    )
+    expr_cell = F.element_at(
+        F.array_sort(_dist_structs("embedding", cents)), 1
+    )["cell"]
+    got = {
+        r["vec_id"]: (r["kc"], r["ec"])
+        for r in df.select(
+            "vec_id",
+            _assign_cells_arrow_udf(cents)(F.col("embedding")).alias("kc"),
+            expr_cell.alias("ec"),
+        ).collect()
+    }
+    assert all(kc == ec for kc, ec in got.values()), {
+        k: v for k, v in got.items() if v[0] != v[1]
+    }
+    # the tie rows really landed on the LOWEST of the tied cells
+    assert got[105] == (0, 0)
+    assert not math.isnan(got[103][0])
+
+
 def test_simhash_exact_match_config(spark):
     """max_hamming=0 (exact-fingerprint pairs) must work: width=64 needs
     the all-ones mask as signed -1, not (1<<64)-1 (review finding,
