@@ -39,6 +39,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _reliable_or_local_ckpt(df: DataFrame) -> DataFrame:
+    """Every multiply-consumed-intermediate materialization in the entry
+    goes through pipelines.util.checkpoint_df: localCheckpoint by
+    default (bench/one-box), reliable checkpoint under
+    SPARK_GRAFT_RELIABLE_CHECKPOINT (cluster runs — executor-local
+    blocks are not fault-tolerant; guide §5).  Value-identical either
+    way (pytest pins one representative path in both modes)."""
+    from maple_spark.pipelines.util import checkpoint_df
+
+    return checkpoint_df(df, eager=True)
+
+
+def _reliable_or_local_ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Lazy twin of :func:`_reliable_or_local_ckpt` — materializes on
+    first action, INSIDE the timed execution (the cp3 drop-list
+    pattern; no CONSTRUCT_TIMED methodology dodge)."""
+    from maple_spark.pipelines.util import checkpoint_df
+
+    return checkpoint_df(df, eager=False)
+
+
 # ----------------------------------------------------------------------
 # flagship (entry): orders ⋈ customer → filter → top-k by price
 # Reference shape: doc/data.sql:12 (inner join + filter + ORDER BY DESC),
@@ -1189,7 +1210,7 @@ def cp6_incremental_ingest(spark, sf_dir):
     scored = (
         textstats.lm_score(gated, lmsnap)
         .where(F.col("xent") <= 3.46)
-        .localCheckpoint(eager=True)
+        .transform(_reliable_or_local_ckpt)
     )
     # scored ids ⊆ gated ids ⊆ inc ids, so re-attaching text for the
     # guard needs only the inc scan + the id join (the decide-with-
@@ -1255,7 +1276,7 @@ def cp3_pretraining_ingest(spark, sf_dir):
         )
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_reliable_or_local_ckpt_lazy)
     )
     # The drop lists are id-only longs whose size scales with the corpus
     # dup/contamination RATE — un-hinted so AQE broadcasts them while
@@ -2954,7 +2975,7 @@ def t8_tfidf_topterms(spark, sf_dir):
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(_reliable_or_local_ckpt)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -3011,7 +3032,7 @@ def t19_perplexity_score(spark, sf_dir):
         .where(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
+        .transform(_reliable_or_local_ckpt)
     )
     vocab = wc.groupBy("w").agg(F.sum("k").alias("cnt"))
     tot = wc.agg(F.sum("k").alias("total"))
@@ -3075,7 +3096,7 @@ def cp5_perplexity_mix(spark, sf_dir):
             scored.where(F.col("xent") <= 3.404).select("doc_id", "xent"),
             "doc_id",
         )
-        .localCheckpoint(eager=True)
+        .transform(_reliable_or_local_ckpt)
     )
     out = sampling.temperature_sample(
         kept, "lang", "doc_id", alpha=0.5, budget=200
@@ -3108,7 +3129,7 @@ def _lm_context_counts(d, ctx):
             % 2
             == 0,
         )
-        .localCheckpoint(eager=True)
+        .transform(_reliable_or_local_ckpt)
     )
     uv = wcb.where("is_train").groupBy("cur").agg(F.sum("m").alias("cnt"))
     tot = uv.agg(F.sum("cnt").alias("total"))
@@ -3471,7 +3492,7 @@ def t9_bm25_search(spark, sf_dir):
     tf_all = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tfc"))
-        .localCheckpoint(eager=True)  # eager: see t7 note on lazy-checkpoint GC hazard
+        .transform(_reliable_or_local_ckpt)  # eager: see t7 note on lazy-checkpoint GC hazard
     )
     dl = tf_all.groupBy("doc_id").agg(F.sum("tfc").alias("dl"))
     tf = tf_all.where(F.col("term").isin(*BM25_TERMS)).select(

@@ -1069,13 +1069,25 @@ def _cross_dedup_batch_joins(
     dup-heavy corpora can have O(n) candidates, so AQE
     broadcasts-while-small instead of a forced broadcast (the r5
     trap)."""
+    from maple_spark.pipelines.util import checkpoint_df
+
     nb = lsh_band_buckets(new_docs, id_col, text_col, num_perm, bands, k).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
-    cand = (
+    # materialize the candidate PAIRS once (round-13 optimization, guide
+    # §5): cand has TWO consumers (the cand-doc semi-join and the final
+    # verify join), and the planner does NOT reuse the dropDuplicates
+    # exchange across them — the whole banding subtree (shingle + md5 +
+    # 64 permutation mins over the increment) executed twice (plan-
+    # audited: cp6's guard held 2 copies, 0 ReusedExchange).  The
+    # checkpoint is id-only fixed-width pairs bounded by band COLLISIONS
+    # (never the increment), lazy so it materializes inside the timed
+    # execution, recomputed from the inputs on every run.
+    cand = checkpoint_df(
         nb.join(ref_buckets, ["band", "bucket"])
         .select("new_id", "ref_id")
-        .dropDuplicates(["new_id", "ref_id"])
+        .dropDuplicates(["new_id", "ref_id"]),
+        eager=False,
     )
     cand_docs = new_docs.join(
         cand.select(F.col("new_id").alias(id_col)), on=id_col, how="left_semi"

@@ -13,7 +13,7 @@ import functools
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from maple_spark.pipelines.util import spread
+from maple_spark.pipelines.util import checkpoint_df, spread
 
 #: BPE-ish tokenizer: words, numbers, or single non-space symbols.  Kept to
 #: a regex dialect (char classes, alternation, +) that Java and RE2/PCRE
@@ -783,11 +783,11 @@ def build_lm_snapshot(
         # function exists for).  The build never touches doc ids — the
         # model is global counts.
         names = [n for n, _ in LM_CTX[order]]
-        g = (
+        g = checkpoint_df(
             lm_positions(docs, LM_CTX[order], None, text_col)
             .groupBy(*names, "cur")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .localCheckpoint(eager=True)
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            eager=True,
         )
         wc = g.groupBy(F.col("cur").alias("w")).agg(F.sum("cnt").alias("cnt"))
 

@@ -5,6 +5,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def checkpoint_df(df: DataFrame, eager: bool = True) -> DataFrame:
+    """The ONE plan-truncation primitive for multiply-consumed
+    intermediates (guide §5): ``localCheckpoint`` by default — executor-
+    local blocks, no reliable storage round-trip, the right trade for a
+    single-box bench and for any cluster where recomputing the lineage
+    on executor loss is acceptable.
+
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT`` routes every call site to a
+    RELIABLE ``checkpoint`` instead (blocks written to the checkpoint
+    dir, surviving executor loss — the 100 TB cluster escape hatch:
+    localCheckpoint blocks die with their executor and kill the query
+    mid-flight).  Set it to a directory path, or to ``1``/``true`` for
+    a per-process default under /tmp.  Read per call, not at import, so
+    a driver can flip modes between jobs; both modes are value-identical
+    by construction (pytest pins one representative path)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").strip()
+    if not mode:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        if mode.lower() in ("1", "true", "yes"):
+            mode = f"/tmp/maple_reliable_ckpt_{os.getpid()}"
+        sc.setCheckpointDir(mode)
+    return df.checkpoint(eager=eager)
+
+
 def parquet_files_stats(df: DataFrame) -> tuple[int, int | None] | None:
     """(total_bytes, total_rows) of a DataFrame's LOCAL parquet files —
     metadata only (file sizes + parquet footer row counts via pyarrow),
